@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
+``oracle_sql()`` expose the declared operator surface (SURVEY.md §2)
+for the driver's DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from shredder_spark import queries as _queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    q = _queries.registry()["q15_pricing_summary"]
+    return q.run(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _make(q: _queries.Query) -> Callable[[SparkSession, str], DataFrame]:
+        def _run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return q.run(spark, sf_dir)
+
+        _run.__name__ = q.name
+        return _run
+
+    return {name: _make(q) for name, q in _queries.registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
+    return {
+        name: q.oracle
+        for name, q in _queries.registry().items()
+        if q.oracle is not None
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set mirrors SURVEY.md §5.2 bench tier (Q15 agg, Q21 windows,
+Q43 vector similarity) plus scan/join/text representatives, and a
+fixed-width→Avro ingest measurement at BASELINE.md's shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shredder_spark import queries as queries_mod
+from shredder_spark.session import get_spark
+
+HEADLINE = [
+    "q01_scan_count",
+    "q05_inner_join",
+    "q15_pricing_summary",
+    "q21_ranking_windows",
+    "q43_cosine_topk",
+    "q50_term_frequency",
+]
+
+
+def _drain(df) -> None:
+    # Execute the full plan (no column pruning shortcut, nothing
+    # collected to the driver).
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("shredder-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = queries_mod.registry()
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with the cheapest query
+    reg["q01_scan_count"].run(spark, sf_dir).count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _drain(reg[name].run(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Ingest bench: fixed-width text → snappy Avro (BASELINE.md shape),
+    # if the fixed-width source is available and fixture data exists.
+    try:
+        from shredder_spark.sources.fixedwidth import bench_ingest
+
+        ingest = bench_ingest(spark, sf_dir)
+        timings.update(ingest)
+    except Exception:
+        pass
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,503 @@
+"""Declared verification queries Q01–Q51 (SURVEY.md §2.3).
+
+Each entry pairs an engine implementation (Spark SQL text or a
+DataFrame-API builder) with a DuckDB oracle SQL text. Where the two
+dialects agree the text is shared; ``[paired]`` queries carry separate
+texts with identical semantics.
+
+Determinism conventions (SURVEY.md §2.3):
+- total ORDER BY on every query;
+- float aggregates wrapped ROUND(..., 2), inputs cast DOUBLE first;
+- integer-valued computed columns cast to BIGINT on BOTH sides so the
+  schema compare can't trip on INT-vs-BIGINT / HUGEINT dialect
+  defaults (DuckDB SUM(int)→HUGEINT, ROW_NUMBER→BIGINT, LENGTH→BIGINT
+  vs Spark INT/LONG);
+- identical column aliases on both sides (driver sorts by column name
+  before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from shredder_spark.catalog import register_views
+
+
+@dataclass
+class Query:
+    name: str
+    oracle: Optional[str]  # DuckDB SQL; None → driver does rows-only check
+    engine_sql: Optional[str] = None  # Spark SQL; None + no builder → use oracle text
+    builder: Optional[Callable[[SparkSession], DataFrame]] = None
+    tags: tuple = field(default_factory=tuple)
+
+    def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        if self.builder is not None:
+            return self.builder(spark)
+        sql = self.engine_sql if self.engine_sql is not None else self.oracle
+        return spark.sql(sql)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: Optional[str], engine_sql: Optional[str] = None,
+       builder=None, tags: tuple = ()) -> None:
+    _REGISTRY[name] = Query(name, oracle, engine_sql, builder, tags)
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------- B.1/B.2
+_q("q01_scan_count", "SELECT COUNT(*) AS n FROM lineitem")
+
+_q("q02_projection", """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""")
+
+_q("q03_compound_filter", """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE (l_discount > 0.05 AND l_quantity < 25) OR l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+""")
+
+_q("q04_in_between_like", """
+SELECT o_orderkey FROM orders
+WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND o_orderstatus LIKE 'O%'
+ORDER BY o_orderkey
+""")
+
+_q("q05_inner_join", """
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey, o.o_orderkey
+""")
+
+_q("q06_left_join", """
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey ORDER BY c.c_custkey
+""")
+
+_q("q07_right_join", """
+SELECT n.n_name, c.c_custkey
+FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY n.n_name, c.c_custkey NULLS FIRST
+""")
+
+_q("q08_full_join", """
+SELECT s.s_suppkey, c.c_custkey
+FROM supplier s FULL JOIN customer c ON s.s_nationkey = c.c_nationkey
+ORDER BY s.s_suppkey NULLS LAST, c.c_custkey NULLS LAST
+""")
+
+_q("q09_semi_join", """
+SELECT c.c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 100000)
+ORDER BY c.c_custkey
+""")
+
+_q("q10_anti_join", """
+SELECT p.p_partkey FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+ORDER BY p.p_partkey
+""")
+
+_q("q11_cross_join", """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+""")
+
+_q("q12_theta_join", """
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+FROM lineitem l JOIN part p
+  ON l.l_partkey = p.p_partkey AND l.l_extendedprice > 10 * p.p_retailprice
+ORDER BY l.l_orderkey, l.l_linenumber
+""")
+
+# BROADCAST hint: Spark honors it; DuckDB reads it as a plain comment.
+_q("q13_broadcast_join", """
+SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS c
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""")
+
+_q("q14_asof_join", """
+SELECT p.event_id, MAX(s.ts) AS last_signup_ts
+FROM events p LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id ORDER BY p.event_id
+""")
+
+_q("q15_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                  AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                             AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc,
+       ROUND(AVG(l_quantity), 2)                                  AS avg_qty,
+       COUNT(*)                                                   AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+
+_q("q16_count_distinct", """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS u
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+_q("q17_rollup", """
+SELECT n_regionkey, n_name, COUNT(*) AS c, CAST(GROUPING(n_name) AS BIGINT) AS g
+FROM nation GROUP BY ROLLUP(n_regionkey, n_name)
+ORDER BY n_regionkey NULLS LAST, n_name NULLS LAST
+""")
+
+_q("q18_cube", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""")
+
+_q("q19_grouping_sets", """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS q
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""")
+
+_q("q20_having", """
+SELECT o_custkey, COUNT(*) AS n FROM orders
+GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY o_custkey
+""")
+
+_q("q20b_global_stats", """
+SELECT COUNT(*) AS n, ROUND(MIN(o_totalprice),2) AS mn,
+       ROUND(MAX(o_totalprice),2) AS mx, ROUND(AVG(o_totalprice),2) AS av,
+       ROUND(STDDEV_SAMP(o_totalprice),2) AS sd,
+       ROUND(VAR_SAMP(o_totalprice),2) AS vr
+FROM orders
+""")
+
+_q("q20c_median",
+   oracle="SELECT ROUND(QUANTILE_CONT(l_quantity, 0.5),2) AS med FROM lineitem",
+   engine_sql="SELECT ROUND(PERCENTILE(l_quantity, 0.5),2) AS med FROM lineitem")
+
+_q("q21_ranking_windows", """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK() OVER w AS BIGINT) AS rk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS nt
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+ORDER BY l_orderkey, l_linenumber
+""")
+
+_q("q22_analytic_windows", """
+SELECT o_orderkey,
+       LAG(o_totalprice)  OVER w AS prev_p,
+       LEAD(o_totalprice) OVER w AS next_p,
+       FIRST_VALUE(o_orderkey) OVER w AS first_k
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+""")
+
+_q("q23_running_sum", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q24_sort_nulls", """
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC
+""")
+
+_q("q25_topk", """
+SELECT o_orderkey, ROUND(o_totalprice,2) AS p FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+
+_q("q26_union_all", """
+SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier
+ORDER BY k
+""")
+
+_q("q27_union_distinct", """
+SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier
+ORDER BY k
+""")
+
+_q("q28_intersect", """
+SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+ORDER BY k
+""")
+
+_q("q29_except", """
+SELECT p_size AS k FROM part EXCEPT SELECT n_nationkey FROM nation
+ORDER BY k
+""")
+
+# ---------------------------------------------------------------- B.3
+_q("q30_string_fns", """
+SELECT p_partkey, UPPER(p_brand) AS u, LOWER(p_type) AS lo,
+       SUBSTRING(p_name, 1, 5) AS s5, CAST(LENGTH(p_name) AS BIGINT) AS ln,
+       REPLACE(p_brand, '#', '-') AS rp, TRIM(p_name) || '!' AS cc
+FROM part ORDER BY p_partkey
+""")
+
+_q("q31_datetime_fns", """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)  AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo,
+       o_orderdate + INTERVAL 1 DAY     AS next_d,
+       CAST(o_orderdate AS DATE)        AS d
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q32_math_fns", """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS a, ROUND(l_extendedprice, 1) AS r,
+       CAST(FLOOR(l_quantity) AS DOUBLE) AS f, CAST(CEIL(l_quantity) AS DOUBLE) AS c,
+       CAST(l_linenumber % 3 AS BIGINT) AS md, ROUND(POWER(l_discount, 2), 4) AS pw,
+       ROUND(SQRT(l_extendedprice), 2) AS sq, ROUND(LN(l_extendedprice + 1), 4) AS lg
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""")
+
+_q("q33_conditional_fns", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'big'
+            WHEN o_totalprice > 50000  THEN 'mid' ELSE 'small' END AS bucket,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+       LEAST(o_orderkey, o_custkey) AS le, GREATEST(o_orderkey, o_custkey) AS gr
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q34_casts",
+   oracle="""
+SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS ks,
+       CAST(CAST('123' AS INTEGER) + 1 AS BIGINT) AS i, CAST(o_custkey AS BIGINT) AS b,
+       CAST(o_orderdate AS DATE) AS d
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey, CAST(o_orderkey AS STRING) AS ks,
+       CAST(CAST('123' AS INTEGER) + 1 AS BIGINT) AS i, CAST(o_custkey AS BIGINT) AS b,
+       CAST(o_orderdate AS DATE) AS d
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q35_array_ops",
+   oracle="""
+SELECT doc_id, CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text,' '))) AS BIGINT) AS n_uniq
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id, CAST(SIZE(SPLIT(text,' ')) AS BIGINT) AS n_tok,
+       CAST(SIZE(ARRAY_DISTINCT(SPLIT(text,' '))) AS BIGINT) AS n_uniq
+FROM documents ORDER BY doc_id
+""")
+
+_q("q36_struct",
+   oracle="""
+SELECT c_custkey, STRUCT_PACK(n := c_name, b := c_acctbal).n AS nm
+FROM customer ORDER BY c_custkey
+""",
+   engine_sql="""
+SELECT c_custkey, NAMED_STRUCT('n', c_name, 'b', c_acctbal).n AS nm
+FROM customer ORDER BY c_custkey
+""")
+
+_q("q37_json_extract",
+   oracle="""
+SELECT event_type, CAST(SUM(CAST(JSON_EXTRACT(props,'$.k') AS INT)) AS BIGINT) AS s
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+   engine_sql="""
+SELECT event_type, CAST(SUM(CAST(GET_JSON_OBJECT(props,'$.k') AS INT)) AS BIGINT) AS s
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+
+
+def _q38_builder(spark: SparkSession) -> DataFrame:
+    # Python UDF surface (B50): register once, call from SQL. The slow
+    # path by design — exists to prove the UDF plumbing, not for perf.
+    spark.udf.register("py_reverse", lambda s: None if s is None else s[::-1], "string")
+    return spark.sql("SELECT doc_id, py_reverse(lang) AS r FROM documents ORDER BY doc_id")
+
+
+_q("q38_python_udf",
+   oracle="SELECT doc_id, REVERSE(lang) AS r FROM documents ORDER BY doc_id",
+   builder=_q38_builder)
+
+# ---------------------------------------------------------------- B.5 dedup
+_q("q41_exact_dedup", """
+SELECT lang, n_chars, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+ORDER BY lang, n_chars
+""")
+
+_q("q42_jaccard_pairs",
+   oracle="""
+WITH t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text,' ')) AS tok
+           FROM documents WHERE doc_id < 100)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(LEN(LIST_INTERSECT(a.tok,b.tok)) /
+             CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.tok,b.tok))) AS DOUBLE), 2) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.tok,b.tok)) /
+      CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.tok,b.tok))) AS DOUBLE) >= 0.8
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, ARRAY_DISTINCT(SPLIT(text,' ')) AS tok
+           FROM documents WHERE doc_id < 100)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(SIZE(ARRAY_INTERSECT(a.tok,b.tok)) /
+             CAST(SIZE(ARRAY_UNION(a.tok,b.tok)) AS DOUBLE), 2) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE SIZE(ARRAY_INTERSECT(a.tok,b.tok)) /
+      CAST(SIZE(ARRAY_UNION(a.tok,b.tok)) AS DOUBLE) >= 0.8
+ORDER BY i, j
+""")
+
+_q("q43_cosine_topk",
+   oracle="""
+SELECT e.vec_id, ROUND(LIST_COSINE_SIMILARITY(
+         e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 2) AS sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id=0) q
+WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5
+""",
+   engine_sql="""
+WITH q AS (SELECT TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id <> 0)
+SELECT e.vec_id,
+       ROUND(AGGREGATE(ZIP_WITH(e.v, q.v, (x,y) -> x*y), 0D, (s,x) -> s+x)
+         / (SQRT(AGGREGATE(e.v, 0D, (s,x) -> s+x*x))
+          * SQRT(AGGREGATE(q.v, 0D, (s,x) -> s+x*x))), 2) AS sim
+FROM e CROSS JOIN q
+ORDER BY sim DESC, e.vec_id LIMIT 5
+""")
+
+# ------------------------------------------------- B.4 streaming (batch oracles)
+
+
+def _q44_builder(spark: SparkSession) -> DataFrame:
+    # Tumbling 1h window via the same groupBy(window(...)) construct the
+    # streaming path uses (shredder_spark.streaming.windows); running it
+    # in batch proves the operator, the streaming test proves incremental
+    # convergence.
+    events = spark.table("events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("win.start").alias("w"), "event_type", "c", "s")
+        .orderBy("w", "event_type")
+    )
+
+
+_q("q44_tumbling_window",
+   oracle="""
+SELECT DATE_TRUNC('hour', ts) AS w, event_type, COUNT(*) AS c,
+       ROUND(SUM(value),2) AS s
+FROM events GROUP BY 1, 2 ORDER BY w, event_type
+""",
+   builder=_q44_builder)
+
+
+def _q45_builder(spark: SparkSession) -> DataFrame:
+    events = spark.table("events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("c"))
+        .select(F.col("win.start").alias("w"), "c")
+        .orderBy("w")
+    )
+
+
+_q("q45_sliding_window",
+   oracle="""
+WITH g AS (SELECT e.*, TIME_BUCKET(INTERVAL '5 minutes', ts) AS b FROM events e)
+SELECT w, COUNT(*) AS c FROM (
+  SELECT b AS w, * FROM g
+  UNION ALL SELECT b - INTERVAL '5 minutes' AS w, * FROM g) s
+GROUP BY w ORDER BY w
+""",
+   builder=_q45_builder)
+
+# Session windows: the queries() gate uses the portable gaps-and-islands
+# formulation on both sides (exact tie semantics at a gap of exactly 30
+# minutes differ between Spark's session_window half-open interval and
+# the SQL `>` test); shredder_spark.streaming exercises session_window
+# itself behaviorally in t1.
+_q("q46_session_window", """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+ y AS (SELECT user_id, ts,
+              CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       FROM x)
+SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
+FROM y GROUP BY user_id, sid ORDER BY user_id, sid
+""")
+
+_q("q47_dedup_count", """
+SELECT COUNT(*) AS n FROM (SELECT DISTINCT event_id FROM events) t
+""")
+
+_q("q48_running_count", """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id
+""")
+
+_q("q49_stream_static_join", """
+SELECT e.event_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+""")
+
+# ---------------------------------------------------------------- B.5 text
+_q("q50_term_frequency",
+   oracle="""
+SELECT tok, COUNT(*) AS c FROM documents,
+UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+GROUP BY tok ORDER BY c DESC, tok LIMIT 20
+""",
+   engine_sql="""
+SELECT tok, COUNT(*) AS c FROM documents
+LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok
+GROUP BY tok ORDER BY c DESC, tok LIMIT 20
+""")
+
+_q("q51_text_stats", """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""")
