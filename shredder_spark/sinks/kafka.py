@@ -1,0 +1,157 @@
+"""Kafka sink/source surface (reference A22/A23/A26/A27, SURVEY B5–B7).
+
+The reference produces Confluent-framed Avro messages (magic byte +
+4-byte big-endian schema-registry id + Avro binary,
+`kafkaavro/producer.go:191-210`), pinning chunk *i* to topic partition
+*i* (`fixed2avro/Exporters.go:58`). Spark-first mapping:
+
+- ``prepare_kafka_batch`` builds the exact (key, value, partition)
+  DataFrame the Spark Kafka sink contract expects — the framing is a
+  column expression; Avro row encoding is ``to_avro`` when spark-avro
+  is present, else an Arrow-batched pandas UDF over the pure-Python
+  codec.
+- ``write_kafka`` / ``read_kafka_stream`` are capability-gated: this
+  container has neither the kafka connector jar nor a broker, so they
+  raise a clear error; the framing/partitioning logic stays fully
+  testable offline (byte-golden tests against the reference layout).
+- partition pinning = an explicit ``partition`` column
+  (``spark_partition_id()``), which the Kafka sink honors natively.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import BinaryType
+
+from shredder_spark.sinks.avro import _to_wire, spark_schema_to_avro
+from shredder_spark.sinks.avro_codec import RecordCodec
+from shredder_spark.utils import ensure_package_on_executors
+
+
+class KafkaUnavailableError(RuntimeError):
+    pass
+
+
+def have_kafka_datasource(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+# ------------------------------------------------------------- framing exprs
+
+
+def frame_confluent_col(avro_value: Column, schema_id: int) -> Column:
+    """Confluent wire format as a column expression (JVM-side concat)."""
+    header = b"\x00" + struct.pack(">I", schema_id)
+    return F.concat(F.lit(header), avro_value)
+
+
+def deframe_value_col(value: Column) -> Column:
+    """Strip the 5-byte Confluent header → raw Avro binary."""
+    return F.substring(value, 6, 2147483647)
+
+
+def schema_id_col(value: Column) -> Column:
+    """Big-endian 4-byte schema id from a framed message (JVM-side)."""
+    return F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("long")
+
+
+def magic_ok_col(value: Column) -> Column:
+    return F.substring(value, 1, 1) == F.lit(b"\x00")
+
+
+# ------------------------------------------------------------- avro encode
+
+
+def avro_encode_col(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Add an ``_avro`` binary column encoding the given columns as one
+    Avro record per row.
+
+    Uses JVM ``to_avro`` when spark-avro is deployed; otherwise an
+    Arrow-batched pandas UDF over :class:`RecordCodec`. Temporals are
+    pre-converted to epoch ints JVM-side either way.
+    """
+    columns = columns or df.columns
+    avro_schema = spark_schema_to_avro(df.select(*columns).schema)
+
+    try:
+        from pyspark.sql.avro.functions import to_avro  # needs spark-avro jar
+
+        df.sparkSession._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return df.withColumn("_avro", to_avro(F.struct(*columns), avro_schema))
+    except Exception:
+        pass
+
+    ensure_package_on_executors(df.sparkSession)
+    wire = _to_wire(df.select(*columns))
+    wire_cols = wire.columns
+
+    @F.pandas_udf(BinaryType())
+    def _encode(*cols: pd.Series) -> pd.Series:
+        rc = RecordCodec(avro_schema)
+        n = len(cols[0])
+        vals = [c.tolist() for c in cols]
+        return pd.Series([rc.encode(tuple(v[i] for v in vals)) for i in range(n)])
+
+    return wire.withColumn("_avro", _encode(*[F.col(c) for c in wire_cols]))
+
+
+def prepare_kafka_batch(
+    df: DataFrame,
+    schema_id: int,
+    *,
+    key_col: str | None = None,
+    pin_partitions: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Build the (key, value[, partition]) DataFrame for the Kafka sink.
+
+    value = Confluent-framed Avro record of ``columns``;
+    key = ``key_col`` cast to string bytes (reference registers a
+    ``"string"`` key schema, `Exporters.go:59`);
+    partition = ``spark_partition_id()`` when pinned (reference A23:
+    chunk i → partition i).
+    """
+    encoded = avro_encode_col(df, columns)
+    out = encoded.select(
+        (F.col(key_col).cast("string").cast("binary") if key_col
+         else F.lit(None).cast("binary")).alias("key"),
+        frame_confluent_col(F.col("_avro"), schema_id).alias("value"),
+        *( [F.spark_partition_id().alias("partition")] if pin_partitions else [] ),
+    )
+    return out
+
+
+# ------------------------------------------------------------- gated I/O
+
+
+def write_kafka(df: DataFrame, topic: str, bootstrap_servers: str) -> None:
+    if not have_kafka_datasource(df.sparkSession):
+        raise KafkaUnavailableError(
+            "spark-sql-kafka connector not on classpath; deploy "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 and a broker. "
+            "Use prepare_kafka_batch() to build/verify the payload offline.")
+    (df.write.format("kafka")
+       .option("kafka.bootstrap.servers", bootstrap_servers)
+       .option("topic", topic)
+       .save())
+
+
+def read_kafka_stream(spark, topic: str, bootstrap_servers: str) -> DataFrame:
+    if not have_kafka_datasource(spark):
+        raise KafkaUnavailableError("spark-sql-kafka connector not on classpath")
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load())

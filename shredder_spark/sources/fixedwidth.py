@@ -1,0 +1,163 @@
+"""Fixed-width text source (reference operators A6–A21, SURVEY.md §2).
+
+The reference reads the whole file into RAM, splits it into per-core
+chunks aligned on CRLF, and parses field-by-field
+(`fixed2avro/ColumnBuilder.go:98-227`). Spark-first equivalent:
+
+- ``spark.read.text`` with ``lineSep="\\r\\n"`` — HDFS-style input
+  splits give chunking + line-boundary fixup for free, streamed (no
+  whole-file buffer, which is what lets this scale past RAM to 100 TB).
+- projection = one ``substring`` per column at cumulative character
+  offsets — Spark's ``substring`` counts characters, so multibyte
+  runes split correctly (parity with `fixed2avro/Util.go:45-65`).
+- casts = ``try_cast``/``try_to_timestamp`` expressions (ANSI-safe:
+  parse failure yields null, never a job abort), implementing the
+  reference's *intended* semantics per SURVEY.md §1.4.
+- footer: a line starting with 12 ``*`` terminates input
+  (`ColumnBuilder.go:211-214`) — expressed as a filter.
+- quarantine (B8): rows where any field failed to parse (or the row
+  width is wrong) are split to a bad-records DataFrame with reasons,
+  instead of the reference's silent zero-values.
+
+Everything is built-in column expressions — whole-stage codegen, no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from shredder_spark.avro_schema import FixedField, FixedSchema, parse_avro_fixed_schema
+
+FOOTER_PREFIX = "*" * 12
+_RAW_COL = "_raw_line"
+
+# Timestamp text format `yyyy-MM-dd-HH.mm.ss[.ffffff]`
+# (`fixed2avro/ColumnBuilder.go:232,283` comments). Seconds part is
+# fixed-width; the fraction is 0-9 digits, right-padded to micros.
+_TS_SECONDS_FMT = "yyyy-MM-dd-HH.mm.ss"
+
+
+def _ts_micros_expr(raw: Column) -> Column:
+    """Parse the custom timestamp format to TimestampType (UTC).
+
+    Splits seconds and fraction (new-parser 'S' patterns require exact
+    digit counts, so a single format string can't cover 3- and 6-digit
+    fractions): base = first 19 chars, fraction = chars 21.. right-
+    padded to 6 → micros added exactly via unix_micros arithmetic.
+    """
+    t = F.trim(raw)
+    base = F.try_to_timestamp(F.substring(t, 1, 19), F.lit(_TS_SECONDS_FMT))
+    frac_str = F.substring(t, 21, 9)
+    micros = F.when(F.length(frac_str) > 0,
+                    F.rpad(F.substring(frac_str, 1, 6), 6, "0").try_cast("long")
+                    ).otherwise(F.lit(0))
+    value = F.timestamp_micros(F.unix_micros(base) + micros)
+    return F.when(base.isNull() | micros.isNull(), F.lit(None).cast("timestamp")).otherwise(value)
+
+
+def _cast_expr(field: FixedField, raw: Column) -> Column:
+    """Typed value expression for one field (reference A12–A21, intended
+    semantics). Returns null on parse failure — quarantine decides what
+    to do with it."""
+    t = field.type_name
+    if t == "boolean":
+        first = F.upper(F.substring(F.ltrim(raw), 1, 1))
+        return (
+            F.when(first.isin("J", "Y"), F.lit(True))
+            .when(first == "N", F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    if t in ("Bytes", "bytes"):
+        return F.encode(raw, "UTF-8")
+    if t == "float":
+        return F.trim(raw).try_cast("float")
+    if t == "double":
+        return F.trim(raw).try_cast("double")
+    if t == "int":
+        return F.trim(raw).try_cast("int")
+    if t == "long":
+        return F.trim(raw).try_cast("long")
+    if t == "string":
+        return raw  # reference does NOT trim (`ColumnBuilderTypes.go:157-160`)
+    if t == "date":
+        return F.to_date(_ts_micros_expr(raw))
+    if t in ("timestamp-millis", "timestamp-micros"):
+        return _ts_micros_expr(raw)
+    raise ValueError(f"unsupported type {t!r}")
+
+
+# string/bytes fields can't fail; everything else parsing to null on
+# non-blank input means a bad value.
+_FALLIBLE = {"boolean", "float", "double", "int", "long", "date",
+             "timestamp-millis", "timestamp-micros"}
+
+
+@dataclass
+class FixedWidthResult:
+    clean: DataFrame
+    quarantine: DataFrame  # columns: _raw_line, _errors (array<string>)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    schema: str | dict | FixedSchema,
+    *,
+    line_sep: str = "\r\n",
+    footer_prefix: str = FOOTER_PREFIX,
+    with_quarantine: bool = False,
+):
+    """Read a fixed-width text file into a typed DataFrame.
+
+    Returns a DataFrame, or a :class:`FixedWidthResult` when
+    ``with_quarantine=True``.
+    """
+    fs = schema if isinstance(schema, FixedSchema) else parse_avro_fixed_schema(schema)
+
+    lines = spark.read.text(path, lineSep=line_sep).withColumnRenamed("value", _RAW_COL)
+    if footer_prefix:
+        lines = lines.filter(~F.col(_RAW_COL).startswith(footer_prefix))
+    # drop blank trailing lines produced by a terminator on the last row
+    lines = lines.filter(F.length(_RAW_COL) > 0)
+
+    raw_cols = {
+        f.name: F.substring(F.col(_RAW_COL), start, f.length)
+        for f, start in fs.field_offsets()
+    }
+    typed = [_cast_expr(f, raw_cols[f.name]).alias(f.name) for f in fs.fields]
+
+    if not with_quarantine:
+        return lines.select(*typed)
+
+    width_ok = F.length(_RAW_COL) == fs.row_width
+    error_terms = [
+        F.when(~width_ok,
+               F.concat(F.lit("row_width:"), F.length(_RAW_COL).cast("string")))
+    ]
+    for f in fs.fields:
+        if f.type_name in _FALLIBLE:
+            raw = raw_cols[f.name]
+            failed = _cast_expr(f, raw).isNull() & (F.trim(raw) != "")
+            error_terms.append(F.when(width_ok & failed, F.lit(f"bad_{f.name}")))
+    with_errs = lines.select(
+        F.col(_RAW_COL),
+        F.array_compact(F.array(*error_terms)).alias("_errors"),
+        *typed,
+    )
+    clean = with_errs.filter(F.size("_errors") == 0).drop(_RAW_COL, "_errors")
+    quarantine = with_errs.filter(F.size("_errors") > 0).select(_RAW_COL, "_errors")
+    return FixedWidthResult(clean=clean, quarantine=quarantine)
+
+
+def fixed_width_select_exprs(schema: str | dict | FixedSchema) -> list[Column]:
+    """The projection expressions alone (for callers composing their own
+    scan, e.g. over an existing DataFrame of lines)."""
+    fs = schema if isinstance(schema, FixedSchema) else parse_avro_fixed_schema(schema)
+    return [
+        _cast_expr(f, F.substring(F.col("value"), start, f.length)).alias(f.name)
+        for f, start in fs.field_offsets()
+    ]
