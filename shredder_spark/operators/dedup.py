@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Tiers (each a declared query or a recall-tested scale path):
+
+- exact key/content dedup — hash groupBy, the O(n) baseline.
+- exact Jaccard pairs — O(n²) within an id-bounded block; the *oracle*
+  tier that scores the approximate tiers.
+- MinHash + LSH banding — the 100 TB tier: candidate generation is a
+  band-bucket equi-join (shuffle on band hash), never all-pairs. Built
+  from Catalyst higher-order functions (xxhash64 + affine permutations)
+  — fully JVM-side, no UDFs, deterministic given (num_perm, seed).
+- SimHash — 64-bit fingerprint, hamming-distance near-dup; JVM-side
+  via explode + bit arithmetic.
+
+Scale notes: all-pairs comparisons only ever happen *within LSH
+buckets*; every stage before that is a narrow map or a keyed shuffle.
+Skewed buckets (e.g. empty-doc signatures) are capped by
+``max_bucket_size`` the same way production dedup pipelines drop
+degenerate bands.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Mersenne prime 2^31-1 as the universal-hash modulus: products of
+# 31-bit values fit in a 62-bit long, so the affine permutations stay
+# inside ANSI long arithmetic (2^61-1 would need 128-bit products).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the min-``order_col`` row per key group (reference-style
+    keeper semantics, Q41). Single hash shuffle on the keys."""
+    w = df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
+    return df.join(w, keys + [order_col], "left_semi")
+
+
+def content_fingerprint(col: Column, normalize: bool = True) -> Column:
+    """128-bit content hash for byte-identical (optionally
+    whitespace-normalized) dedup; md5 so an external SQL oracle can
+    reproduce it."""
+    c = col
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(c)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.array_distinct(F.split(text, " "))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs Jaccard over distinct-token sets (oracle tier —
+    O(n²), apply only to a bounded block or LSH candidates)."""
+    t = df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_tok"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._tok"), F.col("b._tok")))
+    union = F.size(F.array_union(F.col("a._tok"), F.col("b._tok")))
+    jac = inter / union.cast("double")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
+                jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(text: Column, num_perm: int = 64, seed: int = 1) -> Column:
+    """num_perm-wide MinHash signature of the token set, as
+    array<bigint> — pure Catalyst (xxhash64 base hash + affine perms +
+    AGGREGATE min), deterministic."""
+    base = F.transform(tokens_col(text), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MERSENNE_P)))
+    perms = []
+    rnd = _SplitMix(seed)
+    for _ in range(num_perm):
+        a = rnd.next() % (_MERSENNE_P - 1) + 1
+        b = rnd.next() % _MERSENNE_P
+        perms.append((a, b))
+    def _perm(a: int, b: int):
+        # factory closure: pyspark counts default-arg params as lambda
+        # arity, so capture constants here instead
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+
+    return F.array(*[
+        F.array_min(F.transform(base, _perm(a, b))) for a, b in perms
+    ])
+
+
+class _SplitMix:
+    """SplitMix64 — tiny deterministic PRNG for permutation constants."""
+
+    def __init__(self, seed: int):
+        self.state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (self.state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 1,
+    max_bucket_size: int = 200,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding (B72, the scale tier).
+
+    bands×rows = num_perm; candidate pairs share ≥1 identical band.
+    With r=num_perm/bands rows/band the match probability is
+    1-(1-j^r)^bands — (64,16) centers the S-curve near j≈0.7, high
+    recall at j≥0.8. Candidates are then exact-verified (default) so
+    precision is 1.0 and only recall is approximate.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_tok"),
+        minhash_signature(F.col(text_col), num_perm, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id", "_tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.xxhash64(F.slice("_sig", i * rows + 1, rows)).alias("bh"))
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("_id", "_tok", "b.band", "b.bh")
+
+    # cap degenerate buckets (skew guard at scale)
+    bucket_sizes = banded.groupBy("band", "bh").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band", "bh"),
+        ["band", "bh"], "left_semi")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) &
+               (F.col("a.bh") == F.col("b.bh")) &
+               (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
+                F.col("a._tok").alias("ti"), F.col("b._tok").alias("tj"))
+        .dropDuplicates(["i", "j"])
+    )
+    if not verify:
+        return cand.select("i", "j")
+    inter = F.size(F.array_intersect("ti", "tj"))
+    union = F.size(F.array_union("ti", "tj"))
+    return (
+        cand.select("i", "j", (inter / union.cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token multiset — JVM-side only.
+
+    For each bit k: sum over tokens of ±1 by bit k of xxhash64(token);
+    fingerprint bit k = (sum > 0). Returns bigint."""
+    toks = F.split(text, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(k: int):
+        # test bit k via unsigned shift (1<<63 doesn't fit a signed long)
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    def _bit_value(k: int) -> int:
+        return (1 << k) if k < 63 else -(1 << 63)
+
+    bit_terms = [
+        F.when(F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(k)) > 0,
+               F.lit(_bit_value(k))).otherwise(F.lit(0))
+        for k in range(64)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Blocks on the 4
+    16-bit quadrants (any pair within distance ≤3 shares at least one
+    exact quadrant — pigeonhole), so no all-pairs join."""
+    s = df.select(F.col(id_col).alias("_id"),
+                  simhash64(F.col(text_col)).alias("_sh"))
+    quads = s.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(q).alias("q"),
+                     F.shiftrightunsigned("_sh", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"))
+            for q in range(4)
+        ])).alias("b")).select("_id", "_sh", "b.q", "b.qv")
+    a, b = quads.alias("a"), quads.alias("b")
+    return (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv")) &
+               (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
+                hamming64(F.col("a._sh"), F.col("b._sh")).alias("dist"))
+        .dropDuplicates(["i", "j"])
+        .filter(F.col("dist") <= max_distance)
+    )
+
+
+def ngrams_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string> (JVM-side).
+
+    Guarded for short docs: sequence(1,0) would generate a DESCENDING
+    [1,0] in Spark, so emit an empty array when size(toks) < n."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.6) -> DataFrame:
+    t = df.select(F.col(id_col).alias("_id"),
+                  ngrams_col(F.col(text_col), n).alias("_ng"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect("a._ng", "b._ng"))
+    union = F.size(F.array_union("a._ng", "b._ng"))
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
+                (inter / union.cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,159 @@
+"""Vector similarity search over embedding columns (B73/B77).
+
+Three tiers:
+- ``cosine_topk`` — exact, pure Catalyst higher-order functions
+  (ZIP_WITH dot product + AGGREGATE norms). The oracle tier.
+- ``cosine_topk_blocked`` — exact, Arrow-batched numpy matmul via
+  ``mapInPandas``: each partition streams Arrow batches, computes a
+  (batch × queries) GEMM, and emits only its local top-k; a final
+  small sort picks the global top-k. This is the 100 TB shape: no
+  shuffle of the corpus, only per-partition top-k rows move.
+- ``lsh_buckets`` / ``ann_topk_lsh`` — approximate: random-hyperplane
+  (sign-LSH) bucketing; probes only matching buckets. Recall measured
+  against the exact tier in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from shredder_spark.utils import ensure_package_on_executors
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs one stored vector (Q43 shape). The 1-row
+    query side is broadcast by AQE; corpus side is a narrow scan."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        as_double(F.col(vec_col)).alias("qv"))
+    e = embeddings.filter(F.col(id_col) != query_vec_id).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(id_col, F.round(cosine(F.col("v"), F.col("qv")), 2).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_blocked(
+    embeddings: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via per-partition numpy GEMM + global merge."""
+    ensure_package_on_executors(embeddings.sparkSession)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids: list[np.ndarray] = []
+        best_sims: list[np.ndarray] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            # round before ranking so tie-breaks match the exact tier's
+            # ORDER BY round(sim,2) DESC, id (Q43 determinism convention)
+            sims = np.round((mat @ qv) / (np.linalg.norm(mat, axis=1) * qn), 2)
+            ids = pdf["id"].to_numpy()
+            idx = np.lexsort((ids, -sims))[:k]
+            best_ids.append(ids[idx])
+            best_sims.append(sims[idx])
+        if not best_ids:
+            return
+        ids = np.concatenate(best_ids)
+        sims = np.concatenate(best_sims)
+        idx = np.lexsort((ids, -sims))[:k]
+        yield pd.DataFrame({"id": ids[idx], "sim": sims[idx]})
+
+    local = src.mapInPandas(_local_topk, "id long, sim double")
+    return (local.orderBy(F.desc("sim"), "id").limit(k)
+            .select(F.col("id").alias(id_col), F.col("sim")))
+
+
+# ----------------------------------------------------------------- sign-LSH
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature: bit i = sign(<v, plane_i>) — as a
+    Catalyst expression (dot products via ZIP_WITH against literal
+    plane arrays), so bucketing is JVM-side and deterministic."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(as_double(vec), lit_plane)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    *,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing the query's
+    bucket in ANY of ``n_tables`` sign-LSH tables; exact cosine on the
+    candidate set only. Multi-table OR-amplification trades compute for
+    recall (measured ≥0.8 vs exact in tests at 8 bits × 4 tables)."""
+    dim = len(embeddings.filter(F.col(id_col) == query_vec_id)
+              .select(vec_col).first()[0])
+    src = embeddings.select(id_col, vec_col)
+    buckets = src
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t)
+        buckets = buckets.withColumn(f"_b{t}", lsh_bucket_col(F.col(vec_col), planes))
+    qrow = buckets.filter(F.col(id_col) == query_vec_id).first()
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"_b{t}") == qrow[f"_b{t}"]
+        cond = c if cond is None else (cond | c)
+    cand = buckets.filter(cond & (F.col(id_col) != query_vec_id))
+    qv = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
+    return (
+        cand.select(id_col,
+                    F.round(cosine(as_double(F.col(vec_col)), qv), 2).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

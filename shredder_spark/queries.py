@@ -501,3 +501,200 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
        CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS n_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """)
+
+# ------------------------------------------- LLM-pipeline extension queries
+# (north-star surface beyond SURVEY §2.3's Q01–Q51: language ID, quality
+# scoring, token counting, fingerprint dedup, n-grams, embedding math —
+# each hash-verified against a DuckDB oracle reproducing the exact
+# heuristic; approximate tiers are exposed rows-only.)
+
+def _q52_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.functions.text import lang_id
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lid")).orderBy("doc_id")
+
+
+_q("q52_lang_id",
+   oracle="""
+WITH s AS (SELECT doc_id,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['the','and','of','to','is','in','that','it'])) AS s_en,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['el','la','los','y','es','una','que','no'])) AS s_es,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['le','la','les','et','est','une','que','pas'])) AS s_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN s_de = g AND g >= 1 THEN 'de'
+            WHEN s_en = g AND g >= 1 THEN 'en'
+            WHEN s_es = g AND g >= 1 THEN 'es'
+            WHEN s_fr = g AND g >= 1 THEN 'fr'
+            ELSE 'und' END AS lid
+FROM (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS g FROM s)
+ORDER BY doc_id
+""",
+   builder=_q52_builder)
+
+
+def _q53_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.functions.text import quality_score
+
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 2).alias("q")
+    ).orderBy("doc_id")
+
+
+_q("q53_quality_score",
+   oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS wtoks,
+         REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+') AS ltoks,
+         CAST(LENGTH(text) AS DOUBLE) AS n
+  FROM documents),
+ m AS (
+  SELECT doc_id, n,
+         CASE WHEN LEN(wtoks) > 0 THEN
+           CAST(LIST_SUM(LIST_TRANSFORM(wtoks, x -> LENGTH(x))) AS DOUBLE) / LEN(wtoks)
+         ELSE 0.0 END AS mwl,
+         CASE WHEN n > 0 THEN
+           (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) / n
+         ELSE 0.0 END AS pr,
+         CASE WHEN LEN(ltoks) > 0 THEN
+           CAST(LEN(LIST_FILTER(ltoks, x -> LIST_CONTAINS(
+             ['and','das','der','die','ein','el','es','est','et','in','is','ist',
+              'it','la','le','les','los','nicht','no','of','pas','que','that',
+              'the','to','una','une','und','y','zu'], x))) AS DOUBLE) / LEN(ltoks)
+         ELSE 0.0 END AS sr
+  FROM t)
+SELECT doc_id, ROUND(
+    (CASE WHEN n >= 50 AND n <= 20000 THEN 0.25 ELSE 0.0 END) +
+    (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 0.25 ELSE 0.0 END) +
+    (CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END) +
+    (CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS q
+FROM m ORDER BY doc_id
+""",
+   builder=_q53_builder)
+
+
+def _q54_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.functions.text import token_count_bpe_ish, token_count_ws
+
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_sub"),
+    ).orderBy("doc_id")
+
+
+_q("q54_token_counts",
+   oracle="""
+SELECT doc_id,
+       CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS n_ws,
+       CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+            '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS BIGINT) AS n_sub
+FROM documents ORDER BY doc_id
+""",
+   builder=_q54_builder)
+
+
+def _q55_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.functions.text import doc_fingerprint
+
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_q("q55_fingerprint",
+   oracle="""
+SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+""",
+   builder=_q55_builder)
+
+
+def _q56_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.operators.dedup import content_fingerprint
+
+    docs = spark.table("documents")
+    return docs.agg(F.count_distinct(
+        content_fingerprint(F.col("text"))).alias("n_unique"))
+
+
+_q("q56_content_dedup_count",
+   oracle="""
+SELECT COUNT(DISTINCT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))))
+       AS n_unique
+FROM documents
+""",
+   builder=_q56_builder)
+
+
+def _q57_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.operators.dedup import ngrams_col
+
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.size(ngrams_col(F.col("text"), 3)).cast("bigint").alias("n_tri"),
+    ).orderBy("doc_id")
+
+
+_q("q57_trigram_count",
+   oracle="""
+SELECT doc_id, CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 1, 1)),
+         i -> ARRAY_TO_STRING((STRING_SPLIT(text,' '))[i:i+2], ' ')))) AS BIGINT)
+       AS n_tri
+FROM documents ORDER BY doc_id
+""",
+   builder=_q57_builder)
+
+_q("q58_embedding_norms",
+   oracle="""
+SELECT vec_id, ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(
+         embedding::DOUBLE[], x -> x*x))), 2) AS nrm
+FROM embeddings ORDER BY vec_id
+""",
+   engine_sql="""
+SELECT vec_id, ROUND(SQRT(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+         0D, (s,x) -> s + x*x)), 2) AS nrm
+FROM embeddings ORDER BY vec_id
+""")
+
+
+def _q59_builder(spark: SparkSession) -> DataFrame:
+    # MinHash-LSH near-dup tier (B72): approximate candidate generation
+    # (exact-verified), so no value-level oracle — the driver records a
+    # rows-only check; recall vs the exact tier is pinned in
+    # tests/test_llm_ops.py::test_minhash_lsh_recall (>=0.9).
+    from shredder_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return (minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+            .select("i", "j", F.round("jaccard", 2).alias("jac"))
+            .orderBy("i", "j"))
+
+
+_q("q59_minhash_lsh_pairs", oracle=None, builder=_q59_builder)
+
+
+def _q60_builder(spark: SparkSession) -> DataFrame:
+    # Blocked-GEMM exact cosine top-k (B73/B77 scale tier) — same answer
+    # as q43's oracle, different physical plan (mapInPandas + local topk).
+    from shredder_spark.operators.similarity import cosine_topk_blocked
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_blocked(emb.filter(F.col("vec_id") != 0), q, k=5)
+
+
+_q("q60_cosine_topk_blocked",
+   oracle=_REGISTRY["q43_cosine_topk"].oracle,
+   builder=_q60_builder)
