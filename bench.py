@@ -52,24 +52,28 @@ def main() -> None:
         _drain(reg[name].run(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    # Ingest bench: fixed-width text → snappy Avro (BASELINE.md shape),
-    # if the fixed-width source is available and fixture data exists.
+    # Ingest bench: fixed-width text → snappy Avro (BASELINE.md shape).
+    ingest_rates: dict = {}
     try:
-        from shredder_spark.sources.fixedwidth import bench_ingest
+        from shredder_spark.sources.ingest_bench import bench_ingest
 
         ingest = bench_ingest(spark, sf_dir)
-        timings.update(ingest)
-    except Exception:
-        pass
+        timings.update(ingest["timings"])
+        ingest_rates = ingest["ingest"]
+    except Exception as e:  # never fail the whole bench on the ingest leg
+        print(f"ingest bench skipped: {e!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if ingest_rates:
+        out["ingest"] = ingest_rates
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
