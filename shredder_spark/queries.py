@@ -698,3 +698,177 @@ def _q60_builder(spark: SparkSession) -> DataFrame:
 _q("q60_cosine_topk_blocked",
    oracle=_REGISTRY["q43_cosine_topk"].oracle,
    builder=_q60_builder)
+
+
+# --------------------------------------------- relational surface, batch 2
+# (Q61–Q75: pivot, subquery forms, extended scalar-function families,
+# RANGE frames, set-op variants — same determinism conventions.)
+
+def _q61_builder(spark: SparkSession) -> DataFrame:
+    orders = spark.table("orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_q("q61_pivot",
+   oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   builder=_q61_builder)
+
+_q("q62_scalar_subquery", """
+SELECT o_orderkey FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+""")
+
+_q("q63_in_subquery", """
+SELECT c_custkey FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+ORDER BY c_custkey
+""")
+
+_q("q64_correlated_count", """
+SELECT c.c_custkey,
+       CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+            AS BIGINT) AS n
+FROM customer c ORDER BY c_custkey
+""")
+
+_q("q65_regexp",
+   oracle="""
+SELECT p_partkey, REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS w1,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS rr,
+       CASE WHEN REGEXP_MATCHES(p_name, '^a') THEN 1 ELSE 0 END AS m
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey, REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS w1,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_') AS rr,
+       CASE WHEN p_name RLIKE '^a' THEN 1 ELSE 0 END AS m
+FROM part ORDER BY p_partkey
+""")
+
+_q("q66_date_funcs2", """
+SELECT o_orderkey, LAST_DAY(o_orderdate) AS ld,
+       o_orderdate + INTERVAL 3 MONTH AS plus3m,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q67_conditional_agg", """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS big,
+       BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+       BOOL_AND(o_totalprice > 900) AS all_gt
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+_q("q68_corr_covar", """
+SELECT ROUND(CORR(l_quantity, l_extendedprice), 4) AS cr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cv
+FROM lineitem
+""")
+
+_q("q69_array_funcs2",
+   oracle="""
+SELECT doc_id, LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text,' ')))[1] AS first_tok,
+       CAST(LEN(STRING_SPLIT(text,' ')[1:5]) AS BIGINT) AS n5
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       ELEMENT_AT(ARRAY_SORT(ARRAY_DISTINCT(SPLIT(text,' '))), 1) AS first_tok,
+       CAST(SIZE(SLICE(SPLIT(text,' '), 1, 5)) AS BIGINT) AS n5
+FROM documents ORDER BY doc_id
+""")
+
+_q("q70_posexplode",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS toks
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(UNNEST(GENERATE_SERIES(1, LEN(toks))) - 1 AS BIGINT) AS pos,
+       UNNEST(toks) AS tok
+FROM t ORDER BY doc_id, pos
+""",
+   engine_sql="""
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+FROM documents LATERAL VIEW POSEXPLODE(SPLIT(text,' ')) t AS pos, tok
+WHERE doc_id < 20 ORDER BY doc_id, pos
+""")
+
+_q("q71_range_window", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+FROM orders ORDER BY o_orderkey
+""")
+
+
+def _q72_builder(spark: SparkSession) -> DataFrame:
+    cust = spark.table("customer")
+    a = cust.select("c_custkey", "c_name")
+    b = cust.select("c_name", "c_custkey")  # reversed order: BY NAME must fix
+    return a.unionByName(b).orderBy("c_custkey", "c_name")
+
+
+_q("q72_union_by_name",
+   oracle="""
+SELECT c_custkey, c_name FROM customer
+UNION ALL SELECT c_custkey, c_name FROM customer
+ORDER BY c_custkey, c_name
+""",
+   builder=_q72_builder)
+
+
+def _q73_builder(spark: SparkSession) -> DataFrame:
+    # approximate percentile: bounded check only (B28 convention) — the
+    # t-digest result can't hash-match a different implementation;
+    # tests/test_property.py pins the ±5% bound for approx aggregates.
+    orders = spark.table("orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+    )
+
+
+_q("q73_approx_percentile", oracle=None, builder=_q73_builder)
+
+_q("q74_generate_series",
+   oracle="SELECT CAST(x AS BIGINT) AS x FROM GENERATE_SERIES(1,10) t(x) ORDER BY x",
+   engine_sql="""
+SELECT CAST(x AS BIGINT) AS x
+FROM (SELECT EXPLODE(SEQUENCE(1, 10)) AS x) ORDER BY x
+""")
+
+_q("q75_string_funcs2",
+   oracle="""
+SELECT p_partkey, LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '-') AS rp,
+       SPLIT_PART(p_type, ' ', 1) AS sp,
+       CAST(POSITION('#' IN p_brand) AS BIGINT) AS ps,
+       TRANSLATE(p_name, 'ae', '43') AS tr,
+       REPEAT(p_size::VARCHAR, 2) AS rpt, REVERSE(p_brand) AS rv
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey, LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '-') AS rp,
+       SPLIT_PART(p_type, ' ', 1) AS sp,
+       CAST(POSITION('#' IN p_brand) AS BIGINT) AS ps,
+       TRANSLATE(p_name, 'ae', '43') AS tr,
+       REPEAT(CAST(p_size AS STRING), 2) AS rpt, REVERSE(p_brand) AS rv
+FROM part ORDER BY p_partkey
+""")
