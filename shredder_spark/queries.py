@@ -872,3 +872,27 @@ SELECT p_partkey, LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '-') AS rp,
        REPEAT(CAST(p_size AS STRING), 2) AS rpt, REVERSE(p_brand) AS rv
 FROM part ORDER BY p_partkey
 """)
+
+
+def _q76_builder(spark: SparkSession) -> DataFrame:
+    # Scale-path as-of join (one shuffle, union+window trick): same
+    # semantics as q14's broadcast-range formulation, different physical
+    # plan — shares q14's oracle.
+    from shredder_spark.operators.asof import asof_join
+
+    events = spark.table("events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("last_signup_ts"))
+    out = asof_join(
+        purchases, signups, "user_id",
+        left_ts="ts", right_ts="last_signup_ts",
+        right_cols=["last_signup_ts"],
+    )
+    return out.select("event_id", "last_signup_ts").orderBy("event_id")
+
+
+_q("q76_asof_union_trick",
+   oracle=_REGISTRY["q14_asof_join"].oracle,
+   builder=_q76_builder)
