@@ -27,6 +27,8 @@ HEADLINE = [
     "q21_ranking_windows",
     "q43_cosine_topk",
     "q50_term_frequency",
+    "q53_quality_score",
+    "q76_asof_union_trick",
 ]
 
 

@@ -177,6 +177,40 @@ def read_fixed_width(
     return FixedWidthResult(clean=clean, quarantine=quarantine)
 
 
+def read_fixed_width_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | dict | FixedSchema,
+    *,
+    line_sep: str = "\r\n",
+    footer_prefix: str = FOOTER_PREFIX,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous fixed-width ingest: ``readStream.text`` over a landing
+    directory, same typed projection as the batch path.
+
+    This is the reference CLI's pipeline (`CLI.go:30-63`) as a
+    Structured Streaming job: drop files into ``path`` and each
+    micro-batch parses the new ones and flows to whatever sink the
+    caller attaches (``foreachBatch`` → Avro OCF, or the Kafka sink
+    with Confluent framing — see shredder_spark.sinks). State-free:
+    the file-source log tracks processed files; no operator state.
+    """
+    fs = schema if isinstance(schema, FixedSchema) else parse_avro_fixed_schema(schema)
+    reader = spark.readStream.option("lineSep", line_sep)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path).withColumnRenamed("value", _RAW_COL)
+    if footer_prefix:
+        lines = lines.filter(~F.col(_RAW_COL).startswith(footer_prefix))
+    lines = lines.filter(F.length(_RAW_COL) > 0)
+    typed = [
+        _cast_expr(f, _slice_expr(F.col(_RAW_COL), start, f.length)).alias(f.name)
+        for f, start in fs.field_offsets()
+    ]
+    return lines.select(*typed)
+
+
 def fixed_width_select_exprs(schema: str | dict | FixedSchema) -> list[Column]:
     """The projection expressions alone (for callers composing their own
     scan, e.g. over an existing DataFrame of lines)."""

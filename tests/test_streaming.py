@@ -110,3 +110,40 @@ def test_stream_static_join(spark, events):
         lambda s: stream_static_join(s, customer).select("event_id", "c_mktsegment"),
         output_mode="append")
     assert _sorted(got) == _sorted(batch)
+
+
+def test_streaming_fixedwidth_ingest_to_avro(spark, tmp_path):
+    """Continuous reference pipeline: fixed-width landing dir →
+    readStream.text → typed columns → foreachBatch Avro OCF sink; the
+    materialized output must equal the batch read of the same files."""
+    import os
+
+    from shredder_spark.sinks.avro import read_avro_ocf, write_avro_ocf
+    from shredder_spark.sources.fixedwidth import (
+        read_fixed_width, read_fixed_width_stream)
+    from tests.fixtures import F1_WEBLOG_SCHEMA, write_f1
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    # three files "arriving" before the run; availableNow drains them all
+    for i in range(3):
+        write_f1(str(land / f"f{i}.txt"), rows=200)
+
+    out = str(tmp_path / "avro_out")
+    stream = read_fixed_width_stream(spark, str(land), F1_WEBLOG_SCHEMA,
+                                     max_files_per_trigger=1)
+
+    def _sink(bdf, epoch_id):
+        write_avro_ocf(bdf, os.path.join(out, f"epoch={epoch_id}"))
+
+    q = (stream.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(_sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = read_avro_ocf(spark, os.path.join(out, "*"))
+    batch = read_fixed_width(spark, str(land), F1_WEBLOG_SCHEMA)
+    assert got.count() == batch.count() == 600
+    key = [r for r in got.orderBy("Idnr").limit(3).collect()]
+    exp = [r for r in batch.orderBy("Idnr").limit(3).collect()]
+    assert [tuple(r) for r in key] == [tuple(r) for r in exp]
