@@ -896,3 +896,44 @@ def _q76_builder(spark: SparkSession) -> DataFrame:
 _q("q76_asof_union_trick",
    oracle=_REGISTRY["q14_asof_join"].oracle,
    builder=_q76_builder)
+
+
+_q("q77_window_filter_top1", """
+SELECT c_custkey, o_orderkey FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn = 1 ORDER BY c_custkey
+""")
+
+_q("q78_string_agg",
+   oracle="""
+SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+   engine_sql="""
+SELECT n_regionkey,
+       ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(n_name)), ',') AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""")
+
+_q("q79_distinct_aggs", """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u,
+       ROUND(AVG(DISTINCT o_totalprice), 2) AS ad
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+_q("q80_map_ops",
+   oracle="""
+SELECT p_partkey,
+       CAST(MAP(['size','retail'], [p_size, p_retailprice::INT])['size'][1]
+            AS BIGINT) AS v
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       CAST(MAP_FROM_ARRAYS(ARRAY('size','retail'),
+                            ARRAY(p_size, CAST(p_retailprice AS INT)))['size']
+            AS BIGINT) AS v
+FROM part ORDER BY p_partkey
+""")
