@@ -99,6 +99,68 @@ def cosine_topk_blocked(
             .select(F.col("id").alias(id_col), F.col("sim")))
 
 
+def normalized(vec: Column) -> Column:
+    """Unit-normalize once so pair scoring is a plain dot product."""
+    n = norm(as_double(vec))
+    return F.transform(as_double(vec), lambda x: x / n)
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact tier: all (i<j) pairs with
+    ROUND(cos,2) >= threshold. O(n²) — the oracle/verification tier; run
+    it on bounded blocks only. Columns: i, j, sim."""
+    t = embeddings.select(F.col(id_col).alias("_id"),
+                          normalized(F.col(vec_col)).alias("_v"))
+    a = t.select(F.col("_id").alias("i"), F.col("_v").alias("va"))
+    b = t.select(F.col("_id").alias("j"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", F.round(dot(F.col("va"), F.col("vb")), 2).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("i", "j")
+    )
+
+
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, scale tier: candidates are pairs
+    sharing a sign-LSH bucket in ANY table (per-table **equi-join** on
+    the bucket id — no n² anywhere), then exact-cosine verified, so
+    precision is 1.0 and only recall is approximate (pinned vs the
+    exact tier in tests). Same output columns as the exact tier."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    t = embeddings.select(F.col(id_col).alias("_id"),
+                          normalized(F.col(vec_col)).alias("_v"))
+    cand = None
+    for tbl in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + tbl)
+        bucketed = t.select("_id", "_v", lsh_bucket_col(F.col("_v"), planes).alias("_b"))
+        a = bucketed.select(F.col("_id").alias("i"), F.col("_v").alias("va"), "_b")
+        b = bucketed.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), "_b")
+        pairs = a.join(b, ["_b"]).filter(F.col("i") < F.col("j")).select("i", "j", "va", "vb")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.dropDuplicates(["i", "j"])
+    return (
+        cand.select("i", "j", F.round(dot(F.col("va"), F.col("vb")), 2).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("i", "j")
+    )
+
+
 # ----------------------------------------------------------------- sign-LSH
 
 

@@ -937,3 +937,39 @@ SELECT p_partkey,
             AS BIGINT) AS v
 FROM part ORDER BY p_partkey
 """)
+
+
+def _q81_builder(spark: SparkSession) -> DataFrame:
+    # Embedding-cosine near-dup pairs, exact tier (bounded block — the
+    # O(n²) tier exists to oracle-check the LSH tier, q82).
+    from shredder_spark.operators.similarity import cosine_pairs_exact
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 100)
+    return cosine_pairs_exact(emb, 0.25)
+
+
+_q("q81_cosine_pairs",
+   oracle="""
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 100)
+SELECT a.vec_id AS i, b.vec_id AS j,
+       ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 2) AS sim
+FROM t a JOIN t b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 2) >= 0.25
+ORDER BY i, j
+""",
+   builder=_q81_builder)
+
+
+def _q82_builder(spark: SparkSession) -> DataFrame:
+    # Scale tier: sign-LSH bucket equi-joins generate candidates, exact
+    # cosine verifies — precision 1.0, recall pinned in
+    # tests/test_llm_ops.py::test_cosine_near_dup_lsh_recall. Rows-only
+    # for the driver (approximate recall can't hash-match).
+    from shredder_spark.operators.similarity import cosine_near_dup_lsh
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 100)
+    return cosine_near_dup_lsh(emb, 0.25, n_bits=4, n_tables=8)
+
+
+_q("q82_cosine_near_dup_lsh", oracle=None, builder=_q82_builder)

@@ -162,3 +162,32 @@ def test_multimodal_binary_pipeline(spark, tmp_path):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_image_features(df, decoder=unavailable_decoder).collect()
+
+
+def test_cosine_pairs_exact_symmetric_bounds(spark, embeddings):
+    block = embeddings.filter(F.col("vec_id") < 50)
+    pairs = S.cosine_pairs_exact(block, 0.25).collect()
+    assert all(r.i < r.j and 0.25 <= r.sim <= 1.0 for r in pairs)
+
+
+def test_cosine_near_dup_lsh_recall(spark, embeddings):
+    """Planted near-duplicates (cos >= 0.9): LSH tier must recover
+    >=80% of the exact tier's pairs, with precision 1.0 (every LSH pair
+    is exact-verified, so it must appear in the exact tier too)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = embeddings.filter(F.col("vec_id") < 20).collect()
+    planted = []
+    for k, row in enumerate(base[:10]):
+        v = np.array(row.embedding, dtype=np.float64)
+        v = v + rng.standard_normal(len(v)) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        planted.append((200000 + row.vec_id, [float(x) for x in v], 0))
+    world = embeddings.filter(F.col("vec_id") < 20).unionAll(
+        spark.createDataFrame(planted, embeddings.schema))
+
+    exact = {(r.i, r.j) for r in S.cosine_pairs_exact(world, 0.9).collect()}
+    assert len(exact) >= 8  # the planted pairs dominate
+    approx = {(r.i, r.j) for r in S.cosine_near_dup_lsh(world, 0.9).collect()}
+    assert approx <= exact  # precision 1.0 (exact-verified candidates)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
