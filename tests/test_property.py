@@ -122,7 +122,7 @@ def _collect_typed(spark, path, schema):
 
 # ------------------------------------------------------------------- tests
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(data=_table())
@@ -147,7 +147,7 @@ def test_format_parse_roundtrip(spark, tmp_path_factory, data):
                 assert a == e, (e_row, a_row)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(data=_table(), footer_pos=st.integers(min_value=0, max_value=8))
