@@ -973,3 +973,54 @@ def _q82_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q82_cosine_near_dup_lsh", oracle=None, builder=_q82_builder)
+
+
+# ------------------------------------------- TPC-H-shaped showcase queries
+# (multi-join analytics over the synthetic tables; portable SQL, ROUND
+# conventions per §2.3. The point at scale: 3–6-way join plans where
+# Catalyst broadcast-selects dims and AQE reorders/skew-splits.)
+
+_q("q83_shipping_priority", """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""")
+
+_q("q84_local_supplier_volume", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""")
+
+_q("q85_returned_items", """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+
+_q("q86_large_volume_customer", """
+SELECT c_custkey, o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS p,
+       CAST(SUM(l_quantity) AS DOUBLE) AS q
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""")
