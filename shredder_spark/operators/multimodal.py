@@ -89,6 +89,53 @@ def extract_image_features(
     return cols.mapInPandas(_extract, out_ddl)
 
 
+def fake_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: emits a payload whose
+    size scales with the target box (truncate/tile the source bytes).
+    Replace with a real codec-backed resizer in production."""
+    target = max(1, (width * height) // 64)
+    reps = (target // max(len(content), 1)) + 1
+    return (content * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+    content_col: str = "content",
+) -> DataFrame:
+    """Payload→payload resize as a narrow ``mapInPandas`` stage: binary
+    in, binary out, no shuffle; metadata is recomputed for the new
+    payload. The batch shape (Arrow binary columns both ways) is the
+    production plumbing; only the pixel work is the injected stub."""
+    ensure_package_on_executors(df.sparkSession)
+    out_ddl = "path string, content binary, width long, height long"
+    cols = df.select("path", content_col)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resizer(bytes(b), width, height) for b in pdf[content_col]]
+            yield pd.DataFrame({
+                "path": pdf["path"],
+                "content": resized,
+                "width": [width] * len(resized),
+                "height": [height] * len(resized),
+            })
+
+    out = cols.mapInPandas(_resize, out_ddl)
+    return out.select(
+        "path", "content",
+        F.struct(
+            F.col("path"), F.lit("resized").alias("media_type"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.crc32("content").alias("checksum"),
+            F.col("width"), F.col("height"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: explode frame indices from
     metadata without decoding (the decode itself is the injected stub).

@@ -191,3 +191,18 @@ def test_cosine_near_dup_lsh_recall(spark, embeddings):
     assert approx <= exact  # precision 1.0 (exact-verified candidates)
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_multimodal_resize(spark, tmp_path):
+    from shredder_spark.operators.multimodal import read_binary_dir, resize_images
+
+    media = tmp_path / "m"
+    media.mkdir()
+    for i in range(4):
+        (media / f"v_{i}.png").write_bytes(bytes([i + 1]) * (50 + i))
+    df = read_binary_dir(spark, str(media), glob="*.png")
+    out = resize_images(df, 32, 16).collect()
+    assert len(out) == 4
+    assert all(len(bytes(r.content)) == (32 * 16) // 64 for r in out)
+    assert all(r.meta.n_bytes == (32 * 16) // 64 for r in out)
+    assert all(r.meta.width == 32 and r.meta.height == 16 for r in out)
