@@ -540,12 +540,12 @@ ORDER BY doc_id
 
 
 def _q53_builder(spark: SparkSession) -> DataFrame:
-    from shredder_spark.functions.text import quality_score
+    from shredder_spark.functions.text import with_quality_score
 
     docs = spark.table("documents")
-    return docs.select(
-        "doc_id", F.round(quality_score(F.col("text")), 2).alias("q")
-    ).orderBy("doc_id")
+    return (with_quality_score(docs)
+            .select("doc_id", F.round(F.col("q"), 2).alias("q"))
+            .orderBy("doc_id"))
 
 
 _q("q53_quality_score",
