@@ -206,3 +206,35 @@ def test_multimodal_resize(spark, tmp_path):
     assert all(len(bytes(r.content)) == (32 * 16) // 64 for r in out)
     assert all(r.meta.n_bytes == (32 * 16) // 64 for r in out)
     assert all(r.meta.width == 32 and r.meta.height == 16 for r in out)
+
+
+def test_ivf_topk_recall_planted(spark, embeddings):
+    """IVF tier: planted near-neighbors must be recovered with the
+    planted cluster probed (same planting recipe as the LSH test)."""
+    import numpy as np
+
+    from shredder_spark.operators.similarity import IVFIndex, ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = embeddings.filter(F.col("vec_id") == 0).first()
+    q = np.array(base["embedding"], dtype=np.float64)
+    planted = []
+    for i in range(10):
+        v = q + rng.standard_normal(len(q)) * 0.08 * np.linalg.norm(q) / np.sqrt(len(q))
+        planted.append((100000 + i, [float(x) for x in v], 0))
+    world = embeddings.unionAll(spark.createDataFrame(planted, embeddings.schema))
+
+    idx = IVFIndex(n_clusters=8, seed=3).fit(world)
+    assigned = idx.assign(world).cache()
+    try:
+        # partition function sanity: every row lands in exactly one cluster
+        assert assigned.count() == world.count()
+        assert assigned.select("cluster").distinct().count() <= 8
+
+        exact = {r.vec_id for r in S.cosine_topk(world, 0, k=10).collect()}
+        approx = {r.vec_id for r in
+                  ivf_topk(assigned, idx, q, k=10, n_probe=2, exclude_id=0).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"IVF recall {recall}"
+    finally:
+        assigned.unpersist()
