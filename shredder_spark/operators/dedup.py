@@ -21,6 +21,8 @@ degenerate bands.
 
 from __future__ import annotations
 
+import pandas as pd
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -248,3 +250,106 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 (inter / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------- winnowing (MOSS)
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 31) - 1
+
+
+def winnow_reference(text: str, k: int = 8, w: int = 4) -> list[int]:
+    """Pure-Python winnowing reference (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 "local algorithms for document fingerprinting"): k-gram
+    Rabin-Karp rolling hashes, rightmost-minimum per window of w,
+    deduplicated by (position, hash). Used as the golden oracle for the
+    vectorized UDF; O(n·k) — test-sized inputs only."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return []
+    hashes = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * _WINNOW_BASE + ord(ch)) % _WINNOW_MOD
+        hashes.append(h)
+    picked: list[tuple[int, int]] = []
+    for start in range(max(len(hashes) - w + 1, 1)):
+        window = hashes[start:start + w]
+        m = min(window)
+        pos = start + max(i for i, h in enumerate(window) if h == m)
+        if not picked or picked[-1] != (pos, m):
+            if (pos, m) not in picked:
+                picked.append((pos, m))
+    return [h for _, h in picked]
+
+
+def winnow_fingerprints(text_col: str = "text", k: int = 8, w: int = 4):
+    """Winnowing fingerprints as a vectorized pandas UDF → array<bigint>.
+
+    Per doc: numpy sliding-window k-gram polynomial hashes (one matvec)
+    + rightmost-min window selection — no Python per-char loops. The
+    fingerprint set is position-robust: local edits perturb only nearby
+    k-grams, so near-duplicate documents share most fingerprints
+    (overlap ≥ threshold → near-dup candidate, same join shape as the
+    MinHash tier). Oracle: winnow_reference golden tests (a rolling
+    hash isn't expressible in portable SQL, so no DuckDB hash check)."""
+
+    @F.pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        weights = np.array(
+            [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)],
+            dtype=np.int64)
+
+        def one(text: str) -> list[int]:
+            s = " ".join((text or "").lower().split())
+            if len(s) < k:
+                return []
+            c = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+            grams = np.lib.stride_tricks.sliding_window_view(c, k).astype(np.int64)
+            hashes = (grams % _WINNOW_MOD) @ weights % _WINNOW_MOD
+            n_win = max(len(hashes) - w + 1, 1)
+            wins = np.lib.stride_tricks.sliding_window_view(
+                hashes, min(w, len(hashes)))[:n_win]
+            # rightmost minimum per window
+            rev_arg = wins.shape[1] - 1 - np.argmin(wins[:, ::-1], axis=1)
+            pos = np.arange(n_win) + rev_arg
+            hs = wins[np.arange(n_win), rev_arg]
+            seen: dict[tuple[int, int], None] = {}
+            for p, h in zip(pos.tolist(), hs.tolist()):
+                seen.setdefault((p, h))
+            return [h for _, h in seen]
+
+        return texts.map(one)
+
+    return _winnow(F.col(text_col))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap: explode
+    fingerprints, equi-join on hash (the scale shape — no n²), count
+    shared fingerprints per pair, filter by overlap ratio vs the
+    smaller set. Columns: i, j, overlap."""
+    fp = df.select(F.col(id_col).alias("_id"),
+                   winnow_fingerprints(text_col, k, w).alias("_fp"))
+    fp = fp.withColumn("_n", F.size("_fp")).filter(F.col("_n") > 0)
+    ex = fp.select("_id", "_n", F.explode(F.array_distinct("_fp")).alias("_h"))
+    a = ex.select(F.col("_id").alias("i"), F.col("_n").alias("na"), "_h")
+    b = ex.select(F.col("_id").alias("j"), F.col("_n").alias("nb"), "_h")
+    shared = (a.join(b, ["_h"]).filter(F.col("i") < F.col("j"))
+              .groupBy("i", "j", "na", "nb").agg(F.count("*").alias("_shared")))
+    return (shared
+            .select("i", "j",
+                    F.round(F.col("_shared") / F.least("na", "nb"), 2).alias("overlap"))
+            .filter(F.col("overlap") >= min_overlap)
+            .orderBy("i", "j"))

@@ -1024,3 +1024,17 @@ WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
 GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """)
+
+
+def _q87_builder(spark: SparkSession) -> DataFrame:
+    # Winnowing (rolling-hash) fingerprint dedup: overlap pairs on a
+    # bounded block. Rolling hashes aren't expressible in portable SQL
+    # (rows-only check); the UDF is golden-tested against a pure-Python
+    # winnowing reference in tests/test_llm_ops.py.
+    from shredder_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return winnow_overlap_pairs(docs, "doc_id", "text", min_overlap=0.5)
+
+
+_q("q87_winnow_overlap_pairs", oracle=None, builder=_q87_builder)

@@ -238,3 +238,25 @@ def test_ivf_topk_recall_planted(spark, embeddings):
         assert recall >= 0.8, f"IVF recall {recall}"
     finally:
         assigned.unpersist()
+
+
+def test_winnow_udf_matches_reference(spark, documents):
+    """Vectorized winnowing UDF == pure-Python reference on real docs."""
+    sample = documents.filter(F.col("doc_id") < 30)
+    got = {r.doc_id: list(r.fp) for r in sample.select(
+        "doc_id", D.winnow_fingerprints().alias("fp")).collect()}
+    for r in sample.select("doc_id", "text").collect():
+        assert got[r.doc_id] == D.winnow_reference(r.text), r.doc_id
+
+
+def test_winnow_overlap_pairs_finds_near_dups(spark, documents):
+    base = documents.limit(3).select("doc_id", "text")
+    # perturbed copies: edit a short prefix, keep the body
+    dup = base.select((F.col("doc_id") + 500000).alias("doc_id"),
+                      F.concat(F.lit("EDITED PREFIX "), F.col("text")).alias("text"))
+    world = base.unionAll(dup)
+    pairs = {(r.i, r.j): r.overlap
+             for r in D.winnow_overlap_pairs(world, "doc_id", "text").collect()}
+    for r in base.collect():
+        key = (r.doc_id, r.doc_id + 500000)
+        assert key in pairs and pairs[key] >= 0.8, (key, pairs)
