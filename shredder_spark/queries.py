@@ -1038,3 +1038,31 @@ def _q87_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q87_winnow_overlap_pairs", oracle=None, builder=_q87_builder)
+
+
+def _q88_builder(spark: SparkSession) -> DataFrame:
+    # Hypertable-style continuous aggregate: hour+day rollups of the
+    # event stream in ONE grouping-sets pass (single shuffle).
+    from shredder_spark.operators.rollup import time_rollup
+
+    # AVG is excluded from the hash compare: ROUND(avg,2) lands on exact
+    # .xx5 boundaries for 2-row buckets (SURVEY §2.3 caveat 1); sum and
+    # count carry the same information losslessly.
+    out = time_rollup(spark.table("events"), "ts",
+                      granularities=("hour", "day"),
+                      keys=("event_type",), value_col="value")
+    return out.select("gran", "bucket", "event_type", "c", "s").orderBy(
+        "gran", "bucket", "event_type")
+
+
+_q("q88_time_rollup",
+   oracle="""
+WITH e AS (SELECT DATE_TRUNC('hour', ts) AS h, DATE_TRUNC('day', ts) AS d,
+                  event_type, value FROM events)
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' WHEN GROUPING(d) = 0 THEN 'day' END AS gran,
+       COALESCE(h, d) AS bucket, event_type, COUNT(*) AS c,
+       ROUND(SUM(value), 2) AS s
+FROM e GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+ORDER BY gran, bucket, event_type
+""",
+   builder=_q88_builder)
