@@ -55,3 +55,29 @@ def test_q84_no_cartesian_in_sixway_join(spark, reg):
 def test_q76_asof_shuffle_only(spark, reg):
     df = _run(spark, reg, "q76_asof_union_trick")
     assert P.join_strategies(df) == []  # no join at all: union + window
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory, reg):
+    """Same-bucketed tables join with no Exchange on either side."""
+    from shredder_spark.catalog import load_table
+    from shredder_spark.operators.bucketing import colocated_join, write_bucketed
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    write_bucketed(o, "b_orders", "o_custkey", 8)
+    write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+                   "o_custkey", 8)
+
+    # force the non-broadcast path: bucketing matters exactly when the
+    # sides are too big to broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = P.executed_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the same join on unbucketed frames DOES shuffle (control)
+        control = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        assert "Exchange" in P.executed_plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
