@@ -1066,3 +1066,20 @@ FROM e GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
 ORDER BY gran, bucket, event_type
 """,
    builder=_q88_builder)
+
+
+_q("q89_volume_shipping", """
+SELECT supp_nation, cust_nation, yr, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS yr,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+    AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+    AND c.c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+) t GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+""")
