@@ -1083,3 +1083,32 @@ FROM (
 ) t GROUP BY supp_nation, cust_nation, yr
 ORDER BY supp_nation, cust_nation, yr
 """)
+
+
+# ---------------------------------------------- relational surface, batch 3
+
+_q("q90_except_all", """
+SELECT p_size AS k FROM part EXCEPT ALL SELECT n_nationkey FROM nation
+ORDER BY k
+""")
+
+_q("q91_intersect_all", """
+SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier
+ORDER BY k
+""")
+
+_q("q92_nullsafe_join", """
+SELECT a.o_orderkey AS ka, b.o_orderkey AS kb
+FROM orders a JOIN orders b
+  ON a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+WHERE a.o_orderkey < 20 AND b.o_orderkey < 20
+ORDER BY ka, kb
+""")
+
+_q("q93_lateral_topn", """
+SELECT c.c_custkey, t.o_orderkey
+FROM customer c,
+LATERAL (SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 50 ORDER BY c_custkey, o_orderkey
+""")
