@@ -1112,3 +1112,58 @@ LATERAL (SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
 WHERE c.c_custkey < 50 ORDER BY c_custkey, o_orderkey
 """)
+
+
+def _q94_builder(spark: SparkSession) -> DataFrame:
+    # Apache DataSketches HLL: per-group sketches merge associatively
+    # across partitions (the scale story — map-side partial sketches,
+    # tiny shuffle). Estimates can't hash-match another implementation
+    # → rows-only; ±5% bound vs exact pinned in tests/test_property.py.
+    return spark.sql("""
+        SELECT o_orderpriority,
+               hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS u
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+_q("q94_hll_sketch", oracle=None, builder=_q94_builder)
+
+# division over powers-of-two divisors keeps the quotient exactly
+# representable (no ROUND → no .xx5 boundary between engines)
+_q("q95_try_arithmetic",
+   oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 3) END AS d,
+       TRY_CAST(o_orderpriority AS INTEGER) AS ti
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       TRY_DIVIDE(CAST(o_orderkey AS DOUBLE), o_orderkey % 3) AS d,
+       TRY_CAST(o_orderpriority AS INTEGER) AS ti
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q96_distribution_windows", """
+SELECT o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+       ROUND(CUME_DIST() OVER w, 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""")
+
+_q("q97_ignore_nulls_window",
+   oracle="""
+SELECT o_orderkey,
+       LAST_VALUE(CASE WHEN o_totalprice > 100000 THEN o_orderkey END IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lv
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       LAST_VALUE(CASE WHEN o_totalprice > 100000 THEN o_orderkey END) IGNORE NULLS
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lv
+FROM orders ORDER BY o_orderkey
+""")

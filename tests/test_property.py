@@ -188,3 +188,16 @@ def test_approx_count_distinct_bound(spark):
         F.countDistinct("o_custkey"), F.approx_count_distinct("o_custkey", 0.02)
     ).first()
     assert abs(approx - exact) / exact <= 0.05, (exact, approx)
+
+
+def test_hll_sketch_bound(spark):
+    """q94's HLL estimate within ±5% of exact per group."""
+    from shredder_spark import queries as Q
+
+    est = {r.o_orderpriority: r.u for r in
+           Q.registry()["q94_hll_sketch"].run(spark, "/root/testdata/sf0.01").collect()}
+    exact = {r.o_orderpriority: r.u for r in spark.sql("""
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS u
+        FROM orders GROUP BY o_orderpriority""").collect()}
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e <= 0.05, (k, est[k], e)
