@@ -120,3 +120,20 @@ def doc_fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 content fingerprint (md5 exists in
     Spark and DuckDB → hash-verifiable; see dedup.content_fingerprint)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def register_tokenize_udtf(spark) -> None:
+    """Python UDTF surface (B50): a table function emitting (tok, pos)
+    per whitespace token. UDTFs run Arrow-batched on executors in
+    Spark 4; use for fan-out transforms that need full Python (real
+    subword tokenizers slot in here — the built-in posexplode(split())
+    path, Q70, stays the JVM fast path for plain splitting)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield t, i
+
+    spark.udtf.register("tokenize_py", Tokenize)

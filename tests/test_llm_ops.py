@@ -260,3 +260,19 @@ def test_winnow_overlap_pairs_finds_near_dups(spark, documents):
     for r in base.collect():
         key = (r.doc_id, r.doc_id + 500000)
         assert key in pairs and pairs[key] >= 0.8, (key, pairs)
+
+
+def test_tokenize_udtf_matches_posexplode(spark, documents):
+    """Python UDTF (B50) agrees with the JVM posexplode path on real docs."""
+    from shredder_spark.functions.text import register_tokenize_udtf
+
+    register_tokenize_udtf(spark)
+    documents.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql("""
+        SELECT d.doc_id, t.pos, t.tok FROM _udtf_docs d,
+        LATERAL tokenize_py(d.text) t ORDER BY d.doc_id, t.pos""").collect()
+    via_jvm = spark.sql("""
+        SELECT doc_id, CAST(pos AS INT) AS pos, tok
+        FROM _udtf_docs LATERAL VIEW POSEXPLODE(SPLIT(text,' ')) x AS pos, tok
+        ORDER BY doc_id, pos""").collect()
+    assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_jvm]
