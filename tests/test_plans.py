@@ -81,3 +81,22 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory, reg):
         assert "Exchange" in P.executed_plan(control)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_fixedwidth_source_prunes_columns(spark, tmp_path):
+    """Selecting 1 of N fixed-width columns must compute 1 slice, not N
+    (Catalyst drops the unused substring exprs when the projection
+    collapses — the fixed-width source is prune-transparent)."""
+    import json
+
+    from shredder_spark.sources.fixedwidth import read_fixed_width
+
+    schema = {"type": "record", "name": "p", "fields": [
+        {"name": f"C{i}", "type": {"type": "string", "len": 4}} for i in range(10)
+    ]}
+    p = tmp_path / "d.txt"
+    p.write_bytes(b"abcd" * 10 + b"\r\n")
+    df = read_fixed_width(spark, str(p), json.dumps(schema)).select("C3")
+    plan = P.executed_plan(df)
+    assert plan.count("substr") <= 2, plan  # byte fast path + char fallback
+    assert df.first()["C3"] == "abcd"
