@@ -147,3 +147,53 @@ def test_streaming_fixedwidth_ingest_to_avro(spark, tmp_path):
     key = [r for r in got.orderBy("Idnr").limit(3).collect()]
     exp = [r for r in batch.orderBy("Idnr").limit(3).collect()]
     assert [tuple(r) for r in key] == [tuple(r) for r in exp]
+
+
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    """Stream-stream inner interval join == the same batch join
+    (signups within 1 day before each purchase, per user)."""
+    import os
+
+    from shredder_spark.streaming.joins import interval_join
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts"))
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"))
+
+    exp = sorted(
+        (r.p_id, r.s_id) for r in interval_join(
+            purchases, signups.withColumnRenamed("s_user", "user_id"), "user_id",
+            left_ts="p_ts", right_ts="s_ts", streaming=False)
+        .select("p_id", "s_id").collect())
+    assert exp, "fixture must produce joined pairs"
+
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    purchases.repartition(3).write.parquet(pdir)
+    signups.withColumnRenamed("s_user", "user_id").repartition(3).write.parquet(sdir)
+    ps = spark.readStream.schema(
+        purchases.schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    ss = spark.readStream.schema(
+        signups.withColumnRenamed("s_user", "user_id").schema
+    ).option("maxFilesPerTrigger", 1).parquet(sdir)
+
+    # file replay delivers rows out of event-time order; a watermark
+    # wider than the fixture's span keeps state until every match is
+    # seen, making streaming == batch exactly (a tight watermark drops
+    # late rows BY DESIGN — that behavior is covered by
+    # test_watermark_drops_late_rows)
+    out = interval_join(ps, ss, "user_id", left_ts="p_ts", right_ts="s_ts",
+                        watermark="60 days")
+    collected: list = []
+
+    def _sink(bdf, _):
+        collected.extend(bdf.select("p_id", "s_id").collect())
+
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .foreachBatch(_sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = sorted((r.p_id, r.s_id) for r in collected)
+    assert got == exp
