@@ -102,3 +102,22 @@ def test_f4_quarantine(spark, fixture_dir):
     assert "bad_Event_time" in reasons
     # clean side fully typed, no nulls in fallible columns
     assert all(r.Idnr is not None and r.Event_time is not None for r in clean)
+
+
+def test_observed_ingest_report(spark, tmp_path):
+    """A30 parity: in-job metrics via observe() — no second scan —
+    match the actual row/char totals, and the report renders."""
+    import pyspark.sql.functions as F
+
+    from shredder_spark.metrics import ObservedIngest
+    from tests.fixtures import F1_WEBLOG_SCHEMA, write_f1
+
+    p = tmp_path / "f1.txt"
+    write_f1(str(p), rows=500)
+    df = read_fixed_width(spark, str(p), F1_WEBLOG_SCHEMA)
+    obs = ObservedIngest(df, size_col="Some_text1")
+    report = obs.time(lambda d: d.write.format("noop").mode("overwrite").save())
+    assert report.rows == 500
+    exact = df.agg(F.sum(F.length("Some_text1"))).first()[0]
+    assert report.chars == exact
+    assert report.wall_s > 0 and "MB/s" in report.render()
