@@ -19,7 +19,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from shredder_spark.utils import ensure_package_on_executors
 
@@ -70,3 +70,51 @@ def stream_static_join(events: DataFrame, static_dim: DataFrame,
     stream-side shuffle and no state store involvement."""
     return events.join(
         F.broadcast(static_dim), F.col(on_left) == F.col(on_right), "inner")
+
+
+def running_value_sum_tws(events: DataFrame) -> DataFrame:
+    """Per-user running value sum via ``transformWithStateInPandas`` —
+    Spark 4's typed stateful-processor API (successor to
+    applyInPandasWithState: explicit state variables, per-key timers,
+    RocksDB-backed state). Same oracle pattern as B60: the final
+    emission per key equals the batch groupBy sum.
+
+    Requires the RocksDB state store provider (set by the caller on
+    the session before starting the query). NOTE: in this container the
+    TransformWithStateInPySpark driver worker crashes on startup
+    (environment limitation — verified with a minimal repro), so this
+    operator is provided untested here; ``running_counts_stateful``
+    (applyInPandasWithState) is the tested stateful path (B60).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    ensure_package_on_executors(events.sparkSession)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sum = handle.getValueState(
+                "s", StructType([StructField("v", DoubleType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._sum.get()[0] if self._sum.exists() else 0.0
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+            self._sum.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "s": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningSum(), outputStructType=out_schema,
+            outputMode="Update", timeMode="None")
+    )
