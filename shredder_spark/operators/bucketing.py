@@ -62,3 +62,29 @@ def colocated_join(
     of both tables and a purely local merge per bucket."""
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), keys, how)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    *,
+    granularity: str = "day",
+    format: str = "parquet",
+) -> None:
+    """Write partitioned by a derived time bucket (`p_date=.../`) — the
+    standard layout for event data at scale: queries filtering on the
+    bucket prune whole directories at plan time (PartitionFilters in
+    the scan, zero I/O for out-of-range partitions). Keep partition
+    counts sane: day granularity → 365 dirs/year; don't partition by
+    high-cardinality keys (that's what bucketing is for)."""
+    import pyspark.sql.functions as F
+
+    out = df.withColumn("p_bucket",
+                        F.date_format(F.date_trunc(granularity, F.col(ts_col)),
+                                      "yyyy-MM-dd"))
+    out.write.format(format).mode("overwrite").partitionBy("p_bucket").save(path)
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -6,6 +6,7 @@ these assertions can.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from shredder_spark import queries as Q
@@ -100,3 +101,23 @@ def test_fixedwidth_source_prunes_columns(spark, tmp_path):
     plan = P.executed_plan(df)
     assert plan.count("substr") <= 2, plan  # byte fast path + char fallback
     assert df.first()["C3"] == "abcd"
+
+
+def test_time_partitioned_write_prunes(spark, tmp_path):
+    """Filtering on the partition bucket must prune at plan time
+    (PartitionFilters), reading only matching directories."""
+    from shredder_spark.catalog import load_table
+    from shredder_spark.operators.bucketing import (
+        read_time_partitioned, write_time_partitioned)
+
+    events = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_part")
+    write_time_partitioned(events, out, "ts", granularity="day")
+
+    df = read_time_partitioned(spark, out).filter("p_bucket = '2024-01-05'")
+    plan = P.formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "p_bucket" in pf[0], plan[:800]
+    # row-for-row identical to the unpartitioned filter
+    exact = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == exact and exact > 0
