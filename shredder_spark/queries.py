@@ -1167,3 +1167,28 @@ SELECT o_orderkey,
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lv
 FROM orders ORDER BY o_orderkey
 """)
+
+
+_q("q98_stopword_filter",
+   oracle="""
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text),' '),
+            x -> NOT LIST_CONTAINS(['the','and','of','to','is','in','that','it'], x)))
+            AS BIGINT) AS n_content
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(SIZE(FILTER(SPLIT(LOWER(text),' '),
+            x -> NOT ARRAY_CONTAINS(ARRAY('the','and','of','to','is','in','that','it'), x)))
+            AS BIGINT) AS n_content
+FROM documents ORDER BY doc_id
+""")
+
+_q("q99_normalize_text", """
+SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '[^a-zA-Z0-9 ]', '', 'g')) AS norm
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""", engine_sql="""
+SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '[^a-zA-Z0-9 ]', '')) AS norm
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""")
