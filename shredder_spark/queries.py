@@ -1192,3 +1192,14 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id
 SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '[^a-zA-Z0-9 ]', '')) AS norm
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """)
+
+
+_q("q100_keyword_search", """
+SELECT doc_id,
+       CAST((CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%index%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS BIGINT) AS score
+FROM documents
+WHERE text LIKE '%table%' OR text LIKE '%index%' OR text LIKE '%merge%'
+ORDER BY score DESC, doc_id LIMIT 25
+""")
