@@ -1203,3 +1203,26 @@ FROM documents
 WHERE text LIKE '%table%' OR text LIKE '%index%' OR text LIKE '%merge%'
 ORDER BY score DESC, doc_id LIMIT 25
 """)
+
+
+_q("q101_recursive_cte", """
+WITH RECURSIVE t(n, f) AS (
+  SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, f * (n + 1) FROM t WHERE n < 15)
+SELECT n, f FROM t ORDER BY n
+""")
+
+_q("q102_pagination", """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+""")
+
+_q("q103_values_join", """
+SELECT o.o_orderkey, m.label
+FROM orders o
+JOIN (VALUES ('O','open'), ('F','finished'), ('P','pending')) AS m(st, label)
+  ON o.o_orderstatus = m.st
+WHERE o.o_orderkey < 100
+ORDER BY o.o_orderkey
+""")
