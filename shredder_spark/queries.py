@@ -1226,3 +1226,52 @@ JOIN (VALUES ('O','open'), ('F','finished'), ('P','pending')) AS m(st, label)
 WHERE o.o_orderkey < 100
 ORDER BY o.o_orderkey
 """)
+
+
+def _q104_builder(spark: SparkSession) -> DataFrame:
+    # One-pass table profiling (per-column nulls/distinct/min/max in a
+    # single aggregation job — the at-scale profiling shape).
+    from shredder_spark.operators.profile import profile_table
+
+    return profile_table(spark.table("orders"))
+
+
+_q("q104_profile_table",
+   oracle="""
+WITH s AS (SELECT COUNT(*) AS n FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name, s.n AS n_rows,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+         (SELECT ROUND(MIN(o_orderkey)::DOUBLE, 2) FROM orders) AS mn,
+         (SELECT ROUND(MAX(o_orderkey)::DOUBLE, 2) FROM orders) AS mx FROM s
+  UNION ALL
+  SELECT 'o_custkey', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT ROUND(MIN(o_custkey)::DOUBLE, 2) FROM orders),
+         (SELECT ROUND(MAX(o_custkey)::DOUBLE, 2) FROM orders) FROM s
+  UNION ALL
+  SELECT 'o_orderstatus', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+         (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+         NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_totalprice', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+         (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+         (SELECT ROUND(MIN(o_totalprice)::DOUBLE, 2) FROM orders),
+         (SELECT ROUND(MAX(o_totalprice)::DOUBLE, 2) FROM orders) FROM s
+  UNION ALL
+  SELECT 'o_orderdate', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+         (SELECT COUNT(DISTINCT o_orderdate) FROM orders),
+         NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+         (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+         NULL, NULL FROM s
+) ORDER BY col_name
+""",
+   builder=_q104_builder)
