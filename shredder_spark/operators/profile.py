@@ -44,3 +44,26 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ))
     return (wide.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*").orderBy("col_name"))
+
+
+def groupwise_zscore(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (B50's UDAF/grouped-map
+    flavor): each group's Arrow batch is normalized in pandas. SQL
+    window functions express this exact semantics too (the oracle,
+    Q105) — the pandas path exists for transforms SQL can't write
+    (sklearn scalers, per-group model scoring); keys hash-shuffle once,
+    same as the window plan."""
+    import pandas as pd
+
+    from shredder_spark.utils import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    out_schema = f"{key} long, {value_col} double, z double"
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if sd and sd == sd else v * float("nan")
+        return pd.DataFrame({key: pdf[key], value_col: v, "z": z})
+
+    return df.select(key, value_col).groupBy(key).applyInPandas(_norm, out_schema)

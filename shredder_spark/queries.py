@@ -1275,3 +1275,27 @@ SELECT * FROM (
 ) ORDER BY col_name
 """,
    builder=_q104_builder)
+
+
+def _q105_builder(spark: SparkSession) -> DataFrame:
+    # Grouped-map applyInPandas (B50): per-user z-score — hash-matched
+    # against the pure-SQL window formulation.
+    from shredder_spark.operators.profile import groupwise_zscore
+
+    events = spark.table("events")
+    out = groupwise_zscore(events, "user_id", "value")
+    return (out.select("user_id",
+                       F.round("value", 2).alias("v"),
+                       F.round("z", 2).alias("z"))
+            .orderBy("user_id", "v", "z"))
+
+
+_q("q105_groupwise_zscore",
+   oracle="""
+SELECT user_id, ROUND(value, 2) AS v,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 2) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+ORDER BY user_id, v, z
+""",
+   builder=_q105_builder)
