@@ -1299,3 +1299,33 @@ WINDOW w AS (PARTITION BY user_id)
 ORDER BY user_id, v, z
 """,
    builder=_q105_builder)
+
+
+_q("q106_doc_embedding_join",
+   oracle="""
+SELECT d.doc_id, d.lang,
+       CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tok,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding::DOUBLE[], x -> x*x))), 2) AS nrm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.doc_id < 200
+ORDER BY d.doc_id
+""",
+   engine_sql="""
+SELECT d.doc_id, d.lang,
+       CAST(SIZE(SPLIT(d.text, ' ')) AS BIGINT) AS n_tok,
+       ROUND(SQRT(AGGREGATE(TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                            0D, (s,x) -> s + x*x)), 2) AS nrm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.doc_id < 200
+ORDER BY d.doc_id
+""")
+
+_q("q107_group_median",
+   oracle="""
+SELECT o_orderpriority, ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS med
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   engine_sql="""
+SELECT o_orderpriority, ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS med
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
