@@ -121,3 +121,13 @@ def test_time_partitioned_write_prunes(spark, tmp_path):
     # row-for-row identical to the unpartitioned filter
     exact = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert df.count() == exact and exact > 0
+
+
+def test_survey_registry_coverage():
+    """SURVEY §2 Part B citations and the query registry stay in sync."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "/root/repo/tools/check_coverage.py"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
