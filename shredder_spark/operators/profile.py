@@ -67,3 +67,26 @@ def groupwise_zscore(df: DataFrame, key: str, value_col: str) -> DataFrame:
         return pd.DataFrame({key: pdf[key], value_col: v, "z": z})
 
     return df.select(key, value_col).groupBy(key).applyInPandas(_norm, out_schema)
+
+
+def check_constraints(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative data-quality checks in ONE pass (deequ-style lite):
+    ``rules`` maps rule name → boolean Column; output is one row per
+    rule with n_rows, n_violations, pass_rate — all computed in a
+    single aggregation job regardless of rule count."""
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for name, cond in rules.items():
+        aggs.append(F.sum((~cond).cast("long")).alias(f"_viol_{name}"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_rows").alias("n_rows"),
+            F.col(f"_viol_{name}").alias("n_violations"),
+            F.round((F.col("_rows") - F.col(f"_viol_{name}"))
+                    / F.col("_rows"), 4).alias("pass_rate"),
+        )
+        for name in rules
+    ]
+    return (wide.select(F.explode(F.array(*structs)).alias("c"))
+            .select("c.*").orderBy("rule"))

@@ -1329,3 +1329,65 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 SELECT o_orderpriority, ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS med
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
+
+
+def _q108_builder(spark: SparkSession) -> DataFrame:
+    # Declarative data-quality checks, one aggregation pass (B136).
+    from shredder_spark.operators.profile import check_constraints
+
+    orders = spark.table("orders")
+    return check_constraints(orders, {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+        "price_under_1m": F.col("o_totalprice") < 1_000_000,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range": (F.col("o_orderdate") >= "1995-01-01")
+                         & (F.col("o_orderdate") < "2002-01-01"),
+    })
+
+
+_q("q108_quality_checks",
+   oracle="""
+WITH s AS (SELECT COUNT(*) AS n FROM orders)
+SELECT * FROM (
+  SELECT 'date_in_range' AS rule, s.n AS n_rows,
+         (SELECT COUNT(*) FROM orders WHERE NOT (o_orderdate >= '1995-01-01'
+            AND o_orderdate < '2002-01-01')) AS n_violations,
+         ROUND((s.n - (SELECT COUNT(*) FROM orders WHERE NOT (o_orderdate >= '1995-01-01'
+            AND o_orderdate < '2002-01-01'))) / CAST(s.n AS DOUBLE), 4) AS pass_rate FROM s
+  UNION ALL
+  SELECT 'orderkey_not_null', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL),
+         ROUND((s.n - (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL))
+               / CAST(s.n AS DOUBLE), 4) FROM s
+  UNION ALL
+  SELECT 'price_positive', s.n,
+         (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)),
+         ROUND((s.n - (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)))
+               / CAST(s.n AS DOUBLE), 4) FROM s
+  UNION ALL
+  SELECT 'price_under_1m', s.n,
+         (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice < 1000000)),
+         ROUND((s.n - (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice < 1000000)))
+               / CAST(s.n AS DOUBLE), 4) FROM s
+  UNION ALL
+  SELECT 'status_in_domain', s.n,
+         (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')),
+         ROUND((s.n - (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')))
+               / CAST(s.n AS DOUBLE), 4) FROM s
+) ORDER BY rule
+""",
+   builder=_q108_builder)
+
+
+def _q109_builder(spark: SparkSession) -> DataFrame:
+    # Reusable batch sessionization operator (same oracle as q46's SQL
+    # gaps-and-islands text — different construction, same answer).
+    from shredder_spark.operators.sessionize import sessionize
+
+    return sessionize(spark.table("events"), "user_id", "ts", gap="30 minutes")
+
+
+_q("q109_sessionize_operator",
+   oracle=_REGISTRY["q46_session_window"].oracle,
+   builder=_q109_builder)
