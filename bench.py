@@ -29,6 +29,7 @@ HEADLINE = [
     "q50_term_frequency",
     "q53_quality_score",
     "q76_asof_union_trick",
+    "q110_minhash_dedup_full",
 ]
 
 

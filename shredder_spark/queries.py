@@ -1391,3 +1391,18 @@ def _q109_builder(spark: SparkSession) -> DataFrame:
 _q("q109_sessionize_operator",
    oracle=_REGISTRY["q46_session_window"].oracle,
    builder=_q109_builder)
+
+
+def _q110_builder(spark: SparkSession) -> DataFrame:
+    # Full-corpus MinHash-LSH near-dup detection (the B72 scale tier at
+    # its intended scale — whole documents table, not an id-bounded
+    # block). Rows-only: approximate recall can't hash-match; the
+    # restricted tier q59 + recall tests pin correctness.
+    from shredder_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.table("documents")
+    return (minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+            .agg(F.count("*").alias("n_pairs")))
+
+
+_q("q110_minhash_dedup_full", oracle=None, builder=_q110_builder)
