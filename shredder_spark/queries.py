@@ -1406,3 +1406,38 @@ def _q110_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q110_minhash_dedup_full", oracle=None, builder=_q110_builder)
+
+
+_q("q111_bitwise_ops",
+   oracle="""
+SELECT n_nationkey, CAST(n_nationkey & 12 AS BIGINT) AS a,
+       CAST(n_nationkey | 3 AS BIGINT) AS o,
+       CAST(XOR(n_nationkey, 21) AS BIGINT) AS x,
+       CAST(n_nationkey << 2 AS BIGINT) AS sl,
+       CAST(n_nationkey >> 1 AS BIGINT) AS sr
+FROM nation ORDER BY n_nationkey
+""",
+   engine_sql="""
+SELECT n_nationkey, CAST(n_nationkey & 12 AS BIGINT) AS a,
+       CAST(n_nationkey | 3 AS BIGINT) AS o,
+       CAST(n_nationkey ^ 21 AS BIGINT) AS x,
+       CAST(SHIFTLEFT(n_nationkey, 2) AS BIGINT) AS sl,
+       CAST(SHIFTRIGHT(n_nationkey, 1) AS BIGINT) AS sr
+FROM nation ORDER BY n_nationkey
+""")
+
+_q("q112_string_funcs3",
+   oracle="""
+SELECT p_partkey, ASCII(p_brand) AS a, CHR(65 + p_size % 26) AS c,
+       FORMAT('{}-{}', p_size, p_brand) AS f,
+       LEFT(p_name, 4) AS lf, RIGHT(p_name, 4) AS rt,
+       CAST(LEVENSHTEIN(p_brand, 'Brand#10') AS BIGINT) AS lv
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey, ASCII(p_brand) AS a, CHAR(65 + p_size % 26) AS c,
+       FORMAT_STRING('%d-%s', p_size, p_brand) AS f,
+       LEFT(p_name, 4) AS lf, RIGHT(p_name, 4) AS rt,
+       CAST(LEVENSHTEIN(p_brand, 'Brand#10') AS BIGINT) AS lv
+FROM part ORDER BY p_partkey
+""")
