@@ -1441,3 +1441,22 @@ SELECT p_partkey, ASCII(p_brand) AS a, CHAR(65 + p_size % 26) AS c,
        CAST(LEVENSHTEIN(p_brand, 'Brand#10') AS BIGINT) AS lv
 FROM part ORDER BY p_partkey
 """)
+
+
+_q("q113_latest_per_key", """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id,
+         CAST(ts AS TIMESTAMP) AS ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id, event_type
+""")
+
+_q("q114_histogram", """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS c,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1 ORDER BY bucket
+""")
