@@ -1460,3 +1460,312 @@ SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
        ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
 FROM orders GROUP BY 1 ORDER BY bucket
 """)
+
+
+def _q115_builder(spark: SparkSession) -> DataFrame:
+    # SimHash near-dup pairs over the full documents table (the scale
+    # tier: 16-bit-quadrant blocking, no all-pairs join). Rows-only:
+    # hamming-on-xxhash64 fingerprints aren't expressible in portable
+    # SQL; simhash64 properties are golden-tested in tests/test_llm_ops.
+    from shredder_spark.operators.dedup import simhash_pairs
+
+    docs = spark.table("documents")
+    return (simhash_pairs(docs, "doc_id", "text", max_distance=3)
+            .orderBy("i", "j"))
+
+
+_q("q115_simhash_pairs", oracle=None, builder=_q115_builder)
+
+
+# Char-3-gram Jaccard near-dup tier (complements token-level q42 and
+# word-n-gram q57): shingle at the character level, exact set Jaccard.
+_q("q116_char_ngram_jaccard",
+   oracle="""
+WITH t AS (
+  SELECT doc_id, LIST_DISTINCT([text[CAST(i AS INT):CAST(i AS INT)+2]
+                                FOR i IN RANGE(1, LENGTH(text)-1)]) AS g
+  FROM documents WHERE doc_id < 100 AND LENGTH(text) >= 3)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(LEN(LIST_INTERSECT(a.g,b.g)) /
+             CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.g,b.g))) AS DOUBLE), 2) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.g,b.g)) /
+      CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.g,b.g))) AS DOUBLE) >= 0.6
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH t AS (
+  SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, LENGTH(text)-2),
+                                          i -> SUBSTRING(text, i, 3))) AS g
+  FROM documents WHERE doc_id < 100 AND LENGTH(text) >= 3)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(SIZE(ARRAY_INTERSECT(a.g,b.g)) /
+             CAST(SIZE(ARRAY_UNION(a.g,b.g)) AS DOUBLE), 2) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE SIZE(ARRAY_INTERSECT(a.g,b.g)) /
+      CAST(SIZE(ARRAY_UNION(a.g,b.g)) AS DOUBLE) >= 0.6
+ORDER BY i, j
+""")
+
+_q("q117_min_max_by",
+   oracle="""
+SELECT c_nationkey, ARG_MAX(c_name, c_custkey) AS last_name,
+       ARG_MIN(c_name, c_custkey) AS first_name
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+   engine_sql="""
+SELECT c_nationkey, MAX_BY(c_name, c_custkey) AS last_name,
+       MIN_BY(c_name, c_custkey) AS first_name
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""")
+
+_q("q118_group_by_all", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+       ROUND(SUM(o_totalprice), 2) AS s
+FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority
+""")
+
+_q("q119_exists_forall",
+   oracle="""
+SELECT doc_id,
+       LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) > 10)) > 0 AS has_long,
+       LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) >= 25)) = 0 AS all_short
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       EXISTS(SPLIT(text,' '), x -> LENGTH(x) > 10) AS has_long,
+       FORALL(SPLIT(text,' '), x -> LENGTH(x) < 25) AS all_short
+FROM documents ORDER BY doc_id
+""")
+
+# DuckDB dayofweek: Sunday=0; Spark: Sunday=1 — oracle shifts by +1.
+_q("q120_datetime_parts",
+   oracle="""
+SELECT o_orderkey, CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dw,
+       CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS dy,
+       CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS wk
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey, CAST(DAYOFWEEK(o_orderdate) AS BIGINT) AS dw,
+       CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS dy,
+       CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS wk
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q121_moving_sum_frame", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 2) AS msum
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q122_regexp_extract_all",
+   oracle="""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+ing')) AS BIGINT) AS n_ing,
+       COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[a-z]+ing'), ','), '') AS all_ing
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[a-z]+ing', 0)) AS BIGINT) AS n_ing,
+       ARRAY_JOIN(REGEXP_EXTRACT_ALL(text, '[a-z]+ing', 0), ',') AS all_ing
+FROM documents ORDER BY doc_id
+""")
+
+# --- TPC-H query shapes batch 2 (Q4, Q13, Q15, Q17, Q22, Q8, Q14, Q19
+# adapted to the driver schema: no partsupp, nations are NATION_N,
+# p_type is a plain label).
+
+_q("q123_order_priority_exists", """
+SELECT o_orderpriority, COUNT(*) AS c
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+_q("q124_customer_distribution", """
+SELECT n_orders, COUNT(*) AS n_custs FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY n_orders ORDER BY n_custs DESC, n_orders DESC
+""")
+
+_q("q125_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""")
+
+_q("q126_small_qty_avg_subquery", """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""")
+
+_q("q127_idle_rich_customers", """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_nationkey ORDER BY c_nationkey
+""")
+
+_q("q128_market_share", """
+SELECT yr, ROUND(SUM(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END)
+                 / SUM(vol), 2) AS share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+         l.l_extendedprice * (1 - l.l_discount) AS vol, n.n_name
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey) t
+GROUP BY yr ORDER BY yr
+""")
+
+_q("q129_promo_revenue", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+       / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""")
+
+_q("q130_ord_pred_revenue", """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 25)
+""")
+
+
+# --- batch: map fns 2, UNPIVOT, regression aggs, stats, datetime 3,
+# string 4, nth_value, deterministic sampling (q131-q138).
+
+_q("q131_map_functions",
+   oracle="""
+SELECT c_custkey, ARRAY_TO_STRING(MAP_KEYS(m), ',') AS ks,
+       MAP_VALUES(m)[1] AS v1, MAP_VALUES(m)[2] AS v2
+FROM (SELECT c_custkey, MAP {'n': c_name, 's': c_mktsegment} AS m
+      FROM customer) t
+ORDER BY c_custkey
+""",
+   engine_sql="""
+SELECT c_custkey, ARRAY_JOIN(MAP_KEYS(m), ',') AS ks,
+       ELEMENT_AT(MAP_VALUES(m), 1) AS v1, ELEMENT_AT(MAP_VALUES(m), 2) AS v2
+FROM (SELECT c_custkey, MAP_CONCAT(MAP('n', c_name), MAP('s', c_mktsegment)) AS m
+      FROM customer) t
+ORDER BY c_custkey
+""")
+
+# UNPIVOT clause parses identically in Spark (>=3.4) and DuckDB.
+_q("q132_unpivot", """
+SELECT o_orderkey, name, ROUND(v, 2) AS v
+FROM (SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders) t
+UNPIVOT (v FOR name IN (price, cust))
+ORDER BY o_orderkey, name
+""")
+
+_q("q133_regression_aggs", """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2)     AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS icept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 4)        AS r2,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Spark KURTOSIS is population excess kurtosis = DuckDB KURTOSIS_POP;
+# skewness differs only by the ~(1+3/2n) sample factor, absorbed by
+# ROUND at these row counts (value near 0). Global MODE is tie-free at
+# all three SFs (verified; per-group mode ties at sf0.001).
+_q("q134_stats_batch2",
+   oracle="""
+SELECT MODE(o_orderpriority) AS md,
+       ROUND(SKEWNESS(o_totalprice), 2) + 0.0 AS sk,
+       ROUND(KURTOSIS_POP(o_totalprice), 2) + 0.0 AS kt,
+       ROUND(QUANTILE_DISC(o_totalprice, 0.5), 2) AS p50
+FROM orders
+""",
+   engine_sql="""
+SELECT MODE(o_orderpriority) AS md,
+       ROUND(SKEWNESS(o_totalprice), 2) + 0.0 AS sk,
+       ROUND(KURTOSIS(o_totalprice), 2) + 0.0 AS kt,
+       ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50
+FROM orders
+""")
+
+_q("q135_datetime_batch3",
+   oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       CAST(o_orderdate + INTERVAL 5 DAY AS DATE)   AS plus5d,
+       CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1996-01-01')
+            AS BIGINT) AS to_ref
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       ADD_MONTHS(o_orderdate, 2)                    AS plus2m,
+       DATE_ADD(CAST(o_orderdate AS DATE), 5)        AS plus5d,
+       CAST(DATEDIFF(DATE '1996-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS to_ref
+FROM orders ORDER BY o_orderkey
+""")
+
+_q("q136_string_batch4",
+   oracle="""
+SELECT p_partkey,
+       ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(LOWER(p_name), ' '),
+                                      x -> UPPER(x[1]) || x[2:]), ' ') AS ic,
+       CAST(STRPOS(p_name, 'a') AS BIGINT) AS pos,
+       SUBSTR(p_brand, 1, 1) || 'XX' || SUBSTR(p_brand, 4) AS ov,
+       SPLIT_PART(p_name, ' ', 1) AS w1
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       INITCAP(p_name) AS ic,
+       CAST(INSTR(p_name, 'a') AS BIGINT) AS pos,
+       OVERLAY(p_brand PLACING 'XX' FROM 2 FOR 2) AS ov,
+       SUBSTRING_INDEX(p_name, ' ', 1) AS w1
+FROM part ORDER BY p_partkey
+""")
+
+_q("q137_nth_value_window", """
+SELECT o_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_k
+FROM orders ORDER BY o_orderkey
+""")
+
+# Deterministic hash-based stratified sampling: MD5 hex is identical in
+# both engines, so the sample is reproducible and engine-independent —
+# the pattern for lang-balanced subsampling of a 100 TB corpus (no
+# RAND(), no TABLESAMPLE nondeterminism).
+_q("q138_hash_stratified_sample", """
+SELECT doc_id, lang
+FROM documents
+WHERE SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 1)
+      < CASE lang WHEN 'en' THEN '4' ELSE '8' END
+ORDER BY doc_id
+""")
