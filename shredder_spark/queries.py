@@ -1769,3 +1769,175 @@ WHERE SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 1)
       < CASE lang WHEN 'en' THEN '4' ELSE '8' END
 ORDER BY doc_id
 """)
+
+
+# --- batch: search-relevance scoring, training-data curation ops
+# (q139-q144): TF-IDF, BM25, chunking, PII redaction, repetition
+# signals, arrays batch 3.
+
+_q("q139_tfidf_top_terms",
+   oracle="""
+WITH tok AS (SELECT doc_id, u.tok FROM documents,
+             UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n / df.df), 4) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+r AS (SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rn
+      FROM s)
+SELECT doc_id, tok, score FROM r WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, score DESC, tok
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n / df.df), 4) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+r AS (SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rn
+      FROM s)
+SELECT doc_id, tok, score FROM r WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, score DESC, tok
+""")
+
+# BM25 (k1=1.2, b=0.75) for the two-term query ('table','spark'):
+# idf = ln((N-df+0.5)/(df+0.5)+1), length-normalized tf saturation.
+_q("q140_bm25_search",
+   oracle="""
+WITH tok AS (SELECT doc_id, u.tok FROM documents,
+             UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              (SELECT AVG(dl) FROM dl) AS avgdl FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+       WHERE tok IN ('table','spark') GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+       WHERE tok IN ('table','spark') GROUP BY tok)
+SELECT tf.doc_id,
+       ROUND(SUM(LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+             4) AS bm25
+FROM tf JOIN df ON tf.tok = df.tok
+JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              (SELECT AVG(dl) FROM dl) AS avgdl FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+       WHERE tok IN ('table','spark') GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+       WHERE tok IN ('table','spark') GROUP BY tok)
+SELECT tf.doc_id,
+       ROUND(SUM(LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+             4) AS bm25
+FROM tf JOIN df ON tf.tok = df.tok
+JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+""")
+
+# Overlapping token-window chunking (size 8, stride 4) — the standard
+# pre-tokenization shaping for LLM training corpora.
+_q("q141_doc_chunking",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+s AS (SELECT doc_id, tk, CAST(u.i AS BIGINT) AS chunk_start
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 1), 4)) AS u(i))
+SELECT doc_id, chunk_start,
+       ARRAY_TO_STRING(tk[CAST(chunk_start AS INT):CAST(chunk_start AS INT)+7],
+                       ' ') AS chunk
+FROM s ORDER BY doc_id, chunk_start
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_start,
+       ARRAY_JOIN(SLICE(tk, i, 8), ' ') AS chunk
+FROM t LATERAL VIEW EXPLODE(SEQUENCE(1, GREATEST(SIZE(tk) - 7, 1), 4)) s AS i
+ORDER BY doc_id, chunk_start
+""")
+
+# PII scrubbing: email-shaped and digit-run redaction (emails are
+# synthesized from lang/source so the pattern actually fires). Spark
+# REGEXP_REPLACE is global by default; DuckDB needs the 'g' flag.
+_q("q142_pii_redaction",
+   oracle="""
+SELECT doc_id,
+       REGEXP_REPLACE(lang || '@' || source || '.com contact ' || text,
+                      '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS red,
+       REGEXP_REPLACE(source, '[0-9]+', '<NUM>', 'g') AS src_red
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       REGEXP_REPLACE(lang || '@' || source || '.com contact ' || text,
+                      '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>') AS red,
+       REGEXP_REPLACE(source, '[0-9]+', '<NUM>') AS src_red
+FROM documents ORDER BY doc_id
+""")
+
+# Gopher-style repetition quality signals: duplicate-token fraction and
+# top-bigram fraction (min doc length is 10 tokens at every SF, so
+# bigrams always exist).
+_q("q143_repetition_signals",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+b AS (SELECT doc_id, u.big FROM t,
+      UNNEST([tk[i] || ' ' || tk[i+1] FOR i IN RANGE(1, LEN(tk))]) AS u(big)),
+bc AS (SELECT doc_id, big, COUNT(*) AS c FROM b GROUP BY doc_id, big),
+bt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS maxc,
+              CAST(SUM(c) AS DOUBLE) AS nb FROM bc GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       ROUND(1 - LEN(LIST_DISTINCT(tk)) / CAST(LEN(tk) AS DOUBLE), 4)
+         AS dup_tok_frac,
+       ROUND(bt.maxc / bt.nb, 4) AS top_bigram_frac
+FROM t JOIN bt ON t.doc_id = bt.doc_id
+ORDER BY t.doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents),
+b AS (SELECT doc_id, big FROM t
+      LATERAL VIEW EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(tk) - 1),
+          i -> CONCAT(ELEMENT_AT(tk, i), ' ', ELEMENT_AT(tk, i + 1)))) x AS big),
+bc AS (SELECT doc_id, big, COUNT(*) AS c FROM b GROUP BY doc_id, big),
+bt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS maxc,
+              CAST(SUM(c) AS DOUBLE) AS nb FROM bc GROUP BY doc_id)
+SELECT t.doc_id,
+       ROUND(1 - SIZE(ARRAY_DISTINCT(tk)) / CAST(SIZE(tk) AS DOUBLE), 4)
+         AS dup_tok_frac,
+       ROUND(bt.maxc / bt.nb, 4) AS top_bigram_frac
+FROM t JOIN bt ON t.doc_id = bt.doc_id
+ORDER BY doc_id
+""")
+
+_q("q144_array_batch3",
+   oracle="""
+SELECT doc_id,
+       CAST(LEN(FLATTEN([STRING_SPLIT(text, ' '), [lang]])) AS BIGINT) AS n_flat,
+       CAST(LIST_POSITION(STRING_SPLIT(text, ' '), 'table') AS BIGINT) AS pos_tbl,
+       ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(3), x -> lang), ',') AS rep3,
+       LIST_MAX(STRING_SPLIT(text, ' ')) AS mx
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(SIZE(FLATTEN(ARRAY(SPLIT(text, ' '), ARRAY(lang)))) AS BIGINT) AS n_flat,
+       CAST(ARRAY_POSITION(SPLIT(text, ' '), 'table') AS BIGINT) AS pos_tbl,
+       ARRAY_JOIN(ARRAY_REPEAT(lang, 3), ',') AS rep3,
+       ARRAY_MAX(SPLIT(text, ' ')) AS mx
+FROM documents ORDER BY doc_id
+""")
