@@ -1777,15 +1777,13 @@ ORDER BY doc_id
 
 _q("q139_tfidf_top_terms",
    oracle="""
-WITH tok AS (SELECT doc_id, u.tok FROM documents,
-             UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-       FROM tok GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-       FROM tok GROUP BY tok),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-s AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n / df.df), 4) AS score
-      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+            GROUP BY doc_id, u.tok),
+s AS (SELECT doc_id, tok,
+             ROUND(tf * LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                           / COUNT(*) OVER (PARTITION BY tok)), 4) AS score
+      FROM tf),
 r AS (SELECT doc_id, tok, score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, tok) AS rn
@@ -1794,15 +1792,17 @@ SELECT doc_id, tok, score FROM r WHERE rn <= 3 AND doc_id < 50
 ORDER BY doc_id, score DESC, tok
 """,
    engine_sql="""
-WITH tok AS (SELECT doc_id, tok FROM documents
-             LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-       FROM tok GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-       FROM tok GROUP BY tok),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-s AS (SELECT tf.doc_id, tf.tok, ROUND(tf.tf * LN(n.n / df.df), 4) AS score
-      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+-- Linear single-pass shape: one explode, one (doc,tok) aggregation;
+-- document frequency is a window count over the aggregated relation
+-- (no second explode subtree — Spark inlines CTE references, so the
+-- two-CTE formulation would scan+explode the corpus twice).
+WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok
+            GROUP BY doc_id, tok),
+s AS (SELECT doc_id, tok,
+             ROUND(tf * LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                           / COUNT(*) OVER (PARTITION BY tok)), 4) AS score
+      FROM tf),
 r AS (SELECT doc_id, tok, score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, tok) AS rn
@@ -1815,40 +1815,46 @@ ORDER BY doc_id, score DESC, tok
 # idf = ln((N-df+0.5)/(df+0.5)+1), length-normalized tf saturation.
 _q("q140_bm25_search",
    oracle="""
-WITH tok AS (SELECT doc_id, u.tok FROM documents,
-             UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-              (SELECT AVG(dl) FROM dl) AS avgdl FROM documents),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
-       WHERE tok IN ('table','spark') GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
-       WHERE tok IN ('table','spark') GROUP BY tok)
-SELECT tf.doc_id,
-       ROUND(SUM(LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
-             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+            GROUP BY doc_id, u.tok),
+d AS (SELECT doc_id, tok, tf, SUM(tf) OVER (PARTITION BY doc_id) AS dl
+      FROM tf),
+q AS (SELECT doc_id, tok, tf, dl,
+             CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE) AS df
+      FROM d WHERE tok IN ('table','spark')),
+c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents)
+SELECT q.doc_id,
+       ROUND(SUM(LN((c.n - q.df + 0.5) / (q.df + 0.5) + 1)
+             * q.tf * 2.2 / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / c.avgdl))),
              4) AS bm25
-FROM tf JOIN df ON tf.tok = df.tok
-JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+FROM q CROSS JOIN c
+GROUP BY q.doc_id ORDER BY bm25 DESC, q.doc_id LIMIT 10
 """,
    engine_sql="""
-WITH tok AS (SELECT doc_id, tok FROM documents
-             LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-              (SELECT AVG(dl) FROM dl) AS avgdl FROM documents),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
-       WHERE tok IN ('table','spark') GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
-       WHERE tok IN ('table','spark') GROUP BY tok)
-SELECT tf.doc_id,
-       ROUND(SUM(LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
-             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+-- Linear single-pass shape (see q139): explode once, aggregate to
+-- (doc,tok); doc length and document frequency are window functions
+-- over that relation, and corpus stats (N, avgdl) come from a
+-- column-pruned scalar scan with no explode.
+WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok
+            GROUP BY doc_id, tok),
+d AS (SELECT doc_id, tok, tf, SUM(tf) OVER (PARTITION BY doc_id) AS dl
+      FROM tf),
+q AS (SELECT doc_id, tok, tf, dl,
+             CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE) AS df
+      FROM d WHERE tok IN ('table','spark')),
+c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents)
+SELECT q.doc_id,
+       ROUND(SUM(LN((c.n - q.df + 0.5) / (q.df + 0.5) + 1)
+             * q.tf * 2.2 / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / c.avgdl))),
              4) AS bm25
-FROM tf JOIN df ON tf.tok = df.tok
-JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+FROM q CROSS JOIN c
+GROUP BY q.doc_id ORDER BY bm25 DESC, q.doc_id LIMIT 10
 """)
 
 # Overlapping token-window chunking (size 8, stride 4) — the standard
