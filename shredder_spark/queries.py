@@ -1947,3 +1947,97 @@ SELECT doc_id,
        ARRAY_MAX(SPLIT(text, ' ')) AS mx
 FROM documents ORDER BY doc_id
 """)
+
+
+# --- batch: embedding math + behavioral analytics (q145-q148).
+
+# Int8 quantization with per-vector absmax scale — the storage-shrink
+# step before ANN indexing. ROUND first so the int cast is exact in
+# both engines (bare double->int truncates in Spark, rounds in DuckDB).
+_q("q145_embedding_quantization",
+   oracle="""
+WITH t AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS mx FROM t)
+SELECT vec_id,
+       ARRAY_TO_STRING(LIST_TRANSFORM(v,
+           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',') AS q,
+       ROUND(mx, 4) AS scale
+FROM m ORDER BY vec_id
+""",
+   engine_sql="""
+WITH t AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v, ARRAY_MAX(TRANSFORM(v, x -> ABS(x))) AS mx FROM t)
+SELECT vec_id,
+       ARRAY_JOIN(TRANSFORM(v,
+           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',') AS q,
+       ROUND(mx, 4) AS scale
+FROM m ORDER BY vec_id
+""")
+
+# Per-language centroid (mean pooling across the cross-modal join):
+# posexplode -> (lang, dim) average -> centroid summarized by norm/sum.
+_q("q146_embedding_centroid",
+   oracle="""
+WITH j AS (SELECT d.lang, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+p AS (SELECT lang,
+             CAST(UNNEST(GENERATE_SERIES(1, LEN(embedding))) - 1 AS BIGINT) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM j),
+a AS (SELECT lang, pos, AVG(val) AS m FROM p GROUP BY lang, pos)
+SELECT lang, ROUND(SQRT(SUM(m * m)), 4) AS centroid_norm,
+       ROUND(SUM(m), 4) AS centroid_sum, CAST(COUNT(*) AS BIGINT) AS dims
+FROM a GROUP BY lang ORDER BY lang
+""",
+   engine_sql="""
+WITH j AS (SELECT d.lang, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+p AS (SELECT lang, CAST(pos AS BIGINT) AS pos, CAST(val AS DOUBLE) AS val
+      FROM j LATERAL VIEW POSEXPLODE(embedding) t AS pos, val),
+a AS (SELECT lang, pos, AVG(val) AS m FROM p GROUP BY lang, pos)
+SELECT lang, ROUND(SQRT(SUM(m * m)), 4) AS centroid_norm,
+       ROUND(SUM(m), 4) AS centroid_sum, CAST(COUNT(*) AS BIGINT) AS dims
+FROM a GROUP BY lang ORDER BY lang
+""")
+
+# Signup->purchase conversion funnel with median-free timing stats.
+_q("q147_conversion_funnel",
+   oracle="""
+WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(s) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN p > s THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(AVG(CASE WHEN p > s
+                      THEN EXTRACT(EPOCH FROM p - s) / 60.0 END), 2) AS avg_min
+FROM u
+""",
+   engine_sql="""
+WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(s) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN p > s THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(AVG(CASE WHEN p > s
+                      THEN (UNIX_TIMESTAMP(p) - UNIX_TIMESTAMP(s)) / 60.0 END),
+             2) AS avg_min
+FROM u
+""")
+
+# Weekly retention cohorts (first-seen week x active week). Both
+# engines truncate weeks to ISO Monday.
+_q("q148_retention_cohorts", """
+WITH f AS (SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+      FROM events)
+SELECT f.cohort AS cohort, a.wk AS wk, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM f JOIN a ON f.user_id = a.user_id
+GROUP BY f.cohort, a.wk ORDER BY cohort, wk
+""")
