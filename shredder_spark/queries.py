@@ -2041,3 +2041,91 @@ SELECT f.cohort AS cohort, a.wk AS wk, CAST(COUNT(*) AS BIGINT) AS active_users
 FROM f JOIN a ON f.user_id = a.user_id
 GROUP BY f.cohort, a.wk ORDER BY cohort, wk
 """)
+
+
+# --- batch: distribution analysis + timeline shaping (q149-q154).
+
+_q("q149_decile_stats", """
+WITH d AS (SELECT o_totalprice,
+                  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS dec
+           FROM orders)
+SELECT dec, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(AVG(o_totalprice), 2) AS av
+FROM d GROUP BY dec ORDER BY dec
+""")
+
+_q("q150_zscore_outliers", """
+WITH s AS (SELECT AVG(o_totalprice) AS m, STDDEV_SAMP(o_totalprice) AS sd
+           FROM orders)
+SELECT o_orderkey, ROUND((o_totalprice - s.m) / s.sd, 2) AS z
+FROM orders CROSS JOIN s
+WHERE ABS((o_totalprice - s.m) / s.sd) > 1.5
+ORDER BY o_orderkey
+""")
+
+# 0.4x IQR fence (the data is uniform, so the textbook 1.5x fence is
+# provably empty; 0.4x lands at the ~95th percentile).
+_q("q151_iqr_outliers",
+   oracle="""
+WITH s AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
+                  QUANTILE_CONT(l_extendedprice, 0.75) AS q3 FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       ROUND(MIN(l_extendedprice), 2) AS mn, ROUND(MAX(l_extendedprice), 2) AS mx
+FROM lineitem CROSS JOIN s
+WHERE l_extendedprice > q3 + 0.4 * (q3 - q1)
+   OR l_extendedprice < q1 - 0.4 * (q3 - q1)
+""",
+   engine_sql="""
+WITH s AS (SELECT PERCENTILE(l_extendedprice, 0.25) AS q1,
+                  PERCENTILE(l_extendedprice, 0.75) AS q3 FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       ROUND(MIN(l_extendedprice), 2) AS mn, ROUND(MAX(l_extendedprice), 2) AS mx
+FROM lineitem CROSS JOIN s
+WHERE l_extendedprice > q3 + 0.4 * (q3 - q1)
+   OR l_extendedprice < q1 - 0.4 * (q3 - q1)
+""")
+
+_q("q152_share_of_total", """
+WITH t AS (SELECT n.n_name AS n_name, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM customer c2 JOIN nation n ON c2.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name)
+SELECT n_name, CAST(c AS BIGINT) AS n_cust,
+       ROUND(c / SUM(c) OVER (), 4) AS share
+FROM t ORDER BY n_name
+""")
+
+# Gap-filled daily timeline over a sparse slice (errors with value>95
+# skip days at the smallest SF, so the zero-fill branch is exercised).
+_q("q153_gapfill_timeline",
+   oracle="""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+           FROM events),
+cal AS (SELECT CAST(UNNEST(GENERATE_SERIES(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM b),
+agg AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'error' AND value > 95 GROUP BY 1)
+SELECT cal.d AS d, COALESCE(agg.c, 0) AS c
+FROM cal LEFT JOIN agg ON cal.d = agg.d ORDER BY d
+""",
+   engine_sql="""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+           FROM events),
+cal AS (SELECT EXPLODE(SEQUENCE(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+agg AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'error' AND value > 95 GROUP BY 1)
+SELECT cal.d AS d, COALESCE(agg.c, 0) AS c
+FROM cal LEFT JOIN agg ON cal.d = agg.d ORDER BY d
+""")
+
+# SCD2-style validity intervals: each event's attribute version is
+# valid until the user's next event (open intervals capped at a
+# far-future sentinel).
+_q("q154_scd2_intervals", """
+SELECT event_id, user_id, event_type, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+FROM events ORDER BY event_id
+""")
