@@ -30,6 +30,7 @@ HEADLINE = [
     "q53_quality_score",
     "q76_asof_union_trick",
     "q110_minhash_dedup_full",
+    "q140_bm25_search",
 ]
 
 
