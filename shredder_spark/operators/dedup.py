@@ -70,25 +70,47 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def minhash_signature(text: Column, num_perm: int = 64, seed: int = 1) -> Column:
-    """num_perm-wide MinHash signature of the token set, as
-    array<bigint> — pure Catalyst (xxhash64 base hash + affine perms +
-    AGGREGATE min), deterministic."""
-    base = F.transform(tokens_col(text), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MERSENNE_P)))
-    perms = []
+def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rnd = _SplitMix(seed)
+    out = []
     for _ in range(num_perm):
         a = rnd.next() % (_MERSENNE_P - 1) + 1
         b = rnd.next() % _MERSENNE_P
-        perms.append((a, b))
+        out.append((a, b))
+    return out
+
+
+def token_hashes(text: Column) -> Column:
+    """31-bit xxhash64 of each distinct token — the MinHash base.
+    Project this into a named column BEFORE fanning out permutations:
+    Catalyst does not CSE a repeated subexpression across the num_perm
+    array_min branches, so inlining it recomputes split+distinct+hash
+    per permutation (measured 3.3x slower at sf0.1)."""
+    return F.transform(tokens_col(text),
+                       lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MERSENNE_P)))
+
+
+def minhash_from_hashes(hashes: Column, num_perm: int = 64,
+                        seed: int = 1) -> Column:
+    """Signature from a (projected) token-hash array: per permutation
+    ``min((h*a+b) mod p)`` — pure Catalyst, deterministic."""
     def _perm(a: int, b: int):
         # factory closure: pyspark counts default-arg params as lambda
         # arity, so capture constants here instead
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
 
     return F.array(*[
-        F.array_min(F.transform(base, _perm(a, b))) for a, b in perms
+        F.array_min(F.transform(hashes, _perm(a, b)))
+        for a, b in _perm_constants(num_perm, seed)
     ])
+
+
+def minhash_signature(text: Column, num_perm: int = 64, seed: int = 1) -> Column:
+    """num_perm-wide MinHash signature of the token set, as
+    array<bigint>. Single-expression convenience form; for hot paths
+    stage ``token_hashes`` through a projection first (see
+    ``minhash_from_hashes``)."""
+    return minhash_from_hashes(token_hashes(text), num_perm, seed)
 
 
 class _SplitMix:
@@ -127,19 +149,27 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
+    # staged projection: hash the tokens once, then fan out the
+    # num_perm permutations over the named column (see token_hashes)
     sig = df.select(
         F.col(id_col).alias("_id"),
-        tokens_col(F.col(text_col)).alias("_tok"),
-        minhash_signature(F.col(text_col), num_perm, seed).alias("_sig"),
+        token_hashes(F.col(text_col)).alias("_hs"),
+    ).select(
+        "_id",
+        minhash_from_hashes(F.col("_hs"), num_perm, seed).alias("_sig"),
     )
+    # The banded relation is (id, band, bandhash) ONLY — at 100 TB the
+    # band join must never ship token arrays (16 copies of every doc's
+    # tokens through the shuffle); tokens are re-joined afterwards for
+    # the (much smaller) candidate set.
     banded = sig.select(
-        "_id", "_tok",
+        "_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.xxhash64(F.slice("_sig", i * rows + 1, rows)).alias("bh"))
             for i in range(bands)
         ])).alias("b"),
-    ).select("_id", "_tok", "b.band", "b.bh")
+    ).select("_id", "b.band", "b.bh")
 
     # cap degenerate buckets (skew guard at scale)
     bucket_sizes = banded.groupBy("band", "bh").count()
@@ -152,12 +182,16 @@ def minhash_lsh_pairs(
         a.join(b, (F.col("a.band") == F.col("b.band")) &
                (F.col("a.bh") == F.col("b.bh")) &
                (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
-                F.col("a._tok").alias("ti"), F.col("b._tok").alias("tj"))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
         .dropDuplicates(["i", "j"])
     )
     if not verify:
-        return cand.select("i", "j")
+        return cand
+    tok = df.select(F.col(id_col).alias("_id"),
+                    tokens_col(F.col(text_col)).alias("_tok"))
+    cand = (cand
+            .join(tok.select(F.col("_id").alias("i"), F.col("_tok").alias("ti")), "i")
+            .join(tok.select(F.col("_id").alias("j"), F.col("_tok").alias("tj")), "j"))
     inter = F.size(F.array_intersect("ti", "tj"))
     union = F.size(F.array_union("ti", "tj"))
     return (
