@@ -200,13 +200,14 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token multiset — JVM-side only.
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a (projected) token-hash array.
 
-    For each bit k: sum over tokens of ±1 by bit k of xxhash64(token);
-    fingerprint bit k = (sum > 0). Returns bigint."""
-    toks = F.split(text, " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    For each bit k: sum over tokens of ±1 by bit k of the hash;
+    fingerprint bit k = (sum > 0). Returns bigint. As with MinHash,
+    project the hash array into a named column first — the 64 bit
+    branches each reference it and Catalyst won't CSE an inlined
+    copy."""
 
     def _bit_sum(k: int):
         # test bit k via unsigned shift (1<<63 doesn't fit a signed long)
@@ -228,6 +229,14 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64(text: Column) -> Column:
+    """Single-expression convenience form of ``simhash_from_hashes``
+    (recomputes the hash array per bit branch — fine for goldens and
+    small inputs; hot paths stage the projection)."""
+    return simhash_from_hashes(
+        F.transform(F.split(text, " "), lambda t: F.xxhash64(t)))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -237,8 +246,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs by SimHash hamming distance. Blocks on the 4
     16-bit quadrants (any pair within distance ≤3 shares at least one
     exact quadrant — pigeonhole), so no all-pairs join."""
-    s = df.select(F.col(id_col).alias("_id"),
-                  simhash64(F.col(text_col)).alias("_sh"))
+    # staged projection (see token_hashes): hash the tokens once, then
+    # fold the 64 bit-vote branches over the named column
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.split(F.col(text_col), " "),
+                    lambda t: F.xxhash64(t)).alias("_th"),
+    ).select("_id", simhash_from_hashes(F.col("_th")).alias("_sh"))
     quads = s.select(
         "_id", "_sh",
         F.explode(F.array(*[
