@@ -1858,12 +1858,15 @@ GROUP BY q.doc_id ORDER BY bm25 DESC, q.doc_id LIMIT 10
 """)
 
 # Overlapping token-window chunking (size 8, stride 4) — the standard
-# pre-tokenization shaping for LLM training corpora.
+# pre-tokenization shaping for LLM training corpora. The start sequence
+# runs to n_tok-4 (not n_tok-7) so trailing tokens are never dropped:
+# the final chunk may be shorter than 8 but every token is covered
+# (invariant-tested in tests/test_curation_ops.py).
 _q("q141_doc_chunking",
    oracle="""
 WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
 s AS (SELECT doc_id, tk, CAST(u.i AS BIGINT) AS chunk_start
-      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 7, 1), 4)) AS u(i))
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 1), 4)) AS u(i))
 SELECT doc_id, chunk_start,
        ARRAY_TO_STRING(tk[CAST(chunk_start AS INT):CAST(chunk_start AS INT)+7],
                        ' ') AS chunk
@@ -1873,7 +1876,7 @@ FROM s ORDER BY doc_id, chunk_start
 WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents)
 SELECT doc_id, CAST(i AS BIGINT) AS chunk_start,
        ARRAY_JOIN(SLICE(tk, i, 8), ' ') AS chunk
-FROM t LATERAL VIEW EXPLODE(SEQUENCE(1, GREATEST(SIZE(tk) - 7, 1), 4)) s AS i
+FROM t LATERAL VIEW EXPLODE(SEQUENCE(1, GREATEST(SIZE(tk) - 4, 1), 4)) s AS i
 ORDER BY doc_id, chunk_start
 """)
 

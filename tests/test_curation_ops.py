@@ -1,0 +1,80 @@
+"""Invariant tests for the training-data curation queries (q138,
+q141, q145): properties the DuckDB hash-compare can't express —
+coverage, error bounds, determinism across runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from shredder_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunking_covers_every_token(spark):
+    """q141: size-8/stride-4 windows — every token position of every
+    doc falls inside at least one chunk, no chunk exceeds 8 tokens,
+    and starts step by the stride."""
+    chunks = Q.registry()["q141_doc_chunking"].run(spark, SF_DIR)
+    docs = spark.table("documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    per_doc = (chunks
+               .withColumn("c_len", F.size(F.split("chunk", " ")))
+               .groupBy("doc_id")
+               .agg(F.max("c_len").alias("max_len"),
+                    F.min("chunk_start").alias("first_start"),
+                    F.max("chunk_start").alias("last_start"),
+                    F.count("*").alias("n_chunks"))
+               .join(docs, "doc_id"))
+    bad = per_doc.filter(
+        (F.col("max_len") > 8)
+        | (F.col("first_start") != 1)
+        # coverage: the last chunk must reach the final token
+        | (F.col("last_start") + 8 <= F.col("n_tok"))
+        # starts are 1, 5, 9, ... up to greatest(n_tok-4, 1)
+        | (F.col("n_chunks")
+           != F.floor((F.greatest(F.col("n_tok") - 4, F.lit(1)) - 1) / 4) + 1))
+    assert bad.count() == 0
+
+
+def test_quantization_error_bound(spark):
+    """q145: dequantized values sit within half a quantization step
+    (scale/127/2, plus fp slack) of the original embedding."""
+    q = Q.registry()["q145_embedding_quantization"].run(spark, SF_DIR)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    j = (q.withColumn("qv", F.transform(F.split("q", ","),
+                                        lambda s: s.cast("int")))
+          .join(emb, "vec_id"))
+    # max |orig - q*scale/127| over all dims; scale column is rounded
+    # to 4 decimals in the query, so allow that rounding slack too
+    err = j.select(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, qi:
+                       F.abs(x - qi * F.col("scale") / F.lit(127.0))),
+            F.lit(0.0), lambda a, x: F.greatest(a, x)).alias("max_err"),
+        (F.col("scale") / 254.0 + F.lit(1e-4)).alias("bound"))
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+    # int8 range respected
+    rng = j.select(F.array_max("qv").alias("mx"), F.array_min("qv").alias("mn"))
+    assert rng.filter((F.col("mx") > 127) | (F.col("mn") < -127)).count() == 0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """q138: identical row set across runs (no RAND anywhere), and the
+    per-lang acceptance thresholds actually bite: the 'en' rate must be
+    below the non-en rate."""
+    run1 = Q.registry()["q138_hash_stratified_sample"].run(spark, SF_DIR).collect()
+    run2 = Q.registry()["q138_hash_stratified_sample"].run(spark, SF_DIR).collect()
+    assert run1 == run2
+    sampled = {r.doc_id for r in run1}
+    docs = spark.table("documents").select("doc_id", "lang").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in docs:
+        by_lang.setdefault("en" if r.lang == "en" else "rest", []).append(
+            r.doc_id in sampled)
+    rate_en = sum(by_lang["en"]) / len(by_lang["en"])
+    rate_rest = sum(by_lang["rest"]) / len(by_lang["rest"])
+    # thresholds are '4'/16 vs '8'/16 of the hex space
+    assert rate_en < rate_rest
