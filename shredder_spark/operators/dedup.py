@@ -401,3 +401,21 @@ def winnow_overlap_pairs(
                     F.round(F.col("_shared") / F.least("na", "nb"), 2).alias("overlap"))
             .filter(F.col("overlap") >= min_overlap)
             .orderBy("i", "j"))
+
+
+def dedupe_keepers(df: DataFrame, id_col: str, text_col: str,
+                   **lsh_kwargs) -> DataFrame:
+    """End-to-end corpus dedup: drop the higher-id side of every
+    near-dup pair (greedy keep-lowest-id policy — no transitive
+    clustering pass, which can only over-drop, never leave a
+    surviving near-dup pair *among pairs the banding saw*; a finite
+    ``max_bucket_size`` skips degenerate buckets, so the no-survivor
+    guarantee is modulo that skew cap). Returns the kept rows of
+    ``df``.
+
+    Plan shape: minhash_lsh_pairs (keyed shuffles only) + one
+    left_anti join on the id — no collect, no iteration.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    drop = pairs.select(F.col("j").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

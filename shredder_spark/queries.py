@@ -2132,3 +2132,52 @@ SELECT event_id, user_id, event_type, ts AS valid_from,
                 TIMESTAMP '2100-01-01 00:00:00') AS valid_to
 FROM events ORDER BY event_id
 """)
+
+
+# --- batch: corpus dedup end-to-end, typed JSON, ordered funnel
+# (q155-q157).
+
+def _q155_builder(spark: SparkSession) -> DataFrame:
+    # Full dedup pipeline: MinHash-LSH pairs -> greedy keeper set.
+    # Rows-only (approximate tier); the no-surviving-pair invariant is
+    # tested in tests/test_curation_ops.py.
+    from shredder_spark.operators.dedup import dedupe_keepers
+
+    docs = spark.table("documents")
+    kept = dedupe_keepers(docs, "doc_id", "text", threshold=0.8)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept")).orderBy("lang")
+
+
+_q("q155_dedup_keepers", oracle=None, builder=_q155_builder)
+
+# Typed JSON parsing (FROM_JSON struct) with a predicate on the parsed
+# field; the oracle extracts and casts per field.
+_q("q156_typed_json_parse",
+   oracle="""
+SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(JSON_EXTRACT(props, '$.k') AS INT) > 90
+ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id, k FROM (
+  SELECT event_id, FROM_JSON(props, 'k INT').k AS k FROM events) t
+WHERE k > 90 ORDER BY event_id
+""")
+
+# Strict ordered funnel: first view, first click AFTER that view,
+# first purchase AFTER that click (not just presence like q147).
+_q("q157_ordered_funnel", """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step_purchase
+""")

@@ -78,3 +78,25 @@ def test_hash_sample_deterministic_and_stratified(spark):
     rate_rest = sum(by_lang["rest"]) / len(by_lang["rest"])
     # thresholds are '4'/16 vs '8'/16 of the hex space
     assert rate_en < rate_rest
+
+
+def test_dedupe_keepers_no_surviving_pairs(spark):
+    """q155's operator: after greedy keep-lowest-id dedup, re-running
+    pair detection on the keepers finds nothing (greedy drops every
+    pair's j, so it can over-drop chains but never leave a pair)."""
+    from shredder_spark.catalog import register_views
+    from shredder_spark.operators.dedup import dedupe_keepers, minhash_lsh_pairs
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    # cap disabled on both sides: with a finite max_bucket_size, a
+    # bucket can be over-cap (skipped) on the full corpus yet under-cap
+    # after dropping docs, surfacing pairs the first pass never saw —
+    # the no-survivor guarantee is modulo the skew cap
+    no_cap = dict(threshold=0.8, max_bucket_size=1_000_000_000)
+    kept = dedupe_keepers(docs, "doc_id", "text", **no_cap)
+    assert kept.count() > 0
+    survivors = minhash_lsh_pairs(kept, "doc_id", "text", **no_cap)
+    assert survivors.count() == 0
+    # keepers are a subset of the corpus
+    assert kept.join(docs, "doc_id", "left_anti").count() == 0
