@@ -2181,3 +2181,57 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
        CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_click,
        CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step_purchase
 """)
+
+
+# --- batch: IR/text-statistics primitives (q158-q159).
+
+_q("q158_inverted_index",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, u.tok AS tok
+             FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok))
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS postings
+FROM tok GROUP BY tok ORDER BY tok
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(doc_id)), ',') AS postings
+FROM tok GROUP BY tok ORDER BY tok
+""")
+
+# Pointwise mutual information over co-occurring token pairs.
+# Document frequency rides along as a window count so the exploded
+# relation is referenced exactly twice (the unavoidable self-join) —
+# no third df branch. At 100 TB restrict to a bounded vocabulary
+# first; the synthetic corpus IS a 31-token vocabulary.
+_q("q159_token_pmi",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, u.tok AS tok
+             FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
+td AS (SELECT doc_id, tok,
+              CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE) AS df
+       FROM tok),
+pair AS (SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS DOUBLE) AS cab,
+                MAX(a.df) AS dfa, MAX(b.df) AS dfb
+         FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok)
+SELECT ta, tb, ROUND(LN(cab * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                        / (dfa * dfb)), 4) AS pmi
+FROM pair WHERE cab >= 5 ORDER BY ta, tb
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok),
+td AS (SELECT doc_id, tok,
+              CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE) AS df
+       FROM tok),
+pair AS (SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS DOUBLE) AS cab,
+                MAX(a.df) AS dfa, MAX(b.df) AS dfb
+         FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok)
+SELECT ta, tb, ROUND(LN(cab * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                        / (dfa * dfb)), 4) AS pmi
+FROM pair WHERE cab >= 5 ORDER BY ta, tb
+""")
