@@ -137,3 +137,25 @@ def register_tokenize_udtf(spark) -> None:
                 yield t, i
 
     spark.udtf.register("tokenize_py", Tokenize)
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "lid"):
+    """DataFrame-level language ID: same decision rule as
+    :func:`lang_id`, with the token split and the four stopword scores
+    staged as intermediate columns so the split/lower pass runs once
+    per row instead of once per score reference (same Catalyst
+    non-CSE rationale as :func:`with_quality_score`)."""
+    langs = sorted(LANG_STOPWORDS)
+    staged = df.withColumn("_lid_toks", tokens(F.col(text_col)))
+    for lang in langs:
+        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        staged = staged.withColumn(
+            f"_lid_{lang}", F.size(F.array_intersect(F.col("_lid_toks"), words)))
+    staged = staged.withColumn(
+        "_lid_best", F.greatest(*[F.col(f"_lid_{lang}") for lang in langs]))
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when((F.col(f"_lid_{lang}") == F.col("_lid_best"))
+                     & (F.col("_lid_best") >= 1), F.lit(lang)).otherwise(out)
+    return (staged.withColumn(out_col, out)
+            .drop("_lid_toks", "_lid_best", *[f"_lid_{lang}" for lang in langs]))

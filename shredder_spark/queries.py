@@ -509,10 +509,10 @@ FROM documents GROUP BY lang ORDER BY lang
 # heuristic; approximate tiers are exposed rows-only.)
 
 def _q52_builder(spark: SparkSession) -> DataFrame:
-    from shredder_spark.functions.text import lang_id
+    from shredder_spark.functions.text import with_lang_id
 
     docs = spark.table("documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lid")).orderBy("doc_id")
+    return (with_lang_id(docs).select("doc_id", "lid").orderBy("doc_id"))
 
 
 _q("q52_lang_id",
