@@ -2235,3 +2235,21 @@ SELECT ta, tb, ROUND(LN(cab * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
                         / (dfa * dfb)), 4) AS pmi
 FROM pair WHERE cab >= 5 ORDER BY ta, tb
 """)
+
+
+def _q160_builder(spark: SparkSession) -> DataFrame:
+    # Capstone: the full curation pipeline (quality filter -> near-dup
+    # dedup -> deterministic lang-stratified sample -> chunking) as ONE
+    # lazy plan. Rows-only (the dedup tier is approximate); stage
+    # invariants are tested in tests/test_curation_ops.py.
+    from shredder_spark.operators.curation import curate_corpus
+
+    docs = spark.table("documents")
+    chunks = curate_corpus(docs, sample_rate_hex={"en": "4"})
+    return (chunks.groupBy("lang")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("lang"))
+
+
+_q("q160_curation_pipeline", oracle=None, builder=_q160_builder)

@@ -100,3 +100,38 @@ def test_dedupe_keepers_no_surviving_pairs(spark):
     assert survivors.count() == 0
     # keepers are a subset of the corpus
     assert kept.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_curation_pipeline_stage_invariants(spark):
+    """q160's operator: every chunk comes from a doc that (a) scores
+    >= the quality floor, (b) survived dedup, (c) passed the sample
+    predicate; and chunk coverage holds on the final output."""
+    import pyspark.sql.functions as F
+
+    from shredder_spark.catalog import register_views
+    from shredder_spark.functions.text import with_quality_score
+    from shredder_spark.operators.curation import curate_corpus, sample_predicate
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    chunks = curate_corpus(docs, sample_rate_hex={"en": "4"})
+    out_docs = chunks.select("doc_id").distinct()
+    assert out_docs.count() > 0
+
+    # (a) quality floor
+    scored = with_quality_score(docs)
+    low_q = scored.filter(F.col("q") < 0.5).select("doc_id")
+    assert out_docs.join(low_q, "doc_id", "left_semi").count() == 0
+    # (c) sample predicate is deterministic, so re-evaluating it on the
+    # output docs must accept all of them
+    rejected = (docs.join(out_docs, "doc_id", "left_semi")
+                .filter(~sample_predicate("doc_id", {"en": "4"}, "lang")))
+    assert rejected.count() == 0
+    # coverage on the final chunks (q141 invariant, re-checked here on
+    # the composed pipeline)
+    per_doc = (chunks.groupBy("doc_id")
+               .agg(F.max("chunk_start").alias("last_start"))
+               .join(docs.select("doc_id",
+                                 F.size(F.split("text", " ")).alias("n_tok")),
+                     "doc_id"))
+    assert per_doc.filter(F.col("last_start") + 8 <= F.col("n_tok")).count() == 0
