@@ -2253,3 +2253,74 @@ def _q160_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q160_curation_pipeline", oracle=None, builder=_q160_builder)
+
+
+# --- batch: bit aggregates, conditional count, arrays batch 4,
+# element-wise vector arithmetic (q161-q163).
+
+_q("q161_bit_aggs_count_if",
+   oracle="""
+SELECT o_orderstatus,
+       CAST(BIT_AND(o_orderkey) AS BIGINT) AS ba,
+       CAST(BIT_OR(o_orderkey) AS BIGINT) AS bo,
+       CAST(BIT_XOR(o_orderkey) AS BIGINT) AS bx,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+   engine_sql="""
+SELECT o_orderstatus,
+       CAST(BIT_AND(o_orderkey) AS BIGINT) AS ba,
+       CAST(BIT_OR(o_orderkey) AS BIGINT) AS bo,
+       CAST(BIT_XOR(o_orderkey) AS BIGINT) AS bx,
+       CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS n_big
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+# array_append/prepend/compact (Spark 3.4/3.5 additions).
+_q("q162_array_batch4",
+   oracle="""
+SELECT doc_id,
+       ARRAY_TO_STRING(LIST_APPEND(STRING_SPLIT(source, '_'), lang), ',') AS ap,
+       ARRAY_TO_STRING(LIST_PREPEND(lang, STRING_SPLIT(source, '_')), ',') AS pp,
+       CAST(LEN(LIST_FILTER([lang, NULL, source], x -> x IS NOT NULL))
+            AS BIGINT) AS n_compact
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       ARRAY_JOIN(ARRAY_APPEND(SPLIT(source, '_'), lang), ',') AS ap,
+       ARRAY_JOIN(ARRAY_PREPEND(SPLIT(source, '_'), lang), ',') AS pp,
+       CAST(SIZE(ARRAY_COMPACT(ARRAY(lang, NULL, source))) AS BIGINT) AS n_compact
+FROM documents ORDER BY doc_id
+""")
+
+# Element-wise vector arithmetic between consecutive embeddings:
+# sum vector norm + scaled-difference norm via ZIP_WITH (the building
+# blocks of residual/delta encodings).
+_q("q163_vector_arithmetic",
+   oracle="""
+WITH p AS (
+  SELECT e1.vec_id AS vec_id,
+         [CAST(e1.embedding[i] AS DOUBLE) + CAST(e2.embedding[i] AS DOUBLE)
+          FOR i IN RANGE(1, LEN(e1.embedding) + 1)] AS vsum,
+         [2.0 * (CAST(e1.embedding[i] AS DOUBLE) - CAST(e2.embedding[i] AS DOUBLE))
+          FOR i IN RANGE(1, LEN(e1.embedding) + 1)] AS vdiff
+  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1)
+SELECT vec_id,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(vsum, x -> x * x))), 4) AS sum_norm,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(vdiff, x -> x * x))), 4) AS diff_norm
+FROM p ORDER BY vec_id
+""",
+   engine_sql="""
+WITH p AS (
+  SELECT e1.vec_id AS vec_id,
+         ZIP_WITH(e1.embedding, e2.embedding,
+                  (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)) AS vsum,
+         ZIP_WITH(e1.embedding, e2.embedding,
+                  (x, y) -> 2.0 * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) AS vdiff
+  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1)
+SELECT vec_id,
+       ROUND(SQRT(AGGREGATE(vsum, 0D, (s, x) -> s + x * x)), 4) AS sum_norm,
+       ROUND(SQRT(AGGREGATE(vdiff, 0D, (s, x) -> s + x * x)), 4) AS diff_norm
+FROM p ORDER BY vec_id
+""")
