@@ -2324,3 +2324,57 @@ SELECT vec_id,
        ROUND(SQRT(AGGREGATE(vdiff, 0D, (s, x) -> s + x * x)), 4) AS diff_norm
 FROM p ORDER BY vec_id
 """)
+
+
+# --- batch: map higher-order fns, INLINE, population stats (q164-q166).
+
+# transform_keys/transform_values/map_filter; the oracle reproduces the
+# same values through plain arithmetic (the map is built from columns,
+# so the semantics are fully determined).
+_q("q164_map_higher_order",
+   oracle="""
+SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS dbl_price,
+       CAST(CAST(o_totalprice > 100000 AS INT)
+            + CAST(o_custkey > 100000 AS INT) AS BIGINT) AS n_big,
+       'PRICE' AS uk
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       ROUND(ELEMENT_AT(TRANSFORM_VALUES(m, (k, v) -> v * 2), 'price'), 2)
+         AS dbl_price,
+       CAST(SIZE(MAP_FILTER(m, (k, v) -> v > 100000)) AS BIGINT) AS n_big,
+       ELEMENT_AT(MAP_KEYS(TRANSFORM_KEYS(m, (k, v) -> UPPER(k))), 1) AS uk
+FROM (SELECT o_orderkey,
+             MAP('price', o_totalprice, 'cust', CAST(o_custkey AS DOUBLE)) AS m
+      FROM orders) t
+ORDER BY o_orderkey
+""")
+
+# INLINE over a constructed array<struct> (struct-array explode — the
+# q70 posexplode shape through the struct path).
+_q("q165_inline_struct_array",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, UNNEST(tk) AS tok,
+       CAST(UNNEST(GENERATE_SERIES(1, LEN(tk))) AS BIGINT) AS pos
+FROM t ORDER BY doc_id, pos
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, s.tok AS tok, CAST(s.pos AS BIGINT) AS pos
+FROM t LATERAL VIEW INLINE(
+    TRANSFORM(SEQUENCE(1, SIZE(tk)),
+              i -> STRUCT(ELEMENT_AT(tk, i) AS tok, i AS pos))) s AS tok, pos
+ORDER BY doc_id, pos
+""")
+
+_q("q166_population_stats", """
+SELECT l_returnflag,
+       ROUND(STDDEV_POP(l_quantity), 4) AS sdp,
+       ROUND(VAR_POP(l_quantity), 4) AS vp,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS cvp
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
