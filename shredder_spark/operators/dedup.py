@@ -419,3 +419,54 @@ def dedupe_keepers(df: DataFrame, id_col: str, text_col: str,
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     drop = pairs.select(F.col("j").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup edge list (i, j) by
+    iterative min-label propagation — the transitive-closure upgrade
+    over the greedy pair policy. Returns (id, cluster) where cluster is
+    the minimum id reachable in the component (the canonical
+    representative).
+
+    Scale shape: each iteration is one join + one min-aggregate —
+    keyed shuffles only, labels persisted per round and unpersisted
+    after, convergence checked with a LIMIT 1 existence probe (no
+    full count). Iterations needed = graph diameter, which for
+    near-dup clusters is tiny; ``max_iter`` bounds pathological
+    chains. This is the standard Pregel-style CC on DataFrames —
+    GraphX/GraphFrames are JVM/RDD surfaces we deliberately avoid.
+    """
+    edges = pairs.select(F.col("i").cast("long"), F.col("j").cast("long"))
+    sym = edges.union(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    labels = (sym.select(F.col("i").alias("id")).distinct()
+              .withColumn("label", F.col("id"))).persist()
+    labels.count()
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym["i"] == labels["id"])
+                .select(F.col("j").alias("id"), F.col("label")))
+        new_labels = (labels.select("id", "label").union(prop)
+                      .groupBy("id").agg(F.min("label").alias("label"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster")
+
+
+def dedupe_keepers_clustered(df: DataFrame, id_col: str, text_col: str,
+                             **lsh_kwargs) -> DataFrame:
+    """Cluster-correct corpus dedup: group near-dup pairs into
+    connected components and keep exactly one doc (the min id) per
+    component. Unlike the greedy policy this never over-drops a chain:
+    component {1-2, 2-3} keeps 1 and drops {2, 3}, but {1-2}, {3-4}
+    keeps both 1 and 3."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    cc = connected_components(pairs.select("i", "j"))
+    drop = cc.filter(F.col("id") != F.col("cluster")) \
+             .select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

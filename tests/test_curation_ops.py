@@ -135,3 +135,51 @@ def test_curation_pipeline_stage_invariants(spark):
                                  F.size(F.split("text", " ")).alias("n_tok")),
                      "doc_id"))
     assert per_doc.filter(F.col("last_start") + 8 <= F.col("n_tok")).count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must produce exactly the components a
+    pure-Python union-find computes on the same edge list."""
+    from shredder_spark.catalog import register_views
+    from shredder_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    pairs = [(r.i, r.j) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()]
+    assert pairs  # the synthetic corpus has near-dups
+
+    parent: dict[int, int] = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i, j in pairs:
+        union(i, j)
+    expected = {x: find(x) for x in parent}
+
+    got = {r.id: r.cluster for r in connected_components(
+        spark.createDataFrame(pairs, "i long, j long")).collect()}
+    assert got == expected
+
+
+def test_clustered_keepers_one_per_component(spark):
+    from shredder_spark.catalog import register_views
+    from shredder_spark.operators.dedup import (
+        connected_components, dedupe_keepers_clustered, minhash_lsh_pairs)
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    kept = dedupe_keepers_clustered(docs, "doc_id", "text", threshold=0.8)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    cc = connected_components(pairs.select("i", "j"))
+    n_components = cc.select("cluster").distinct().count()
+    n_clustered_docs = cc.count()
+    # keepers = all docs minus non-representative members
+    assert kept.count() == docs.count() - (n_clustered_docs - n_components)
