@@ -429,29 +429,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     representative).
 
     Scale shape: each iteration is one join + one min-aggregate —
-    keyed shuffles only, labels persisted per round and unpersisted
-    after, convergence checked with a LIMIT 1 existence probe (no
-    full count). Iterations needed = graph diameter, which for
-    near-dup clusters is tiny; ``max_iter`` bounds pathological
-    chains. This is the standard Pregel-style CC on DataFrames —
-    GraphX/GraphFrames are JVM/RDD surfaces we deliberately avoid.
+    keyed shuffles only — and each round's labels are eagerly
+    **localCheckpoint**-ed, which both materializes them and truncates
+    lineage; without truncation the logical plan doubles per iteration
+    and the driver OOMs just *formatting* it (observed at sf0.1).
+    On a real cluster with ``spark.sparkContext.setCheckpointDir`` use
+    ``checkpoint()`` instead for fault tolerance. The edge list is
+    checkpointed once up front so the (possibly expensive) upstream
+    pair computation — e.g. MinHash-LSH — runs exactly once, not once
+    per iteration. Convergence is a LIMIT-1 existence probe (no full
+    count); iterations needed = graph diameter, tiny for near-dup
+    clusters; ``max_iter`` bounds pathological chains. This is the
+    standard Pregel-style CC on DataFrames — GraphX/GraphFrames are
+    JVM/RDD surfaces we deliberately avoid.
     """
     edges = pairs.select(F.col("i").cast("long"), F.col("j").cast("long"))
     sym = edges.union(
-        edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).localCheckpoint(eager=True)
     labels = (sym.select(F.col("i").alias("id")).distinct()
-              .withColumn("label", F.col("id"))).persist()
-    labels.count()
+              .withColumn("label", F.col("id"))).localCheckpoint(eager=True)
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["i"] == labels["id"])
                 .select(F.col("j").alias("id"), F.col("label")))
         new_labels = (labels.select("id", "label").union(prop)
-                      .groupBy("id").agg(F.min("label").alias("label"))).persist()
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      ).localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

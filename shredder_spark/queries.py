@@ -2378,3 +2378,181 @@ SELECT l_returnflag,
        ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS cvp
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
+
+
+# --- batch: remaining TPC-H shapes (q167-q173) + fn batches 5 (q174-q176).
+
+def _q167_builder(spark: SparkSession) -> DataFrame:
+    # Connected-components dedup clusters (B188): transitive closure
+    # over MinHash-LSH near-dup pairs, one summary row per cluster.
+    # Iterative min-label propagation is not SQL-expressible -> rows-only.
+    from shredder_spark.operators.dedup import (connected_components,
+                                                minhash_lsh_pairs)
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    cc = connected_components(pairs.select("i", "j"))
+    return (cc.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.max("id").cast("long").alias("max_id"))
+            .orderBy("cluster"))
+
+
+_q("q167_cc_dedup_clusters", oracle=None, builder=_q167_builder)
+
+# TPC-H Q2 shape: min-cost supplier per part via correlated scalar
+# subquery over a twice-referenced CTE (Catalyst decorrelates + reuses).
+# MIN (not AVG) of the per-row quotient is summation-order-independent,
+# and the output is scaled to integer 1e-4 units with an explicit
+# half-up FLOOR(x*1e4 + 0.5): these quotients land on exact .xxxx5
+# decimal boundaries where Spark ROUND (exact-binary HALF_UP) and
+# DuckDB ROUND (scaled-float) disagree; FLOOR of the identical IEEE
+# expression cannot.
+_q("q168_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(MIN(l_extendedprice / l_quantity) * 10000 + 0.5)
+              AS BIGINT) AS unit_e4
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT p.p_partkey, s.s_suppkey, s.s_name, c.unit_e4
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_size < 10
+  AND c.unit_e4 = (SELECT MIN(c2.unit_e4) FROM cost c2
+                   WHERE c2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_suppkey
+""")
+
+# TPC-H Q9 shape: profit by supplier nation x order year, 5-way join.
+_q("q169_profit_by_nation_year", """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%e%'
+GROUP BY 1, 2 ORDER BY nation, yr
+""")
+
+# TPC-H Q11 shape: parts whose revenue exceeds a global-share scalar
+# subquery threshold (above 1.1x the mean part revenue). Revenue sums
+# per-row-rounded BIGINTs: each product is the same IEEE double in both
+# engines, and an integer SUM is exact and order-independent — a plain
+# double SUM differed in the last ulp and flipped ROUND at sf0.1.
+_q("q170_important_parts", """
+WITH pr AS (SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 0)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, rev
+FROM pr
+WHERE rev > (SELECT AVG(rev) * 1.1 FROM pr)
+ORDER BY l_partkey
+""")
+
+# TPC-H Q12 shape: conditional priority counts over an order-line join.
+_q("q171_priority_line_counts", """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""")
+
+# TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+# NOT IN exclusion subquery.
+_q("q172_supplier_part_counts", """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+""")
+
+# TPC-H Q21 shape: suppliers alone-late on multi-supplier finished
+# orders (EXISTS + NOT EXISTS double correlation).
+_q("q173_waiting_suppliers", """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+""")
+
+# String batch 5: prefix/suffix/containment predicates + bit/byte
+# lengths. DuckDB spells them STARTS_WITH/ENDS_WITH/STRLEN.
+_q("q174_string_batch5",
+   oracle="""
+SELECT p_partkey,
+       CAST(STARTS_WITH(p_name, 'b') AS INT) AS sw,
+       CAST(ENDS_WITH(p_name, 't') AS INT) AS ew,
+       CAST(CONTAINS(p_name, 'widget') AS INT) AS ct,
+       CAST(BIT_LENGTH(p_brand) AS BIGINT) AS bl,
+       CAST(STRLEN(p_name) AS BIGINT) AS ol
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       CAST(STARTSWITH(p_name, 'b') AS INT) AS sw,
+       CAST(ENDSWITH(p_name, 't') AS INT) AS ew,
+       CAST(CONTAINS(p_name, 'widget') AS INT) AS ct,
+       CAST(BIT_LENGTH(p_brand) AS BIGINT) AS bl,
+       CAST(OCTET_LENGTH(p_name) AS BIGINT) AS ol
+FROM part ORDER BY p_partkey
+""")
+
+# Datetime batch 4: date construction + day/month names.
+_q("q175_datetime_batch4",
+   oracle="""
+SELECT o_orderkey,
+       MAKE_DATE(2024, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT), 15) AS md,
+       DAYNAME(o_orderdate) AS dn,
+       MONTHNAME(o_orderdate) AS mn
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       MAKE_DATE(2024, MONTH(o_orderdate), 15) AS md,
+       DATE_FORMAT(o_orderdate, 'EEEE') AS dn,
+       DATE_FORMAT(o_orderdate, 'MMMM') AS mn
+FROM orders ORDER BY o_orderkey
+""")
+
+# Array batch 5: set-difference (distinct semantics -> sorted),
+# element removal (order-preserving), zip length.
+_q("q176_array_batch5",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+         [x FOR x IN tk IF NOT LIST_CONTAINS(['the', 'a', 'of'], x)])), ',') AS ex,
+       ARRAY_TO_STRING([x FOR x IN tk IF x != 'the'], ',') AS rm,
+       CAST(LEN(tk) AS BIGINT) AS nz
+FROM t ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       ARRAY_JOIN(ARRAY_SORT(ARRAY_EXCEPT(tk, ARRAY('the', 'a', 'of'))), ',') AS ex,
+       ARRAY_JOIN(ARRAY_REMOVE(tk, 'the'), ',') AS rm,
+       CAST(SIZE(ARRAYS_ZIP(tk, tk)) AS BIGINT) AS nz
+FROM t ORDER BY doc_id
+""")
