@@ -2556,3 +2556,101 @@ SELECT doc_id,
        CAST(SIZE(ARRAYS_ZIP(tk, tk)) AS BIGINT) AS nz
 FROM t ORDER BY doc_id
 """)
+
+
+# --- batch: hashing/encoding, width_bucket, try-arith 2, URL, str_to_map
+# (q177-q181).
+
+# Hash + encoding functions. Spark HEX uppercases A-F, DuckDB doesn't
+# -> LOWER both sides; BASE64 needs an explicit BLOB cast in DuckDB.
+_q("q177_hash_encoding",
+   oracle="""
+SELECT p_partkey,
+       SHA256(p_name) AS sh,
+       MD5(p_name) AS m5,
+       TO_BASE64(p_name::BLOB) AS b64,
+       LOWER(HEX(p_name)) AS hx
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       SHA2(p_name, 256) AS sh,
+       MD5(p_name) AS m5,
+       BASE64(CAST(p_name AS BINARY)) AS b64,
+       LOWER(HEX(p_name)) AS hx
+FROM part ORDER BY p_partkey
+""")
+
+# WIDTH_BUCKET equi-width binning; DuckDB lacks it -> CASE+FLOOR oracle
+# reproducing the lo/hi/overflow bucket semantics.
+_q("q178_width_bucket",
+   oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 11
+            ELSE CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) END AS bkt
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       WIDTH_BUCKET(o_totalprice, 0.0, 500000.0, 10) AS bkt
+FROM orders ORDER BY o_orderkey
+""")
+
+# try_* batch 2: scalar try-arithmetic + try aggregates on non-
+# overflowing data reduce to the plain operators (the oracle).
+_q("q179_try_arith2",
+   oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(o_orderkey + 1) AS BIGINT) AS s_add,
+       CAST(SUM(o_custkey * 2) AS BIGINT) AS s_mul,
+       ROUND(SUM(o_totalprice), 2) AS s_sum,
+       ROUND(AVG(o_totalprice), 2) AS s_avg
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+   engine_sql="""
+SELECT o_orderstatus,
+       CAST(SUM(TRY_ADD(o_orderkey, 1)) AS BIGINT) AS s_add,
+       CAST(SUM(TRY_MULTIPLY(o_custkey, 2)) AS BIGINT) AS s_mul,
+       ROUND(TRY_SUM(o_totalprice), 2) AS s_sum,
+       ROUND(TRY_AVG(o_totalprice), 2) AS s_avg
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+# PARSE_URL host/path/query against a ground-truth construction the
+# oracle rebuilds from the same source columns.
+_q("q180_url_parse",
+   oracle="""
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/' || lang AS path,
+       'id=' || CAST(doc_id AS STRING) AS q
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+WITH u AS (SELECT doc_id,
+                  CONCAT('https://', source, '.example.com/', lang,
+                         '?id=', CAST(doc_id AS STRING)) AS url
+           FROM documents)
+SELECT doc_id,
+       PARSE_URL(url, 'HOST') AS host,
+       PARSE_URL(url, 'PATH') AS path,
+       PARSE_URL(url, 'QUERY') AS q
+FROM u ORDER BY doc_id
+""")
+
+# STR_TO_MAP round-trip: build a k:v string from columns, parse it
+# back, extract by key; the oracle reads the columns directly.
+_q("q181_str_to_map",
+   oracle="""
+SELECT doc_id, lang AS lv, source AS sv
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+WITH m AS (SELECT doc_id,
+                  STR_TO_MAP(CONCAT('lang:', lang, ',src:', source),
+                             ',', ':') AS mp
+           FROM documents)
+SELECT doc_id, mp['lang'] AS lv, mp['src'] AS sv
+FROM m ORDER BY doc_id
+""")
