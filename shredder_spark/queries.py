@@ -2654,3 +2654,102 @@ WITH m AS (SELECT doc_id,
 SELECT doc_id, mp['lang'] AS lv, mp['src'] AS sv
 FROM m ORDER BY doc_id
 """)
+
+# ------------------------------------------------- math/func batches 6
+# (q182-q186).
+
+# Trigonometric + logarithm family over lineitem measures. Inputs kept
+# in safe domains (discount in [0,0.1] for TAN; +1 under LOG2).
+_q("q182_trig_math3", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SIN(l_quantity), 4)                    AS sn,
+       ROUND(COS(l_quantity), 4)                    AS cs,
+       ROUND(TAN(l_discount), 4)                    AS tn,
+       ROUND(ATAN(l_quantity), 4)                   AS at,
+       ROUND(ATAN2(l_quantity, l_extendedprice), 6) AS at2,
+       ROUND(DEGREES(l_discount), 4)                AS dg,
+       ROUND(RADIANS(l_quantity), 4)                AS rd,
+       CAST(SIGN(l_quantity - 25) AS BIGINT)        AS sg,
+       ROUND(LOG10(l_extendedprice), 4)             AS l10,
+       ROUND(LOG2(l_quantity + 1), 4)               AS l2,
+       ROUND(CBRT(l_extendedprice), 4)              AS cb
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""")
+
+# Integer math batch: positive modulo, base conversion, factorial,
+# popcount. PMOD exercised on negative inputs (p_partkey - 50).
+_q("q183_int_math", """
+SELECT p_partkey,
+       CAST(((p_partkey - 50) % 7 + 7) % 7 AS BIGINT) AS pm,
+       TO_BASE(p_size, 16)                            AS hx,
+       CAST(FACTORIAL(p_size % 10) AS BIGINT)         AS fc,
+       CAST(BIT_COUNT(p_partkey) AS BIGINT)           AS bc
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       CAST(PMOD(p_partkey - 50, 7) AS BIGINT)        AS pm,
+       CONV(CAST(p_size AS STRING), 10, 16)           AS hx,
+       CAST(FACTORIAL(p_size % 10) AS BIGINT)         AS fc,
+       CAST(BIT_COUNT(p_partkey) AS BIGINT)           AS bc
+FROM part ORDER BY p_partkey
+""")
+
+# STACK generator: wide one-row aggregate unpivoted to long form.
+# Oracle reconstructs via UNION ALL over the same CTE.
+_q("q184_stack_long_form",
+   oracle="""
+WITH agg AS (SELECT AVG(o_totalprice) AS a, MIN(o_totalprice) AS mn,
+                    MAX(o_totalprice) AS mx FROM orders)
+SELECT 'avg' AS k, ROUND(a, 2) AS v FROM agg
+UNION ALL SELECT 'min', ROUND(mn, 2) FROM agg
+UNION ALL SELECT 'max', ROUND(mx, 2) FROM agg
+ORDER BY k
+""",
+   engine_sql="""
+WITH agg AS (SELECT AVG(o_totalprice) AS a, MIN(o_totalprice) AS mn,
+                    MAX(o_totalprice) AS mx FROM orders)
+SELECT k, ROUND(v, 2) AS v
+FROM (SELECT STACK(3, 'avg', a, 'min', mn, 'max', mx) AS (k, v) FROM agg)
+ORDER BY k
+""")
+
+# JSON serialization of a struct column; both engines emit compact
+# {"k":v} text with identical escaping for these fields.
+_q("q185_to_json",
+   oracle="""
+SELECT c_custkey,
+       TO_JSON(STRUCT_PACK(name := c_name, nk := c_nationkey))::VARCHAR AS js
+FROM customer ORDER BY c_custkey
+""",
+   engine_sql="""
+SELECT c_custkey,
+       TO_JSON(NAMED_STRUCT('name', c_name, 'nk', c_nationkey)) AS js
+FROM customer ORDER BY c_custkey
+""")
+
+# Conditional batch 2: IF / NVL / NVL2 / NANVL+ISNAN. The NaN source is
+# SQRT of a negative; DuckDB raises on that, so the oracle guards with
+# CASE (lazily evaluated) instead.
+_q("q186_conditional2",
+   oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS t,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS nv,
+       CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
+            THEN 'closed' ELSE 'open' END AS nv2,
+       CASE WHEN o_totalprice >= 200000
+            THEN ROUND(SQRT(o_totalprice - 200000), 2)
+            ELSE CAST(-1 AS DOUBLE) END AS sq,
+       CASE WHEN o_totalprice < 200000 THEN TRUE ELSE FALSE END AS nan
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       IF(o_totalprice > 100000, 'hi', 'lo') AS t,
+       NVL(NULLIF(o_orderstatus, 'O'), 'none') AS nv,
+       NVL2(NULLIF(o_orderstatus, 'O'), 'closed', 'open') AS nv2,
+       ROUND(NANVL(SQRT(o_totalprice - 200000), CAST(-1 AS DOUBLE)), 2) AS sq,
+       ISNAN(SQRT(o_totalprice - 200000)) AS nan
+FROM orders ORDER BY o_orderkey
+""")
