@@ -2753,3 +2753,104 @@ SELECT o_orderkey,
        ISNAN(SQRT(o_totalprice - 200000)) AS nan
 FROM orders ORDER BY o_orderkey
 """)
+
+# ------------------------------------------------- TPC-H Q6/Q20 +
+# LLM-pipeline: contamination check, unigram LM scoring (q187-q191).
+
+# TPC-H Q6 forecasting revenue change: tight filter + single agg —
+# the pushdown showcase (all three predicates reach the parquet scan).
+_q("q187_tpch_q6_forecast", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+
+# TPC-H Q20 shape (potential part promotion), adapted to our schema:
+# lineitem stands in for partsupp as the part-supplier link. Nested
+# IN-subqueries with a grouped HAVING threshold.
+_q("q188_tpch_q20_promotion", """
+WITH eligible AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 90)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM eligible)
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12'))
+ORDER BY s.s_suppkey
+""")
+
+# Benchmark-contamination check: distinct 5-gram overlap between a
+# "benchmark" slice (doc_id % 10 = 0) and candidate docs. The gram
+# join is a plain equi-join on the gram string — shuffles on gram,
+# broadcastable when the benchmark set is small.
+_q("q189_contamination_5gram",
+   oracle="""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id,
+             LIST_DISTINCT([ARRAY_TO_STRING(tk[i:i+4], ' ')
+                            FOR i IN RANGE(1, LEN(tk) - 3)]) AS gs
+      FROM tok WHERE LEN(tk) >= 5),
+bench AS (SELECT DISTINCT UNNEST(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+cand AS (SELECT doc_id, UNNEST(gs) AS gram FROM g WHERE doc_id % 10 <> 0)
+SELECT c.doc_id, COUNT(*) AS hits
+FROM cand c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id ORDER BY c.doc_id
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id,
+             ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, SIZE(tk) - 4),
+                            i -> ARRAY_JOIN(SLICE(tk, i, 5), ' '))) AS gs
+      FROM tok WHERE SIZE(tk) >= 5),
+bench AS (SELECT DISTINCT EXPLODE(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+cand AS (SELECT doc_id, gram FROM g LATERAL VIEW EXPLODE(gs) AS gram
+         WHERE doc_id % 10 <> 0)
+SELECT c.doc_id, COUNT(*) AS hits
+FROM cand c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id ORDER BY c.doc_id
+""")
+
+# Unigram language-model quality score: corpus-wide token frequencies
+# → per-doc mean negative log-likelihood (low = generic text, high =
+# rare tokens). Same two-pass explode shape as TF-IDF (q139).
+_q("q190_unigram_logprob",
+   oracle="""
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+             FROM documents),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab)
+SELECT tok.doc_id, ROUND(AVG(-LN(vocab.c / tot.n)), 4) AS nll
+FROM tok JOIN vocab USING (t) CROSS JOIN tot
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS t
+             FROM documents),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab)
+SELECT tok.doc_id, ROUND(AVG(-LN(vocab.c / tot.n)), 4) AS nll
+FROM tok JOIN vocab USING (t) CROSS JOIN tot
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+""")
+
+# FIND_IN_SET / ELT list-position functions.
+_q("q191_find_in_set_elt",
+   oracle="""
+SELECT n_nationkey,
+       CAST(COALESCE(LIST_POSITION(STRING_SPLIT('NATION_3,NATION_8,NATION_12', ','),
+                                   n_name), 0) AS BIGINT) AS fis,
+       (['r0','r1','r2','r3','r4'])[n_regionkey + 1] AS e
+FROM nation ORDER BY n_nationkey
+""",
+   engine_sql="""
+SELECT n_nationkey,
+       CAST(FIND_IN_SET(n_name, 'NATION_3,NATION_8,NATION_12') AS BIGINT) AS fis,
+       ELT(n_regionkey + 1, 'r0', 'r1', 'r2', 'r3', 'r4') AS e
+FROM nation ORDER BY n_nationkey
+""")
