@@ -2854,3 +2854,96 @@ SELECT n_nationkey,
        ELT(n_regionkey + 1, 'r0', 'r1', 'r2', 'r3', 'r4') AS e
 FROM nation ORDER BY n_nationkey
 """)
+
+# ------------------------------------------------- grouping-id, mask,
+# datetime 5, ordered set agg, any_value, json_tuple (q192-q197).
+
+# GROUPING_ID over a rollup; oracle reconstructs the bit-vector from
+# individual GROUPING() flags.
+_q("q192_grouping_id",
+   oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+   engine_sql="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""")
+
+# Data masking (PII-style): Spark MASK() defaults (upper→X, lower→x,
+# digit→n, other kept); oracle = equivalent regexp chain.
+_q("q193_mask",
+   oracle="""
+SELECT c_custkey,
+       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+         '[0-9]', 'n', 'g') AS mk
+FROM customer ORDER BY c_custkey
+""",
+   engine_sql="""
+SELECT c_custkey, MASK(c_name) AS mk
+FROM customer ORDER BY c_custkey
+""")
+
+# Datetime batch 5: months_between on month-truncated stamps (exact
+# integer on both), date-minus-days, epoch milliseconds.
+_q("q194_datetime5",
+   oracle="""
+SELECT o_orderkey,
+       CAST(DATE_DIFF('month', TIMESTAMP '1995-01-01 00:00:00',
+                      DATE_TRUNC('month', o_orderdate)) AS BIGINT) AS mb,
+       CAST(o_orderdate AS DATE) - 15 AS ds,
+       CAST(EPOCH_MS(o_orderdate) AS BIGINT) AS um
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       CAST(MONTHS_BETWEEN(DATE_TRUNC('month', o_orderdate),
+                           TIMESTAMP '1995-01-01 00:00:00') AS BIGINT) AS mb,
+       DATE_SUB(CAST(o_orderdate AS DATE), 15) AS ds,
+       CAST(UNIX_MILLIS(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS um
+FROM orders ORDER BY o_orderkey
+""")
+
+# Ordered set aggregation: distinct values per group as a sorted
+# joined string (set semantics, deterministic rendering).
+_q("q195_sorted_collect_set",
+   oracle="""
+SELECT l_returnflag,
+       ARRAY_TO_STRING(LIST(DISTINCT l_linestatus ORDER BY l_linestatus),
+                       ',') AS st,
+       ARRAY_TO_STRING(LIST(DISTINCT CAST(l_linenumber AS BIGINT)
+                            ORDER BY CAST(l_linenumber AS BIGINT)), ',') AS ln
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+   engine_sql="""
+SELECT l_returnflag,
+       ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(l_linestatus)), ',') AS st,
+       ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(CAST(l_linenumber AS BIGINT))),
+                  ',') AS ln
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# ANY_VALUE on single-valued groups (deterministic by construction:
+# n_name is functionally dependent on n_nationkey).
+_q("q196_any_value", """
+SELECT n_nationkey, ANY_VALUE(n_name) AS nm, COUNT(*) AS c
+FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
+""")
+
+# JSON_TUPLE lateral view (multi-key JSON field extraction).
+_q("q197_json_tuple",
+   oracle="""
+SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k
+FROM events ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id, k
+FROM events LATERAL VIEW JSON_TUPLE(props, 'k') jt AS k
+ORDER BY event_id
+""")
