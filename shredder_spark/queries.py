@@ -2947,3 +2947,103 @@ SELECT event_id, k
 FROM events LATERAL VIEW JSON_TUPLE(props, 'k') jt AS k
 ORDER BY event_id
 """)
+
+# ------------------------------------------------- offsets, array edit,
+# transition matrix, OOV rate, deterministic sampling (q198-q202).
+
+# LAG/LEAD with explicit offset + default (no NULL branch in output).
+_q("q198_lag_lead_offsets", """
+SELECT o_orderkey,
+       LAG(o_orderstatus, 2, '--') OVER w AS lg2,
+       LEAD(o_orderstatus, 2, '++') OVER w AS ld2
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+""")
+
+# Array editing: positional insert + out-of-bounds-safe / negative
+# element access. Oracle synthesizes insert via slice concatenation.
+_q("q199_array_edit",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       ARRAY_TO_STRING(tk[1:2] || ['<INS>'] || tk[3:], ',') AS ins,
+       tk[500] AS oob,
+       tk[-1] AS lst
+FROM t ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       ARRAY_JOIN(ARRAY_INSERT(tk, 3, '<INS>'), ',') AS ins,
+       TRY_ELEMENT_AT(tk, 500) AS oob,
+       ELEMENT_AT(tk, -1) AS lst
+FROM t ORDER BY doc_id
+""")
+
+# Event-transition matrix (Markov first-order): per-user LAG over
+# event time, then count (prev → next) pairs. One window shuffle on
+# user_id, one agg shuffle on the pair — both key-partitioned.
+_q("q200_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, COUNT(*) AS c
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+""")
+
+# Vocabulary pruning + OOV rate: top-64 tokens by corpus frequency
+# (ties broken by token), then per-doc fraction of tokens outside the
+# vocab. The vocab is tiny → broadcast to the probe side.
+_q("q201_vocab_oov",
+   oracle="""
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+             FROM documents),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM (SELECT t, ROW_NUMBER() OVER
+                         (ORDER BY c DESC, t) AS rn FROM freq)
+          WHERE rn <= 64)
+SELECT tok.doc_id,
+       ROUND(AVG(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov
+FROM tok LEFT JOIN vocab v ON tok.t = v.t
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS t
+             FROM documents),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM (SELECT t, ROW_NUMBER() OVER
+                         (ORDER BY c DESC, t) AS rn FROM freq)
+          WHERE rn <= 64)
+SELECT tok.doc_id,
+       ROUND(AVG(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov
+FROM tok LEFT JOIN vocab v ON tok.t = v.t
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+""")
+
+# Deterministic per-group top-k sampling: hash-ordered ROW_NUMBER
+# within language — engine-independent pseudo-random pick (same MD5
+# text on both sides).
+_q("q202_group_sample",
+   oracle="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY MD5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY lang, doc_id
+""",
+   engine_sql="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY lang, doc_id
+""")
