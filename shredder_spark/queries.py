@@ -3006,9 +3006,7 @@ _q("q201_vocab_oov",
 WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
              FROM documents),
 freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
-vocab AS (SELECT t FROM (SELECT t, ROW_NUMBER() OVER
-                         (ORDER BY c DESC, t) AS rn FROM freq)
-          WHERE rn <= 64)
+vocab AS (SELECT t FROM freq ORDER BY c DESC, t LIMIT 64)
 SELECT tok.doc_id,
        ROUND(AVG(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov
 FROM tok LEFT JOIN vocab v ON tok.t = v.t
@@ -3018,9 +3016,7 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id
 WITH tok AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS t
              FROM documents),
 freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
-vocab AS (SELECT t FROM (SELECT t, ROW_NUMBER() OVER
-                         (ORDER BY c DESC, t) AS rn FROM freq)
-          WHERE rn <= 64)
+vocab AS (SELECT t FROM freq ORDER BY c DESC, t LIMIT 64)
 SELECT tok.doc_id,
        ROUND(AVG(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov
 FROM tok LEFT JOIN vocab v ON tok.t = v.t
