@@ -3043,3 +3043,74 @@ SELECT lang, doc_id FROM (
   FROM documents)
 WHERE rn <= 5 ORDER BY lang, doc_id
 """)
+
+# ------------------------------------------------- listagg, time-range
+# windows, multi-agg pivot, trim-chars (q203-q206).
+
+# ANSI LISTAGG ... WITHIN GROUP (Spark 4) vs DuckDB ordered STRING_AGG.
+_q("q203_listagg",
+   oracle="""
+SELECT o_orderstatus,
+       STRING_AGG(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS pri
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+   engine_sql="""
+SELECT o_orderstatus,
+       LISTAGG(DISTINCT o_orderpriority, '|')
+         WITHIN GROUP (ORDER BY o_orderpriority) AS pri
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+# Time-based RANGE frame: rolling 30-day spend per customer. RANGE
+# includes date peers, so the frame is deterministic without a
+# tie-break column.
+_q("q204_time_range_window", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW), 2)
+         AS spend30
+FROM orders ORDER BY o_orderkey
+""")
+
+# PIVOT with multiple aggregates per pivot value; oracle spells out the
+# conditional aggregates with Spark's generated column names.
+_q("q205_pivot_multi_agg",
+   oracle="""
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O_s,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)                    AS O_c,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F_s,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)                    AS F_c,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P_s,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)                    AS P_c
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   engine_sql="""
+SELECT o_orderpriority,
+       ROUND(O_s, 2) AS O_s, O_c, ROUND(F_s, 2) AS F_s, F_c,
+       ROUND(P_s, 2) AS P_s, P_c
+FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+PIVOT (SUM(o_totalprice) AS s, COUNT(o_totalprice) AS c
+       FOR o_orderstatus IN ('O', 'F', 'P'))
+ORDER BY o_orderpriority
+""")
+
+# Character-class trims: Spark two-arg LTRIM/RTRIM take (trimStr, str);
+# DuckDB takes (str, chars) — paired on argument order.
+_q("q206_trim_chars",
+   oracle="""
+SELECT p_partkey,
+       TRIM('xx' || p_brand || 'xx', 'x')  AS bt,
+       LTRIM('xx' || p_brand, 'x')         AS lt,
+       RTRIM(p_brand || 'xx', 'x')         AS rt
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey,
+       BTRIM('xx' || p_brand || 'xx', 'x') AS bt,
+       LTRIM('x', 'xx' || p_brand)         AS lt,
+       RTRIM('x', p_brand || 'xx')         AS rt
+FROM part ORDER BY p_partkey
+""")
