@@ -3114,3 +3114,142 @@ SELECT p_partkey,
        RTRIM('x', p_brand || 'xx')         AS rt
 FROM part ORDER BY p_partkey
 """)
+
+# ------------------------------------------------- multi-quantile,
+# bitmap distinct, lateral alias, from_csv, timestamp arithmetic,
+# timezone conversion, regexp_instr, printf (q207-q214).
+
+# Multi-quantile in one aggregation pass: Spark PERCENTILE over an
+# array of fractions vs DuckDB QUANTILE_CONT over a list; both sides
+# round element-wise for float determinism.
+_q("q207_multi_quantile",
+   oracle="""
+SELECT l_returnflag,
+       [ROUND(x, 2) FOR x IN
+        QUANTILE_CONT(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75])] AS qs
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+   engine_sql="""
+SELECT l_returnflag,
+       TRANSFORM(PERCENTILE(CAST(l_quantity AS DOUBLE),
+                            ARRAY(0.25D, 0.5D, 0.75D)),
+                 x -> ROUND(x, 2)) AS qs
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Roaring-bitmap distinct counting (Spark 3.5 bitmap functions): exact
+# COUNT(DISTINCT) via mergeable per-bucket bitmaps — the scale path for
+# repeated distinct counts (bitmaps union across partitions without
+# re-scanning). Oracle is the plain distinct count.
+_q("q208_bitmap_distinct",
+   oracle="""
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS u
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+   engine_sql="""
+SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS u
+FROM (SELECT l_returnflag,
+             bitmap_bucket_number(l_partkey) AS b,
+             bitmap_count(bitmap_construct_agg(
+               bitmap_bit_position(l_partkey))) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, bitmap_bucket_number(l_partkey))
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Lateral column aliases: later SELECT items reference earlier aliases
+# in the same list (Spark 3.4 / DuckDB shared syntax). Integer
+# arithmetic only — a float multiplier here lands on .xx5 rounding
+# boundaries where Java (HALF_UP) and C (half-even) disagree.
+_q("q209_lateral_alias", """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS whole,
+       whole * 9 AS scaled,
+       scaled + whole AS total
+FROM orders ORDER BY o_orderkey
+""")
+
+# CSV-in-column parsing: serialize two part columns to a CSV string and
+# parse back with FROM_CSV (schema'd struct). Oracle reads the source
+# columns directly — equality proves the round trip.
+_q("q210_from_csv",
+   oracle="""
+SELECT p_partkey, p_brand AS brand, CAST(p_size AS BIGINT) AS sz
+FROM part ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey, parsed.brand AS brand, CAST(parsed.sz AS BIGINT) AS sz
+FROM (SELECT p_partkey,
+             FROM_CSV(CONCAT(p_brand, ',', CAST(p_size AS STRING)),
+                      'brand STRING, sz INT') AS parsed
+      FROM part)
+ORDER BY p_partkey
+""")
+
+# TIMESTAMPDIFF/TIMESTAMPADD unit arithmetic. All events are after the
+# anchor, so Spark's truncate-toward-zero equals the oracle's FLOOR.
+_q("q211_timestamp_arith",
+   oracle="""
+SELECT event_id,
+       CAST(FLOOR((EPOCH(ts) - EPOCH(TIMESTAMP '2024-01-01 00:00:00'))
+                  / 60) AS BIGINT) AS mins_since,
+       ts + INTERVAL 6 HOUR AS ts_plus6h
+FROM events ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id,
+       CAST(TIMESTAMPDIFF(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts)
+            AS BIGINT) AS mins_since,
+       TIMESTAMPADD(HOUR, 6, ts) AS ts_plus6h
+FROM events ORDER BY event_id
+""")
+
+# Timezone conversion: naive-UTC event times to New York wall time.
+# January 2024 only — no DST transition inside the data range.
+_q("q212_convert_timezone",
+   oracle="""
+SELECT event_id,
+       (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ts_ny
+FROM events ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id,
+       CONVERT_TIMEZONE('UTC', 'America/New_York', ts) AS ts_ny
+FROM events ORDER BY event_id
+""")
+
+# REGEXP_INSTR / REGEXP_SUBSTR: 1-based position and text of the first
+# double-vowel. Oracle reconstructs the position from the non-greedy
+# prefix ((?s) so '.' crosses newlines) and NULLIFs the no-match ''.
+_q("q213_regexp_instr_substr",
+   oracle="""
+SELECT doc_id,
+       CAST(CASE WHEN regexp_matches(text, '[aeiou][aeiou]')
+            THEN LENGTH(regexp_extract(text, '(?s)^(.*?)[aeiou][aeiou]', 1)) + 1
+            ELSE 0 END AS BIGINT) AS pos,
+       NULLIF(regexp_extract(text, '[aeiou][aeiou]', 0), '') AS vv
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(REGEXP_INSTR(text, '[aeiou][aeiou]') AS BIGINT) AS pos,
+       REGEXP_SUBSTR(text, '[aeiou][aeiou]') AS vv
+FROM documents ORDER BY doc_id
+""")
+
+# C-style formatting: Spark FORMAT_STRING (Java Formatter) vs DuckDB
+# printf — %s/%05d/%x agree across both; %f is deliberately excluded
+# (Java rounds HALF_UP, C rounds half-even).
+_q("q214_printf_format",
+   oracle="""
+SELECT o_orderkey,
+       printf('%s|%05d|%x', o_orderstatus, o_orderkey,
+              CAST(o_custkey AS INT)) AS s
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       FORMAT_STRING('%s|%05d|%x', o_orderstatus, o_orderkey,
+                     CAST(o_custkey AS INT)) AS s
+FROM orders ORDER BY o_orderkey
+""")
