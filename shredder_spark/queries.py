@@ -3253,3 +3253,109 @@ SELECT o_orderkey,
                      CAST(o_custkey AS INT)) AS s
 FROM orders ORDER BY o_orderkey
 """)
+
+# ------------------------------------------------- training-data packing
+# and mixture sampling, month gap-fill, reference timestamp format
+# (q215-q218).
+
+# Concat-then-chunk sequence packing: documents are concatenated per
+# source in doc_id order and split into 2000-char context windows; a
+# doc's bin is its exclusive-prefix fill position. Summarized per
+# (source, bin). Single shuffle (window + agg share the source key).
+_q("q215_sequence_packing", """
+SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT source, n_chars,
+             CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000) AS BIGINT) AS bin
+      FROM documents)
+GROUP BY source, bin ORDER BY source, bin
+""")
+
+# Domain-mixture sampling: target weights for named sources (default
+# 0.01), per-source keep probability LEAST(1, w*total/n), then a
+# deterministic MD5-threshold sample whose 16-bit hex cutoff encodes
+# the probability. Engine/oracle differ only in printf spelling.
+_q("q216_mixture_sampling",
+   oracle="""
+WITH tgt AS (SELECT * FROM (VALUES ('src0', 0.40), ('src1', 0.10),
+                                   ('src2', 0.05), ('src3', 0.02))
+             AS t(source, w)),
+stats AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY source),
+plan AS (SELECT s.source, s.n,
+                LEAST(1.0, CAST(COALESCE(t.w, 0.01) AS DOUBLE)
+                           * (SELECT SUM(n) FROM stats) / s.n) AS keep_prob
+         FROM stats s LEFT JOIN tgt t ON s.source = t.source)
+SELECT p.source, CAST(p.n AS BIGINT) AS n,
+       ROUND(p.keep_prob, 4) AS keep_prob,
+       CAST(SUM(CASE WHEN SUBSTRING(MD5(CAST(d.doc_id AS STRING)), 1, 4)
+                 < printf('%04x', CAST(FLOOR(p.keep_prob * 65536) AS INT))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM plan p JOIN documents d ON d.source = p.source
+GROUP BY p.source, p.n, p.keep_prob ORDER BY p.source
+""",
+   engine_sql="""
+WITH tgt AS (SELECT * FROM (VALUES ('src0', 0.40), ('src1', 0.10),
+                                   ('src2', 0.05), ('src3', 0.02))
+             AS t(source, w)),
+stats AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY source),
+plan AS (SELECT s.source, s.n,
+                LEAST(1.0, CAST(COALESCE(t.w, 0.01) AS DOUBLE)
+                           * (SELECT SUM(n) FROM stats) / s.n) AS keep_prob
+         FROM stats s LEFT JOIN tgt t ON s.source = t.source)
+SELECT p.source, CAST(p.n AS BIGINT) AS n,
+       ROUND(p.keep_prob, 4) AS keep_prob,
+       CAST(SUM(CASE WHEN SUBSTRING(MD5(CAST(d.doc_id AS STRING)), 1, 4)
+                 < FORMAT_STRING('%04x',
+                     CAST(FLOOR(p.keep_prob * 65536) AS INT))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM plan p JOIN documents d ON d.source = p.source
+GROUP BY p.source, p.n, p.keep_prob ORDER BY p.source
+""")
+
+# Month-step date sequence + gap-filled monthly order counts; the
+# sequence deliberately extends past the data (zeros prove the fill).
+_q("q217_month_gap_fill",
+   oracle="""
+WITH months AS (SELECT CAST(u.m AS DATE) AS m
+                FROM UNNEST(generate_series(DATE '1995-01-01',
+                     DATE '2001-12-01', INTERVAL 1 MONTH)) u(m)),
+agg AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1)
+SELECT months.m AS month_start, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN agg ON months.m = agg.m ORDER BY month_start
+""",
+   engine_sql="""
+WITH months AS (SELECT EXPLODE(SEQUENCE(DATE '1995-01-01',
+                     DATE '2001-12-01', INTERVAL 1 MONTH)) AS m),
+agg AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1)
+SELECT months.m AS month_start, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN agg ON months.m = agg.m ORDER BY month_start
+""")
+
+# The reference's custom timestamp text format
+# yyyy-MM-dd-HH.mm.ss.SSSSSS (ColumnBuilder.go:284-332): format each
+# event time into it and parse it back — parsed must equal the
+# original to microsecond precision on both engines (SURVEY B42).
+_q("q218_ref_ts_format",
+   oracle="""
+SELECT event_id,
+       STRFTIME(ts, '%Y-%m-%d-%H.%M.%S.%f') AS ref_str,
+       STRPTIME(STRFTIME(ts, '%Y-%m-%d-%H.%M.%S.%f'),
+                '%Y-%m-%d-%H.%M.%S.%f') AS parsed
+FROM events ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id,
+       DATE_FORMAT(ts, 'yyyy-MM-dd-HH.mm.ss.SSSSSS') AS ref_str,
+       TO_TIMESTAMP(DATE_FORMAT(ts, 'yyyy-MM-dd-HH.mm.ss.SSSSSS'),
+                    'yyyy-MM-dd-HH.mm.ss.SSSSSS') AS parsed
+FROM events ORDER BY event_id
+""")
