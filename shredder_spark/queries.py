@@ -3359,3 +3359,82 @@ SELECT event_id,
                     'yyyy-MM-dd-HH.mm.ss.SSSSSS') AS parsed
 FROM events ORDER BY event_id
 """)
+
+# ------------------------------------------------- interval merging,
+# VARIANT, MoM growth, ordered event paths (q219-q222).
+
+# Overlapping-interval coalescing (merge [ts, ts+value minutes) spans
+# per user): an interval starts a new island when it begins after the
+# running max end of everything before it; islands then collapse to
+# merged spans. Two windows + one agg, all on the user_id key.
+_q("q219_interval_merge", """
+WITH iv AS (SELECT user_id, event_id, ts,
+                   ts + CAST(FLOOR(value) AS INT) * INTERVAL 1 MINUTE AS te
+            FROM events),
+flagged AS (SELECT user_id, ts, te,
+                   CASE WHEN ts > MAX(te) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv),
+islands AS (SELECT user_id, ts, te,
+                   SUM(new_island) OVER (
+                     PARTITION BY user_id ORDER BY ts, te
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM flagged)
+SELECT user_id, island, MIN(ts) AS span_start, MAX(te) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, island ORDER BY user_id, island
+""")
+
+# Spark 4 VARIANT semi-structured type: PARSE_JSON into a variant,
+# typed VARIANT_GET extraction, predicate on the extracted value.
+# Oracle extracts the same path from the JSON text directly.
+_q("q220_variant_json",
+   oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id, k
+FROM (SELECT event_id,
+             CAST(VARIANT_GET(PARSE_JSON(props), '$.k', 'long') AS BIGINT)
+               AS k
+      FROM events)
+WHERE k >= 50
+ORDER BY event_id
+""")
+
+# Month-over-month revenue growth: monthly rollup then LAG deltas and
+# percent change over the month series.
+_q("q221_mom_growth", """
+WITH m AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+                  SUM(CAST(o_totalprice AS DOUBLE)) AS rev
+           FROM orders GROUP BY 1)
+SELECT m AS month_start, ROUND(rev, 2) AS rev,
+       ROUND(rev - LAG(rev) OVER (ORDER BY m), 2) AS delta,
+       ROUND((rev / LAG(rev) OVER (ORDER BY m) - 1) * 100, 2) AS pct
+FROM m ORDER BY month_start
+""")
+
+# Ordered event-path extraction (clickstream footprint per user):
+# Spark gets deterministic order by sorting collected (ts, event_id,
+# type) structs; the oracle's STRING_AGG orders directly.
+_q("q222_event_paths",
+   oracle="""
+SELECT user_id,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+   engine_sql="""
+SELECT user_id,
+       ARRAY_JOIN(TRANSFORM(
+         ARRAY_SORT(COLLECT_LIST(STRUCT(ts, event_id, event_type))),
+         x -> x.event_type), '>') AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""")
