@@ -3438,3 +3438,162 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY user_id ORDER BY user_id
 """)
+
+# ------------------------------------------------- analytics batch:
+# time-weighted avg, windowed distinct, JSON validity, map_zip_with,
+# number parsing, weighted stats, Luhn, star-except (q223-q230).
+
+# Time-weighted average value per user (TimescaleDB-style TWA): each
+# event's value is weighted by the seconds until the user's next
+# event. Paired only on the epoch-extraction spelling.
+_q("q223_time_weighted_avg",
+   oracle="""
+WITH x AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                  EPOCH(ts) AS t0,
+                  EPOCH(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS t1
+           FROM events)
+SELECT user_id,
+       ROUND(SUM(v * (t1 - t0)) / SUM(t1 - t0), 2) AS twa,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM x WHERE t1 IS NOT NULL
+GROUP BY user_id HAVING SUM(t1 - t0) > 0 ORDER BY user_id
+""",
+   engine_sql="""
+WITH x AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                  CAST(ts AS DOUBLE) AS t0,
+                  CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS DOUBLE) AS t1
+           FROM events)
+SELECT user_id,
+       ROUND(SUM(v * (t1 - t0)) / SUM(t1 - t0), 2) AS twa,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM x WHERE t1 IS NOT NULL
+GROUP BY user_id HAVING SUM(t1 - t0) > 0 ORDER BY user_id
+""")
+
+# Distinct count as a window aggregate. Spark rejects
+# COUNT(DISTINCT) OVER; the idiomatic translation is
+# SIZE(COLLECT_SET() OVER) — same value, and the partition-wide frame
+# means one state per partition key, not per row.
+_q("q224_distinct_count_window",
+   oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(DISTINCT o_orderpriority)
+            OVER (PARTITION BY o_custkey) AS BIGINT) AS u_prio
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey, o_custkey,
+       CAST(SIZE(COLLECT_SET(o_orderpriority)
+            OVER (PARTITION BY o_custkey)) AS BIGINT) AS u_prio
+FROM orders ORDER BY o_orderkey
+""")
+
+# JSON validity probing: intact props parse, brace-truncated props
+# don't. Spark 4 TRY_PARSE_JSON returns NULL VARIANT on bad input;
+# DuckDB asks json_valid directly.
+_q("q225_json_validity",
+   oracle="""
+SELECT event_id, json_valid(props) AS ok,
+       json_valid(SUBSTRING(props, 1, LENGTH(props) - 1)) AS ok_trunc
+FROM events ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id, TRY_PARSE_JSON(props) IS NOT NULL AS ok,
+       TRY_PARSE_JSON(SUBSTRING(props, 1, LENGTH(props) - 1))
+         IS NOT NULL AS ok_trunc
+FROM events ORDER BY event_id
+""")
+
+# MAP_ZIP_WITH key-aligned merge of two maps (missing keys surface as
+# NULL lambda args). Oracle computes the same merged values from the
+# scalar columns the maps were built from.
+_q("q226_map_zip_with",
+   oracle="""
+SELECT o_orderkey,
+       ROUND(CAST(o_totalprice AS DOUBLE) + CAST(o_custkey AS DOUBLE), 2)
+         AS base_sum,
+       ROUND(CAST(o_orderkey AS DOUBLE), 2) AS key_only,
+       ROUND(1.5, 2) AS tax_only
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH m AS (SELECT o_orderkey,
+                  MAP('base', CAST(o_totalprice AS DOUBLE),
+                      'key',  CAST(o_orderkey AS DOUBLE)) AS m1,
+                  MAP('base', CAST(o_custkey AS DOUBLE),
+                      'tax',  CAST(1.5 AS DOUBLE)) AS m2
+           FROM orders),
+z AS (SELECT o_orderkey,
+             MAP_ZIP_WITH(m1, m2,
+               (k, a, b) -> COALESCE(a, 0D) + COALESCE(b, 0D)) AS mz
+      FROM m)
+SELECT o_orderkey,
+       ROUND(ELEMENT_AT(mz, 'base'), 2) AS base_sum,
+       ROUND(ELEMENT_AT(mz, 'key'), 2)  AS key_only,
+       ROUND(ELEMENT_AT(mz, 'tax'), 2)  AS tax_only
+FROM z ORDER BY o_orderkey
+""")
+
+# TO_NUMBER / TRY_TO_NUMBER format-string parsing ('9' = optional
+# digit); oracle uses plain / TRY_CAST. Non-numeric o_orderpriority
+# ('1-URGENT') must come back NULL on both sides.
+_q("q227_to_number",
+   oracle="""
+SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS parsed,
+       TRY_CAST(o_orderpriority AS DOUBLE) IS NULL AS bad_null
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       CAST(TO_NUMBER(CAST(o_orderkey AS STRING), '999999999') AS BIGINT)
+         AS parsed,
+       TRY_TO_NUMBER(o_orderpriority, '999999999') IS NULL AS bad_null
+FROM orders ORDER BY o_orderkey
+""")
+
+# Weighted aggregate statistics (price-weighted discount/quantity):
+# pure arithmetic, shared text.
+_q("q228_weighted_stats", """
+SELECT l_returnflag,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * l_discount)
+             / SUM(CAST(l_extendedprice AS DOUBLE)), 4) AS w_avg_disc,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * l_quantity)
+             / SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS w_avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Luhn checksum validation. Spark has LUHN_CHECK built in; the oracle
+# re-derives it arithmetically (double every 2nd digit from the
+# right, fold >9 to digit sum, total % 10 == 0).
+_q("q229_luhn_check",
+   oracle="""
+WITH d AS (SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS s
+           FROM orders WHERE o_orderkey <= 2000),
+e AS (SELECT o_orderkey, u.i,
+             CAST(s[LENGTH(s) - u.i + 1] AS INT) AS dig
+      FROM d, UNNEST(generate_series(1, LENGTH(s))) u(i))
+SELECT o_orderkey,
+       (SUM(CASE WHEN i % 2 = 0
+                 THEN CASE WHEN 2 * dig > 9 THEN 2 * dig - 9
+                           ELSE 2 * dig END
+                 ELSE dig END) % 10 = 0) AS ok
+FROM e GROUP BY o_orderkey ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey, LUHN_CHECK(CAST(o_orderkey AS STRING)) AS ok
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+""")
+
+# SELECT * EXCEPT column subtraction + ORDER BY ALL (Spark spells it
+# EXCEPT, DuckDB EXCLUDE; ORDER BY ALL is shared Spark 4 / DuckDB
+# syntax; c_custkey survives the subtraction so the order is total).
+_q("q230_star_except",
+   oracle="""
+SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer ORDER BY ALL
+""",
+   engine_sql="""
+SELECT * EXCEPT (c_name, c_mktsegment) FROM customer ORDER BY ALL
+""")
