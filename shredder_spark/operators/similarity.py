@@ -313,3 +313,46 @@ def ivf_topk(
     return cosine_topk_blocked(
         cand.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding")),
         query, k=k)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster
+    drop every vector that has a lower-id neighbor at cosine >=
+    ``threshold``. Deterministic keep-lowest-id variant of the paper's
+    keep-one-per-group rule.
+
+    Scale posture: the quadratic cosine pass never leaves a cluster —
+    the self-join is an equi-join on ``cluster`` (one shuffle on a
+    small key), so pairwise work is Σ_c |c|² instead of n², and
+    cross-cluster duplicates are deliberately missed (the published
+    recall tradeoff). Survivor extraction is a broadcast-able
+    left_anti on the removed-id set.
+
+    Returns surviving ``(id, cluster)`` rows.
+    """
+    idx = IVFIndex(n_clusters=n_clusters, seed=seed).fit(embeddings, vec_col=vec_col)
+    assigned = idx.assign(embeddings, id_col=id_col, vec_col=vec_col)
+    norm_assigned = assigned.select(
+        "id", "cluster", normalized(as_double(F.col("v"))).alias("nv"))
+    a = norm_assigned.select(F.col("id").alias("i"), "cluster",
+                             F.col("nv").alias("va"))
+    b = norm_assigned.select(F.col("id").alias("j"), "cluster",
+                             F.col("nv").alias("vb"))
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("i") < F.col("j"))
+        .filter(dot(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .select(F.col("j").alias("id"))
+        .distinct()
+    )
+    return (assigned.join(removed, "id", "left_anti")
+            .select(F.col("id").alias(id_col), "cluster"))

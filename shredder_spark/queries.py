@@ -3597,3 +3597,64 @@ SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer ORDER BY ALL
    engine_sql="""
 SELECT * EXCEPT (c_name, c_mktsegment) FROM customer ORDER BY ALL
 """)
+
+# ------------------------------------------------- URL codec,
+# exact-capacity sketch top-k, histogram sketch, SemDeDup (q231-q234).
+
+# URL_ENCODE/URL_DECODE round-trip. documents.text is verified
+# [a-z0-9 ]-only, so form-encoding is exactly space→'+' and the
+# oracle can reconstruct it with REPLACE.
+_q("q231_url_codec",
+   oracle="""
+SELECT doc_id, REPLACE(text, ' ', '+') AS enc, text AS rt
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id, URL_ENCODE(text) AS enc,
+       URL_DECODE(URL_ENCODE(text)) AS rt
+FROM documents ORDER BY doc_id
+""")
+
+# APPROX_TOP_K at a capacity far above the corpus vocabulary (31
+# distinct tokens): the space-saving sketch is provably exact when
+# nothing is ever evicted, so this one hash-matches an exact oracle.
+_q("q232_approx_top_k",
+   oracle="""
+SELECT u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c
+FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) u(tok)
+GROUP BY u.tok ORDER BY c DESC, tok
+""",
+   engine_sql="""
+WITH tok AS (SELECT EXPLODE(SPLIT(text, ' ')) AS tok FROM documents),
+sk AS (SELECT APPROX_TOP_K(tok, 500, 65536) AS tk FROM tok)
+SELECT e.item AS tok, CAST(e.count AS BIGINT) AS c
+FROM sk LATERAL VIEW EXPLODE(tk) x AS e
+ORDER BY c DESC, tok
+""")
+
+
+def _q233_builder(spark: SparkSession) -> DataFrame:
+    # HISTOGRAM_NUMERIC sketch (approximate bin centers — rows-only;
+    # invariants pinned in tests/test_llm_ops.py).
+    return spark.sql("""
+SELECT b.x AS bin_center, b.y AS cnt
+FROM (SELECT HISTOGRAM_NUMERIC(CAST(o_totalprice AS DOUBLE), 10) AS h
+      FROM orders)
+LATERAL VIEW EXPLODE(h) t AS b
+ORDER BY bin_center
+""")
+
+
+_q("q233_histogram_numeric", oracle=None, builder=_q233_builder)
+
+
+def _q234_builder(spark: SparkSession) -> DataFrame:
+    # SemDeDup survivors (approximate/cluster-local — rows-only;
+    # greedy-equivalence invariants pinned in tests/test_llm_ops.py).
+    from shredder_spark.operators.similarity import semdedup
+
+    return (semdedup(spark.table("embeddings"), threshold=0.4)
+            .orderBy("vec_id"))
+
+
+_q("q234_semdedup", oracle=None, builder=_q234_builder)

@@ -276,3 +276,58 @@ def test_tokenize_udtf_matches_posexplode(spark, documents):
         FROM _udtf_docs LATERAL VIEW POSEXPLODE(SPLIT(text,' ')) x AS pos, tok
         ORDER BY doc_id, pos""").collect()
     assert [tuple(r) for r in via_udtf] == [tuple(r) for r in via_jvm]
+
+
+def test_histogram_numeric_invariants(spark):
+    # q233 is rows-only (sketch bin centers are approximate); pin the
+    # sketch's hard guarantees instead: bin count, total mass, centers
+    # inside the data range and strictly increasing.
+    orders = load_table(spark, SF, "orders")
+    from shredder_spark.queries import registry
+    hist = registry()["q233_histogram_numeric"].run(spark, SF).collect()
+    n_rows = orders.count()
+    lo, hi = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert len(hist) == 10
+    assert abs(sum(r.cnt for r in hist) - n_rows) < 1e-6
+    centers = [r.bin_center for r in hist]
+    assert all(lo <= c <= hi for c in centers)
+    assert centers == sorted(centers) and len(set(centers)) == len(centers)
+
+
+def test_semdedup_greedy_equivalence(spark, embeddings):
+    # Survivors must exactly match a numpy re-derivation of the
+    # cluster-local greedy rule: j removed iff some i<j in the same
+    # cluster has cosine(i,j) >= threshold.
+    import numpy as np
+
+    threshold = 0.4
+    idx = S.IVFIndex(n_clusters=8, seed=7).fit(embeddings)
+    assigned = idx.assign(embeddings).collect()
+    ids = np.array([r.id for r in assigned])
+    clusters = np.array([r.cluster for r in assigned])
+    X = np.array([r.v for r in assigned], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    expect_removed = set()
+    for c in set(clusters.tolist()):
+        m = clusters == c
+        cid, cx = ids[m], X[m]
+        order = np.argsort(cid)
+        cid, cx = cid[order], cx[order]
+        sims = cx @ cx.T
+        for a in range(len(cid)):
+            for b in range(a + 1, len(cid)):
+                if sims[a, b] >= threshold:
+                    expect_removed.add(int(cid[b]))
+    survivors = {r.vec_id for r in S.semdedup(embeddings, threshold=threshold).collect()}
+    assert survivors == set(ids.tolist()) - expect_removed
+    assert expect_removed, "threshold chosen so dedup actually removes rows"
+    # survivors are pairwise below threshold within every cluster
+    # (guaranteed by the keep-lowest-id rule; spot-check via the matrix)
+    for c in set(clusters.tolist()):
+        m = clusters == c
+        cid, cx = ids[m], X[m]
+        keep = np.isin(cid, list(survivors))
+        sims = cx[keep] @ cx[keep].T
+        np.fill_diagonal(sims, 0.0)
+        assert (sims < threshold).all()
