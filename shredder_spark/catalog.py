@@ -60,7 +60,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# The sf_dir most recently passed to register_views — lets query
+# builders that need the raw file scan (e.g. _metadata provenance,
+# which temp views cannot expose) re-open the same tables.
+CURRENT_SF_DIR = DEFAULT_SF_DIR
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view named after itself."""
+    global CURRENT_SF_DIR
+    CURRENT_SF_DIR = sf_dir
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -3658,3 +3658,120 @@ def _q234_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q234_semdedup", oracle=None, builder=_q234_builder)
+
+# ------------------------------------------------- provenance,
+# outer explode, physical-plan hints, splits, shards (q235-q240).
+
+# Hidden file-provenance metadata column (_metadata.file_name) — the
+# lineage primitive for multi-file lakes. Each driver table is exactly
+# one parquet file named <table>.parquet, so the oracle reconstructs
+# the provenance as that constant (verified equivalent to DuckDB's
+# read_parquet(..., filename=true) during the dialect probe).
+_q("q235_file_provenance",
+   oracle="""
+SELECT 'documents.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 ORDER BY file_name
+""",
+   builder=None)
+
+
+def _q235_builder(spark: SparkSession) -> DataFrame:
+    # Temp views can't expose hidden metadata columns, so read the
+    # file scan directly (same sf_dir register_views just used).
+    from shredder_spark import catalog
+
+    docs = catalog.load_table(spark, catalog.CURRENT_SF_DIR, "documents")
+    return (docs.select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name").agg(F.count("*").cast("long").alias("n"))
+            .orderBy("file_name"))
+
+
+_REGISTRY["q235_file_provenance"].builder = _q235_builder
+
+# EXPLODE_OUTER generator: rows with a NULL array survive with a NULL
+# element (oracle: LEFT JOIN UNNEST).
+_q("q236_explode_outer",
+   oracle="""
+SELECT d.doc_id, u.tok
+FROM documents d LEFT JOIN UNNEST(
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL
+            ELSE STRING_SPLIT(d.text, ' ') END) u(tok) ON TRUE
+ORDER BY doc_id, tok NULLS FIRST
+""",
+   engine_sql="""
+SELECT doc_id, tok
+FROM (SELECT doc_id,
+             EXPLODE_OUTER(CASE WHEN doc_id % 7 = 0 THEN NULL
+                                ELSE SPLIT(text, ' ') END) AS tok
+      FROM documents)
+ORDER BY doc_id, tok NULLS FIRST
+""")
+
+# Join-strategy hints (SHUFFLE_HASH on the big probe side, MERGE):
+# same rows as the unhinted query — the hint only pins the physical
+# strategy (plan shape asserted in tests/test_plans.py).
+_q("q237_join_strategy_hints",
+   oracle="""
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(CAST(l.l_extendedprice AS DOUBLE)), 2) AS rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+   engine_sql="""
+SELECT /*+ SHUFFLE_HASH(o), MERGE(c) */
+       n.n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(CAST(l.l_extendedprice AS DOUBLE)), 2) AS rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""")
+
+# DISTRIBUTE BY / SORT BY (Spark physical-layout clauses): content is
+# unchanged, so the totally-ordered outer SELECT hash-matches the
+# plain oracle.
+_q("q238_distribute_sort_by",
+   oracle="""
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS p
+FROM orders ORDER BY o_custkey, o_orderkey
+""",
+   engine_sql="""
+SELECT o_custkey, o_orderkey, p
+FROM (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS p
+      FROM orders DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderdate)
+ORDER BY o_custkey, o_orderkey
+""")
+
+# Deterministic train/val/test split (~80/10/10 by salted MD5 prefix,
+# engine-independent); reports per-split/lang doc and token counts.
+_q("q239_train_val_test_split", """
+WITH s AS (SELECT doc_id, lang,
+                  LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok,
+                  SUBSTRING(MD5(CAST(doc_id AS STRING) || '-split'), 1, 2) AS h
+           FROM documents)
+SELECT CASE WHEN h < 'cd' THEN 'train'
+            WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM s GROUP BY split, lang ORDER BY split, lang
+""")
+
+# Output-shard planning: size-balanced round-robin (largest docs
+# first, row_number % n_shards) — per-shard token totals prove the
+# balance; fully deterministic so the texts are shared.
+_q("q240_shard_plan", """
+WITH sized AS (SELECT doc_id,
+                      LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok
+               FROM documents),
+ranked AS (SELECT doc_id, n_tok,
+                  ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+           FROM sized)
+SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM ranked GROUP BY shard ORDER BY shard
+""")

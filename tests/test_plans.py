@@ -123,6 +123,15 @@ def test_time_partitioned_write_prunes(spark, tmp_path):
     assert df.count() == exact and exact > 0
 
 
+def test_q237_join_hints_pin_strategies(spark, reg):
+    """The SHUFFLE_HASH / MERGE hints must surface as those physical
+    join operators (an unhinted run may broadcast everything)."""
+    df = _run(spark, reg, "q237_join_strategy_hints")
+    plan = P.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" in plan, plan[:1200]
+
+
 def test_survey_registry_coverage():
     """SURVEY §2 Part B citations and the query registry stay in sync."""
     import subprocess
