@@ -3775,3 +3775,85 @@ SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
        CAST(SUM(n_tok) AS BIGINT) AS tokens
 FROM ranked GROUP BY shard ORDER BY shard
 """)
+
+# ------------------------------------------------- XML, constructor
+# datetime batch, token-budget prefix selection (q241-q243).
+
+# XML construction + XPath extraction + schema'd FROM_XML parse. The
+# XML is built from columns verified XML-safe ([a-z0-9] values), so
+# the oracle is the identity reconstruction.
+_q("q241_xml_xpath",
+   oracle="""
+SELECT doc_id, lang AS lang2, CAST(n_chars AS BIGINT) AS n2,
+       source AS src2, lang AS lang3
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+WITH x AS (SELECT doc_id,
+                  CONCAT('<doc><lang>', lang, '</lang><n>',
+                         CAST(n_chars AS STRING), '</n><src>', source,
+                         '</src></doc>') AS xml
+           FROM documents)
+SELECT doc_id,
+       XPATH_STRING(xml, '/doc/lang') AS lang2,
+       CAST(XPATH_LONG(xml, '/doc/n') AS BIGINT) AS n2,
+       XPATH_STRING(xml, '/doc/src') AS src2,
+       FROM_XML(xml, 'lang STRING, n BIGINT, src STRING').lang AS lang3
+FROM x ORDER BY doc_id
+""")
+
+# Constructor datetime batch: MAKE_DATE / MAKE_TIMESTAMP rebuild the
+# order date (shared syntax); MAKE_INTERVAL shifting is Spark-only and
+# pairs with explicit INTERVAL literals.
+_q("q242_make_datetime",
+   oracle="""
+SELECT o_orderkey,
+       MAKE_DATE(EXTRACT(YEAR FROM o_orderdate),
+                 EXTRACT(MONTH FROM o_orderdate),
+                 EXTRACT(DAY FROM o_orderdate)) AS d2,
+       MAKE_TIMESTAMP(EXTRACT(YEAR FROM o_orderdate),
+                      EXTRACT(MONTH FROM o_orderdate),
+                      EXTRACT(DAY FROM o_orderdate),
+                      12, 30, CAST(o_orderkey % 60 AS DOUBLE)) AS ts2,
+       MAKE_TIMESTAMP(EXTRACT(YEAR FROM o_orderdate),
+                      EXTRACT(MONTH FROM o_orderdate),
+                      EXTRACT(DAY FROM o_orderdate),
+                      12, 30, CAST(o_orderkey % 60 AS DOUBLE))
+         + INTERVAL 2 DAY + INTERVAL 3 HOUR AS shifted
+FROM orders ORDER BY o_orderkey
+""",
+   engine_sql="""
+SELECT o_orderkey,
+       MAKE_DATE(EXTRACT(YEAR FROM o_orderdate),
+                 EXTRACT(MONTH FROM o_orderdate),
+                 EXTRACT(DAY FROM o_orderdate)) AS d2,
+       MAKE_TIMESTAMP(EXTRACT(YEAR FROM o_orderdate),
+                      EXTRACT(MONTH FROM o_orderdate),
+                      EXTRACT(DAY FROM o_orderdate),
+                      12, 30, CAST(o_orderkey % 60 AS DECIMAL(16,6))) AS ts2,
+       MAKE_TIMESTAMP(EXTRACT(YEAR FROM o_orderdate),
+                      EXTRACT(MONTH FROM o_orderdate),
+                      EXTRACT(DAY FROM o_orderdate),
+                      12, 30, CAST(o_orderkey % 60 AS DECIMAL(16,6)))
+         + MAKE_INTERVAL(0, 0, 0, 2, 3, 0, 0) AS shifted
+FROM orders ORDER BY o_orderkey
+""")
+
+# Token-budget prefix selection: deterministically (hash-) shuffle the
+# corpus, then keep the prefix whose running token total fits a fixed
+# training budget — running-sum window, one shuffle.
+_q("q243_token_budget_prefix", """
+WITH sized AS (SELECT doc_id,
+                      LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                        AS n_tok,
+                      SUBSTRING(MD5(CAST(doc_id AS STRING) || '-order'),
+                                1, 8) AS h
+               FROM documents),
+run AS (SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM run WHERE cum <= 5000 ORDER BY doc_id
+""")
