@@ -1,0 +1,63 @@
+"""Python Data Source tier of the fixed-width format (B-surface):
+``spark.read.format("fixedwidth")`` must agree row-for-row with the
+expression tier on every fixture, including multibyte rune slicing and
+chunk-boundary alignment."""
+
+from __future__ import annotations
+
+import pytest
+
+from shredder_spark.sources.fixedwidth import read_fixed_width
+from shredder_spark.sources.fixedwidth_datasource import (
+    FixedWidthDataSource, read_via_datasource, register_fixedwidth_source,
+)
+from tests.fixtures import (
+    F1_WEBLOG_SCHEMA, F2_ALLTYPES_SCHEMA, F3_UTF8_SCHEMA,
+    write_f1, write_f2, write_f3,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("schema,writer,fname", [
+    (F1_WEBLOG_SCHEMA, write_f1, "f1.txt"),
+    (F2_ALLTYPES_SCHEMA, write_f2, "f2.txt"),
+    (F3_UTF8_SCHEMA, write_f3, "f3.txt"),
+])
+def test_datasource_matches_expression_tier(spark, tmp_path, schema, writer, fname):
+    path = str(tmp_path / fname)
+    writer(path)
+    via_ds = read_via_datasource(spark, path, schema, cores=5)
+    via_expr = read_fixed_width(spark, path, schema)
+    assert via_ds.schema == via_expr.schema
+    assert _rows(via_ds) == _rows(via_expr)
+
+
+def test_partition_planning_and_boundary_alignment(spark, tmp_path):
+    # Odd core counts force chunk boundaries mid-line; every row must
+    # appear exactly once (reference CRLF-alignment semantics,
+    # common/fixed.go:150-164).
+    path = str(tmp_path / "f1.txt")
+    write_f1(path, rows=1000)
+    register_fixedwidth_source(spark)
+    for cores in (1, 3, 7, 16):
+        df = read_via_datasource(spark, path, F1_WEBLOG_SCHEMA, cores=cores)
+        assert df.rdd.getNumPartitions() == cores
+        ids = sorted(r[0] for r in df.select(df.columns[0]).collect())
+        assert ids == list(range(1000)), f"cores={cores}"
+
+
+def test_footer_terminates_scan(spark, tmp_path):
+    # F2's writer appends a footer line; with cores=1 nothing after the
+    # footer may surface (ColumnBuilder.go:211-214 semantics).
+    path = str(tmp_path / "f2.txt")
+    write_f2(path, rows=100)
+    df = read_via_datasource(spark, path, F2_ALLTYPES_SCHEMA, cores=1)
+    assert df.count() == 100
+
+
+def test_format_name_registered(spark):
+    assert FixedWidthDataSource.name() == "fixedwidth"
+    register_fixedwidth_source(spark)  # idempotent re-register
