@@ -3857,3 +3857,97 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(cum AS BIGINT) AS cum_tokens
 FROM run WHERE cum <= 5000 ORDER BY doc_id
 """)
+
+# ------------------------------------------------- ANSI WITHIN GROUP,
+# struct-IN subquery, map explode, JSON introspection, regex
+# backreferences (q244-q248).
+
+# ANSI ordered-set aggregates — PERCENTILE_CONT / PERCENTILE_DISC
+# WITHIN GROUP parse identically in Spark 4 and DuckDB.
+_q("q244_within_group_percentiles", """
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 2)
+         AS p25,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity), 2)
+         AS p75,
+       ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity), 2)
+         AS p50d
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Multi-column (struct) IN subquery — Spark compiles the tuple
+# membership test to a semi-join; DuckDB lacks row-IN so the oracle
+# spells it as correlated EXISTS.
+_q("q245_tuple_in_subquery",
+   oracle="""
+SELECT l.l_orderkey, l.l_linenumber
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM lineitem h
+              WHERE h.l_quantity > 49
+                AND h.l_partkey = l.l_partkey
+                AND h.l_suppkey = l.l_suppkey)
+ORDER BY l_orderkey, l_linenumber
+""",
+   engine_sql="""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE (l_partkey, l_suppkey) IN
+      (SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 49)
+ORDER BY l_orderkey, l_linenumber
+""")
+
+# Map explode to key/value rows (oracle: the map reconstructed as a
+# two-branch UNION ALL).
+_q("q246_map_explode",
+   oracle="""
+SELECT o_orderkey, 'pr' AS k, o_orderpriority AS v FROM orders
+UNION ALL
+SELECT o_orderkey, 'st' AS k, o_orderstatus AS v FROM orders
+ORDER BY o_orderkey, k
+""",
+   engine_sql="""
+SELECT o_orderkey, k, v
+FROM (SELECT o_orderkey,
+             MAP('st', o_orderstatus, 'pr', o_orderpriority) AS m
+      FROM orders)
+LATERAL VIEW EXPLODE(m) t AS k, v
+ORDER BY o_orderkey, k
+""")
+
+# JSON introspection: array length and object-key listing over JSON
+# serialized from real columns (key order = construction order on
+# both engines).
+_q("q247_json_introspection",
+   oracle="""
+SELECT doc_id,
+       CAST(json_array_length(to_json(string_split(text, ' '))) AS BIGINT)
+         AS alen,
+       array_to_string(json_keys(to_json(struct_pack(a := doc_id,
+                                                     z := lang))), ',')
+         AS ks
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(JSON_ARRAY_LENGTH(TO_JSON(SPLIT(text, ' '))) AS BIGINT) AS alen,
+       ARRAY_JOIN(JSON_OBJECT_KEYS(TO_JSON(NAMED_STRUCT('a', doc_id,
+                                                        'z', lang))), ',')
+         AS ks
+FROM documents ORDER BY doc_id
+""")
+
+# Regexp replacement with capture-group backreferences (Spark $n,
+# DuckDB \n): swap the first two tokens of each document.
+_q("q248_regexp_backrefs",
+   oracle="""
+SELECT doc_id,
+       regexp_replace(SUBSTRING(text, 1, 30), '^(\\w+) (\\w+)', '\\2 \\1')
+         AS swapped
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       REGEXP_REPLACE(SUBSTRING(text, 1, 30), '^(\\\\w+) (\\\\w+)', '$2 $1')
+         AS swapped
+FROM documents ORDER BY doc_id
+""")
