@@ -356,3 +356,47 @@ def semdedup(
     )
     return (assigned.join(removed, "id", "left_anti")
             .select(F.col("id").alias(id_col), "cluster"))
+
+
+def normalize_embeddings_arrow(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize vectors with ``mapInArrow`` — the zero-copy Arrow
+    batch API (no pandas materialization: list<float> stays a single
+    contiguous Arrow buffer end to end, reshaped once into numpy).
+
+    Same result as ``normalized()`` (the higher-order-fn JVM path,
+    equivalence pinned in tests); this tier exists for transforms that
+    genuinely need numpy/BLAS on wide batches, where Arrow beats the
+    pandas bridge on both copies and GIL time.
+    """
+    ensure_package_on_executors(embeddings.sparkSession)
+    src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def _norm(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            dim = len(flat) // batch.num_rows
+            mat = flat.astype("float64").reshape(batch.num_rows, dim)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array(mat.ravel(), type=pa.float64()), dim).cast(
+                         pa.list_(pa.float64()))],
+                names=["id", "nv"],
+            )
+
+    out = src.mapInArrow(_norm, "id long, nv array<double>")
+    return out.select(F.col("id").alias(id_col), F.col("nv"))

@@ -331,3 +331,21 @@ def test_semdedup_greedy_equivalence(spark, embeddings):
         sims = cx[keep] @ cx[keep].T
         np.fill_diagonal(sims, 0.0)
         assert (sims < threshold).all()
+
+
+def test_map_in_arrow_normalize_matches_jvm_path(spark, embeddings):
+    # Arrow-native batch transform (B271) must agree with the
+    # higher-order-fn normalization to float tolerance.
+    arrow = {r.vec_id: r.nv
+             for r in S.normalize_embeddings_arrow(embeddings).collect()}
+    jvm = {r.vec_id: r.nv for r in embeddings.select(
+        "vec_id",
+        S.normalized(S.as_double(F.col("embedding"))).alias("nv")).collect()}
+    assert arrow.keys() == jvm.keys()
+    for k in arrow:
+        assert len(arrow[k]) == len(jvm[k]) == 64
+        assert max(abs(a - b) for a, b in zip(arrow[k], jvm[k])) < 1e-9
+    # unit norms
+    import math
+    for v in arrow.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
