@@ -3951,3 +3951,95 @@ SELECT doc_id,
          AS swapped
 FROM documents ORDER BY doc_id
 """)
+
+# ------------------------------------------------- bigram LM, MAD
+# outliers, PageRank (q249-q251).
+
+# Bigram language-model quality score (add-1 smoothed, corpus-trained;
+# the conditional upgrade of q190's unigram LM): per-doc mean
+# -ln( (c(w1,w2)+1) / (c(w1)+V) ) over consecutive token pairs.
+_q("q249_bigram_lm_score",
+   oracle="""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+pairs AS (SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) u(i)),
+cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
+         FROM pairs GROUP BY w1, w2),
+cnt1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS vs FROM pairs)
+SELECT p.doc_id,
+       ROUND(AVG(-LN((c.c2 + 1.0) / (c1.c1 + v.vs))), 4) AS nll,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM pairs p
+JOIN cnt2 c ON p.w1 = c.w1 AND p.w2 = c.w2
+JOIN cnt1 c1 ON p.w1 = c1.w1
+CROSS JOIN v
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+   engine_sql="""
+WITH toks AS (SELECT doc_id, SPLIT(text, ' ') AS t FROM documents),
+big AS (SELECT doc_id,
+               TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
+                         i -> STRUCT(ELEMENT_AT(t, i) AS w1,
+                                     ELEMENT_AT(t, i + 1) AS w2)) AS bs
+        FROM toks),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+          FROM big LATERAL VIEW EXPLODE(bs) x AS b),
+cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
+         FROM pairs GROUP BY w1, w2),
+cnt1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS vs FROM pairs)
+SELECT p.doc_id,
+       ROUND(AVG(-LN((c.c2 + 1.0) / (c1.c1 + v.vs))), 4) AS nll,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM pairs p
+JOIN cnt2 c ON p.w1 = c.w1 AND p.w2 = c.w2
+JOIN cnt1 c1 ON p.w1 = c1.w1
+CROSS JOIN v
+GROUP BY p.doc_id ORDER BY p.doc_id
+""")
+
+# MAD (median-absolute-deviation) robust outlier detection — the
+# robust-statistics sibling of the z-score (q150) and IQR (q151)
+# fences. Fence 1.2·1.4826·MAD is tuned non-empty on the uniform
+# synthetic data at every SF.
+_q("q250_mad_outliers",
+   oracle="""
+WITH med AS (SELECT QUANTILE_CONT(o_totalprice, 0.5) AS m FROM orders),
+dev AS (SELECT o.o_orderkey, o.o_totalprice,
+               ABS(o.o_totalprice - med.m) AS d
+        FROM orders o CROSS JOIN med),
+mad AS (SELECT QUANTILE_CONT(d, 0.5) AS mad FROM dev)
+SELECT dev.o_orderkey, ROUND(dev.o_totalprice, 2) AS price,
+       ROUND(dev.d / mad.mad, 4) AS mad_ratio
+FROM dev CROSS JOIN mad
+WHERE dev.d > 1.2 * 1.4826 * mad.mad
+ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH med AS (SELECT PERCENTILE(o_totalprice, 0.5) AS m FROM orders),
+dev AS (SELECT o.o_orderkey, o.o_totalprice,
+               ABS(o.o_totalprice - med.m) AS d
+        FROM orders o CROSS JOIN med),
+mad AS (SELECT PERCENTILE(d, 0.5) AS mad FROM dev)
+SELECT dev.o_orderkey, ROUND(dev.o_totalprice, 2) AS price,
+       ROUND(dev.d / mad.mad, 4) AS mad_ratio
+FROM dev CROSS JOIN mad
+WHERE dev.d > 1.2 * 1.4826 * mad.mad
+ORDER BY o_orderkey
+""")
+
+
+def _q251_builder(spark: SparkSession) -> DataFrame:
+    # PageRank over the corpus token-adjacency graph (iterative — not
+    # SQL-expressible; numpy power-iteration equivalence pinned in
+    # tests/test_llm_ops.py). Deterministic: fixed 10 iterations.
+    from shredder_spark.operators.graph import pagerank, token_adjacency_edges
+
+    edges = token_adjacency_edges(spark.table("documents"))
+    pr = pagerank(edges, iters=10)
+    return pr.select(F.col("id").alias("token"),
+                     F.round("rank", 6).alias("rank")).orderBy("token")
+
+
+_q("q251_pagerank_tokens", oracle=None, builder=_q251_builder)

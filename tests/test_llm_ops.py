@@ -349,3 +349,32 @@ def test_map_in_arrow_normalize_matches_jvm_path(spark, embeddings):
     import math
     for v in arrow.values():
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, documents):
+    import numpy as np
+
+    from shredder_spark.operators.graph import pagerank, token_adjacency_edges
+
+    edges_df = token_adjacency_edges(documents)
+    # pagerank drops self-loops (repeated consecutive tokens) — mirror
+    edges = {(r.src, r.dst) for r in edges_df.collect() if r.src != r.dst}
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    got = {row.id: row["rank"] for row in pagerank(edges_df, iters=10).collect()}
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for t in nodes:
+        assert abs(got[t] - r[idx[t]]) < 1e-9, t
