@@ -4043,3 +4043,98 @@ def _q251_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q251_pagerank_tokens", oracle=None, builder=_q251_builder)
+
+# ------------------------------------------------- CDC snapshot,
+# collations, IDENTIFIER, LIKE quantifiers, IS DISTINCT FROM, named
+# function arguments (q252-q257).
+
+# CDC apply / SCD1 snapshot with tombstones: the newest event per key
+# wins, keys whose newest event is a tombstone ('error') disappear.
+# CAST(ts AS TIMESTAMP) truncates DuckDB's nanos to Spark's micros so
+# both engines break ties identically (q113 convention).
+_q("q252_cdc_snapshot", """
+SELECT user_id, last_type, last_value FROM (
+  SELECT user_id, event_type AS last_type,
+         ROUND(CAST(value AS DOUBLE), 2) AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND last_type <> 'error'
+ORDER BY user_id
+""")
+
+# Spark 4 collation framework: UTF8_LCASE makes the comparison
+# case-insensitive at the expression level; the oracle folds case
+# explicitly.
+_q("q253_collation",
+   oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_en
+FROM documents
+WHERE LOWER(lang) = 'en'
+GROUP BY source ORDER BY source
+""",
+   engine_sql="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_en
+FROM documents
+WHERE lang COLLATE UTF8_LCASE = 'EN'
+GROUP BY source ORDER BY source
+""")
+
+# IDENTIFIER() clause — late-bound object names from strings (the
+# safe dynamic-SQL primitive); the oracle binds statically.
+_q("q254_identifier_clause",
+   oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang ORDER BY lang
+""",
+   engine_sql="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM IDENTIFIER('documents') GROUP BY lang ORDER BY lang
+""")
+
+# LIKE quantifiers (ALL / ANY) and ILIKE. ILIKE is shared syntax;
+# the quantified forms expand to AND/OR chains in the oracle.
+_q("q255_like_quantifiers",
+   oracle="""
+SELECT p_partkey FROM part
+WHERE (p_name LIKE '%a%' AND p_name LIKE '%e%')
+   OR (p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%')
+   OR p_name ILIKE '%GrEeN%'
+ORDER BY p_partkey
+""",
+   engine_sql="""
+SELECT p_partkey FROM part
+WHERE p_name LIKE ALL ('%a%', '%e%')
+   OR p_type LIKE ANY ('%BRASS%', '%COPPER%')
+   OR p_name ILIKE '%GrEeN%'
+ORDER BY p_partkey
+""")
+
+# IS DISTINCT FROM null-safe comparison — shared ANSI syntax; NULLIF
+# manufactures NULLs on both sides of the comparison.
+_q("q256_is_distinct_from", """
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') IS DISTINCT FROM
+         NULLIF(o_orderpriority, '1-URGENT') AS d1,
+       NULLIF(o_orderstatus, 'F') IS NOT DISTINCT FROM
+         CAST(NULL AS STRING) AS d2
+FROM orders ORDER BY o_orderkey
+""")
+
+# Named function arguments (Spark 4): MASK with keyword-selected
+# replacement chars; oracle rebuilds with a regexp chain.
+_q("q257_named_args",
+   oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', '#', 'g'), '[a-z]', '_', 'g'), '[0-9]', '9', 'g')
+         AS masked
+FROM customer ORDER BY c_custkey
+""",
+   engine_sql="""
+SELECT c_custkey,
+       MASK(c_name, upperChar => '#', lowerChar => '_', digitChar => '9')
+         AS masked
+FROM customer ORDER BY c_custkey
+""")
