@@ -4138,3 +4138,48 @@ SELECT c_custkey,
          AS masked
 FROM customer ORDER BY c_custkey
 """)
+
+# ------------------------------------------------- recursive graph
+# traversal (q258).
+
+# Bounded BFS over the token-adjacency graph with a RECURSIVE CTE
+# (UNION ALL — Spark 4's recursion doesn't dedup yet; the MIN(lvl)
+# fold makes the path multiplicity irrelevant): minimum hop count
+# from 'table' to every token within 3 hops.
+_q("q258_recursive_bfs",
+   oracle="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT t[u.i] AS src, t[u.i + 1] AS dst
+  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM documents) s,
+       UNNEST(generate_series(1, LEN(t) - 1)) u(i)
+  WHERE t[u.i] <> t[u.i + 1]
+),
+reach (tok, lvl) AS (
+  SELECT 'table' AS tok, 0 AS lvl
+  UNION ALL
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN edges e ON e.src = r.tok
+  WHERE r.lvl < 3
+)
+SELECT tok, CAST(MIN(lvl) AS BIGINT) AS depth
+FROM reach GROUP BY tok ORDER BY depth, tok
+""",
+   engine_sql="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT b.src, b.dst FROM (
+    SELECT EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
+             i -> STRUCT(ELEMENT_AT(t, i) AS src,
+                         ELEMENT_AT(t, i + 1) AS dst))) AS b
+    FROM (SELECT SPLIT(text, ' ') AS t FROM documents) s) x
+  WHERE b.src <> b.dst
+),
+reach (tok, lvl) AS (
+  SELECT 'table' AS tok, 0 AS lvl
+  UNION ALL
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN edges e ON e.src = r.tok
+  WHERE r.lvl < 3
+)
+SELECT tok, CAST(MIN(lvl) AS BIGINT) AS depth
+FROM reach GROUP BY tok ORDER BY depth, tok
+""")

@@ -132,6 +132,20 @@ def test_q237_join_hints_pin_strategies(spark, reg):
     assert "SortMergeJoin" in plan, plan[:1200]
 
 
+def test_rebalance_and_repartition_hints(spark, reg):
+    """Output-layout hints must land in the plan: REBALANCE inserts an
+    AQE-rebalanced exchange, REPARTITION(n, col) a hash exchange."""
+    from shredder_spark.catalog import register_views
+    register_views(spark, SF)
+    reb = spark.sql("SELECT /*+ REBALANCE */ o_orderkey FROM orders")
+    assert "rebalance" in reb._jdf.queryExecution().toString().lower()
+    rep = spark.sql(
+        "SELECT /*+ REPARTITION(7, o_custkey) */ o_orderkey, o_custkey FROM orders")
+    assert rep.rdd.getNumPartitions() == 7
+    plan = P.formatted_plan(rep)
+    assert "Exchange" in plan and "hashpartitioning(o_custkey" in plan
+
+
 def test_survey_registry_coverage():
     """SURVEY §2 Part B citations and the query registry stay in sync."""
     import subprocess
