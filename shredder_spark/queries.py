@@ -4183,3 +4183,59 @@ reach (tok, lvl) AS (
 SELECT tok, CAST(MIN(lvl) AS BIGINT) AS depth
 FROM reach GROUP BY tok ORDER BY depth, tok
 """)
+
+# ------------------------------------------------- explicit semi/anti
+# join syntax, vocabulary coverage curve (q259-q260).
+
+# First-class SEMI / ANTI join syntax (Spark: LEFT SEMI / LEFT ANTI;
+# DuckDB: SEMI / ANTI) — the EXISTS-free spelling of q09/q10.
+_q("q259_semi_anti_syntax",
+   oracle="""
+SELECT c.c_custkey, 'has_big_order' AS tag
+FROM customer c SEMI JOIN (SELECT * FROM orders
+                           WHERE o_totalprice > 100000) o
+  ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT c.c_custkey, 'no_order' AS tag
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey, tag
+""",
+   engine_sql="""
+SELECT c.c_custkey, 'has_big_order' AS tag
+FROM customer c LEFT SEMI JOIN (SELECT * FROM orders
+                                WHERE o_totalprice > 100000) o
+  ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT c.c_custkey, 'no_order' AS tag
+FROM customer c LEFT ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey, tag
+""")
+
+# Vocabulary coverage curve: tokens ranked by frequency, cumulative
+# share of the corpus — the "how big a vocab covers X% of tokens"
+# planning metric. One explode + one agg + one window.
+_q("q260_vocab_coverage",
+   oracle="""
+WITH tf AS (SELECT u.tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) u(tok)
+            GROUP BY u.tok),
+tot AS (SELECT SUM(c) AS t FROM tf)
+SELECT ROW_NUMBER() OVER (ORDER BY tf.c DESC, tf.tok) AS vocab_rank,
+       tf.tok,
+       ROUND(SUM(tf.c) OVER (ORDER BY tf.c DESC, tf.tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / tot.t, 4) AS cum_share
+FROM tf CROSS JOIN tot ORDER BY vocab_rank
+""",
+   engine_sql="""
+WITH tf AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) x AS tok
+            GROUP BY tok),
+tot AS (SELECT SUM(c) AS t FROM tf)
+SELECT ROW_NUMBER() OVER (ORDER BY tf.c DESC, tf.tok) AS vocab_rank,
+       tf.tok,
+       ROUND(SUM(tf.c) OVER (ORDER BY tf.c DESC, tf.tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / tot.t, 4) AS cum_share
+FROM tf CROSS JOIN tot ORDER BY vocab_rank
+""")

@@ -378,3 +378,45 @@ def test_pagerank_matches_numpy_power_iteration(spark, documents):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for t in nodes:
         assert abs(got[t] - r[idx[t]]) < 1e-9, t
+
+
+def test_apply_in_arrow_group_centroids(spark, embeddings):
+    # groupBy().applyInArrow (B283): per-cluster mean vector computed
+    # over Arrow batches must match the posexplode/groupBy JVM path.
+    import pyarrow as pa
+    import numpy as np
+
+    grouped = embeddings.withColumn("g", (F.col("vec_id") % 4).cast("int"))
+
+    def centroid(batch: pa.Table) -> pa.Table:
+        g = batch.column("g")[0].as_py()
+        mat = np.vstack([np.asarray(v) for v in
+                         batch.column("embedding").to_pylist()]).astype("float64")
+        m = mat.mean(axis=0)
+        return pa.table({"g": pa.array([g], type=pa.int32()),
+                         "centroid": pa.array([m.tolist()],
+                                              type=pa.list_(pa.float64()))})
+
+    got = {r.g: r.centroid for r in grouped.groupBy("g")
+           .applyInArrow(centroid, "g int, centroid array<double>").collect()}
+
+    jvm = (grouped.select("g", F.posexplode("embedding").alias("d", "x"))
+           .groupBy("g", "d").agg(F.avg(F.col("x").cast("double")).alias("m"))
+           .groupBy("g").agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                             .alias("dm")))
+    want = {r.g: [s.m for s in r.dm] for r in jvm.collect()}
+    assert got.keys() == want.keys()
+    for g in got:
+        assert max(abs(a - b) for a, b in zip(got[g], want[g])) < 1e-9
+
+
+def test_arrow_optimized_python_udf(spark, documents):
+    # Spark 4 Arrow-serialized Python UDF (useArrow=True) must agree
+    # with the JVM REVERSE built-in (q38's UDF surface, Arrow tier).
+    from pyspark.sql.functions import udf
+
+    rev = udf(lambda s: s[::-1], "string", useArrow=True)
+    rows = documents.select(
+        rev(F.col("lang")).alias("a"),
+        F.reverse(F.col("lang")).alias("b")).collect()
+    assert rows and all(r.a == r.b for r in rows)
