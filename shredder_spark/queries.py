@@ -4239,3 +4239,61 @@ SELECT ROW_NUMBER() OVER (ORDER BY tf.c DESC, tf.tok) AS vocab_rank,
              / tot.t, 4) AS cum_share
 FROM tf CROSS JOIN tot ORDER BY vocab_rank
 """)
+
+# ------------------------------------------------- seeded sampling,
+# leave-one-out stats, hierarchical shares (q261-q263).
+
+
+def _q261_builder(spark: SparkSession) -> DataFrame:
+    # Seeded deterministic sampling via hash thresholding. `.sample(seed=)`
+    # is only repeatable for a fixed partition layout (the seed feeds a
+    # per-partition XORShift stream), which a re-plan or AQE can change;
+    # xxhash64(key, seed) depends on row content alone, so the same 20%
+    # slice comes back on any cluster size — the property a 100 TB
+    # pipeline actually needs for a reproducible holdout. Rows-only:
+    # DuckDB has no xxhash64. Determinism/fraction bounds pinned in
+    # tests/test_llm_ops.py.
+    return (spark.table("documents")
+            .where((F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(100)) < 20))
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+_q("q261_seeded_sample", oracle=None, builder=_q261_builder)
+
+# Leave-one-out group statistics: each order's price vs the mean of
+# the OTHER orders of its customer — (sum-x)/(n-1) via window
+# aggregates, the standard target-encoding/LOO trick.
+_q("q262_loo_stats", """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN (COUNT(*) OVER w) > 1
+            THEN ROUND(CAST((SUM(cents) OVER w) - cents AS DOUBLE)
+                       / ((COUNT(*) OVER w) - 1)) / 100.0
+       END AS loo_mean,
+       ROUND(CAST(cents AS DOUBLE)
+             - CAST(SUM(cents) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+             + 0.0) / 100.0 AS dev_from_mean
+FROM o
+WINDOW w AS (PARTITION BY o_custkey)
+ORDER BY o_orderkey
+""")
+
+# Hierarchical share-of-parent: nation revenue as a share of its
+# region and of the world — two empty-frame windows at different
+# grains over one aggregate.
+_q("q263_share_of_parent", """
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name,
+         SUM(CAST(o.o_totalprice AS DOUBLE)) AS nation_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name)
+SELECT n_regionkey, n_name, ROUND(nation_rev, 2) AS rev,
+       ROUND(nation_rev / SUM(nation_rev)
+             OVER (PARTITION BY n_regionkey), 4) AS share_of_region,
+       ROUND(nation_rev / SUM(nation_rev) OVER (), 4) AS share_of_world
+FROM rev ORDER BY n_regionkey, n_name
+""")

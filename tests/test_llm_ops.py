@@ -420,3 +420,21 @@ def test_arrow_optimized_python_udf(spark, documents):
         rev(F.col("lang")).alias("a"),
         F.reverse(F.col("lang")).alias("b")).collect()
     assert rows and all(r.a == r.b for r in rows)
+
+
+def test_seeded_sample_deterministic_and_bounded(spark, documents):
+    def pick(seed):
+        return sorted(r.doc_id for r in documents.where(
+            F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(100)) < 20
+        ).collect())
+
+    a, b = pick(7), pick(7)
+    assert a == b  # content-hash sampling: identical on every re-plan
+    # and after an arbitrary repartition (partition-layout independent)
+    shuffled = documents.repartition(7)
+    c = sorted(r.doc_id for r in shuffled.where(
+        F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(100)) < 20).collect())
+    assert a == c
+    n = documents.count()
+    assert 0.10 * n <= len(a) <= 0.32 * n  # loose binomial bounds
+    assert a != pick(8)  # different seed actually changes the sample
