@@ -4297,3 +4297,156 @@ SELECT n_regionkey, n_name, ROUND(nation_rev, 2) AS rev,
        ROUND(nation_rev / SUM(nation_rev) OVER (), 4) AS share_of_world
 FROM rev ORDER BY n_regionkey, n_name
 """)
+
+# ------------------------------------------------- stratified sampling,
+# datetime batch 6, cogroup merge, unpivot API, SQL UDFs (q264-q268).
+
+# Exact stratified sample: top-3 docs per language ordered by a
+# content hash both engines share (md5 of the key), so the "random"
+# sample is identical across engines, partition layouts, and cluster
+# sizes — the scalable alternative to sampleBy's partition-dependent
+# Bernoulli draw. Shared text: ROW_NUMBER + md5 parse identically.
+_q("q264_stratified_sample", """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+           AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY lang, rk
+""")
+
+# Datetime batch 6: next_day / last_day / add_months / months_between /
+# day name. DuckDB lacks next_day and months_between; the oracle
+# emulates next-Friday with dayofweek arithmetic (DuckDB Sunday=0,
+# Friday=5; strictly-after semantics like Spark's) and month-truncated
+# months_between with datediff('month'), exact because both ends are
+# month starts.
+_q("q265_datetime_batch6", """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders WHERE o_orderkey <= 500)
+SELECT o_orderkey,
+       CAST(d + INTERVAL (((5 - dayofweek(d) + 6) % 7) + 1) DAY AS DATE)
+         AS next_fri,
+       last_day(d) AS eom,
+       CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       CAST(datediff('month', DATE '1995-01-01', date_trunc('month', d))
+            AS BIGINT) AS months_since,
+       dayname(d) AS dname
+FROM o ORDER BY o_orderkey
+""", engine_sql="""
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders WHERE o_orderkey <= 500)
+SELECT o_orderkey,
+       next_day(d, 'Friday') AS next_fri,
+       last_day(d) AS eom,
+       add_months(d, 2) AS plus2m,
+       CAST(months_between(date_trunc('month', d), DATE '1995-01-01')
+            AS BIGINT) AS months_since,
+       date_format(d, 'EEEE') AS dname
+FROM o ORDER BY o_orderkey
+""")
+
+
+def _q266_builder(spark: SparkSession) -> DataFrame:
+    # Cogrouped applyInPandas: per-customer order rollup merged with
+    # the customer dim in one grouped-map pass (pyspark
+    # GroupedData.cogroup). Key union semantics — customers with no
+    # orders surface with n_orders=0 — which SQL spells as a FULL
+    # OUTER JOIN of the aggregate. Integer-cents arithmetic keeps the
+    # pandas path bit-identical to the oracle.
+    import pandas as pd
+
+    orders = spark.table("orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+
+    def merge(key, o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        (k,) = key
+        n = len(o_pdf)
+        total = int(o_pdf["cents"].sum()) if n else 0
+        seg = c_pdf["c_mktsegment"].iloc[0] if len(c_pdf) else None
+        return pd.DataFrame({"custkey": [k], "n_orders": [n],
+                             "total_price": [total / 100.0],
+                             "mktsegment": [seg]})
+
+    out = (orders.groupBy("o_custkey")
+           .cogroup(cust.groupBy("c_custkey"))
+           .applyInPandas(
+               merge,
+               "custkey long, n_orders long, total_price double, "
+               "mktsegment string"))
+    return out.orderBy("custkey")
+
+
+_q("q266_cogroup_merge", """
+WITH oa AS (SELECT o_custkey, COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
+       CAST(COALESCE(oa.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(oa.cents, 0) AS DOUBLE) / 100.0 AS total_price,
+       c.c_mktsegment AS mktsegment
+FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
+ORDER BY custkey
+""", builder=_q266_builder)
+
+
+def _q267_builder(spark: SparkSession) -> DataFrame:
+    # DataFrame unpivot/melt API (q132 covers the SQL UNPIVOT clause;
+    # this is the programmatic tier). Oracle spells it as UNION ALL —
+    # the portable relational reading of melt.
+    wide = (spark.table("orders").groupBy("o_orderpriority")
+            .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+    return (wide.unpivot("o_orderpriority", ["avg_price", "max_price"],
+                         "metric", "val")
+            .orderBy("o_orderpriority", "metric"))
+
+
+_q("q267_unpivot_api", """
+WITH w AS (SELECT o_orderpriority,
+                  ROUND(AVG(CAST(o_totalprice AS DOUBLE)), 2) AS avg_price,
+                  ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 2) AS max_price
+           FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'avg_price' AS metric, avg_price AS val FROM w
+UNION ALL
+SELECT o_orderpriority, 'max_price' AS metric, max_price AS val FROM w
+ORDER BY o_orderpriority, metric
+""", builder=_q267_builder)
+
+
+def _q268_builder(spark: SparkSession) -> DataFrame:
+    # SQL-defined scalar UDFs (CREATE FUNCTION ... RETURN expr,
+    # Spark 4): the body inlines into the Catalyst plan — whole-stage
+    # codegen, pushdown, no Python round-trip — so "UDF" here costs
+    # nothing at 100 TB. Oracle inlines the same expressions.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+                   p DOUBLE, d DOUBLE) RETURNS DOUBLE
+                 RETURN p * (1 - d)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(
+                   p DOUBLE) RETURNS STRING
+                 RETURN CASE WHEN p < 1000 THEN 'low'
+                             WHEN p < 10000 THEN 'mid'
+                             ELSE 'high' END""")
+    return spark.sql("""
+SELECT price_band(l_extendedprice) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(disc_price(CAST(l_extendedprice AS DOUBLE),
+                            CAST(l_discount AS DOUBLE))), 2) AS revenue
+FROM lineitem GROUP BY band ORDER BY band
+""")
+
+
+_q("q268_sql_udf", """
+SELECT CASE WHEN l_extendedprice < 1000 THEN 'low'
+            WHEN l_extendedprice < 10000 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                 * (1 - CAST(l_discount AS DOUBLE))), 2) AS revenue
+FROM lineitem
+GROUP BY band ORDER BY band
+""", builder=_q268_builder)

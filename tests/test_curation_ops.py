@@ -183,3 +183,64 @@ def test_clustered_keepers_one_per_component(spark):
     n_clustered_docs = cc.count()
     # keepers = all docs minus non-representative members
     assert kept.count() == docs.count() - (n_clustered_docs - n_components)
+
+
+def test_dataframe_stat_tier(spark):
+    """df.stat surface: crosstab matches groupBy counts, freqItems
+    contains every true heavy hitter, sampleBy respects strata
+    fractions, approxQuantile brackets the exact quantile, and
+    cov/corr match the SQL aggregate forms."""
+    from shredder_spark.catalog import register_views
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    orders = spark.table("orders")
+
+    # crosstab(lang, source) == pivoted groupBy().count()
+    ct = {(r["lang_source"], c): int(r[c])
+          for r in docs.stat.crosstab("lang", "source").collect()
+          for c in r.asDict() if c != "lang_source"}
+    exact = {(r.lang, r.source): r["count"]
+             for r in docs.groupBy("lang", "source").count().collect()}
+    for (lang, src), n in exact.items():
+        assert ct[(lang, src)] == n
+    assert sum(ct.values()) == docs.count()
+
+    # freqItems at support 0.1 must include any value with true
+    # frequency above that support
+    freq = docs.stat.freqItems(["lang"], 0.1).collect()[0][0]
+    n_docs = docs.count()
+    true_heavy = [r.lang for r in docs.groupBy("lang").count()
+                  .where(F.col("count") > 0.1 * n_docs).collect()]
+    assert set(true_heavy) <= set(freq)
+
+    # sampleBy: only requested strata appear; per-stratum size within
+    # loose binomial bounds of the requested fraction
+    fracs = {"en": 0.5, "de": 0.2}
+    sample = docs.stat.sampleBy("lang", fracs, seed=7)
+    got = {r.lang: r["count"]
+           for r in sample.groupBy("lang").count().collect()}
+    assert set(got) <= set(fracs)
+    full = {r.lang: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    for lang, frac in fracs.items():
+        assert 0.3 * frac * full[lang] <= got.get(lang, 0) \
+            <= 2.0 * frac * full[lang]
+
+    # approxQuantile with rel.err 0.01 brackets the exact median
+    lo, med, hi = orders.stat.approxQuantile(
+        "o_totalprice", [0.25, 0.5, 0.75], 0.01)
+    exact_med = orders.selectExpr(
+        "percentile(o_totalprice, 0.5) AS m").collect()[0].m
+    n = orders.count()
+    rank_lo = orders.where(F.col("o_totalprice") <= med).count()
+    assert 0.49 * n - 0.01 * n <= rank_lo  # within rel-err of the rank
+    assert lo <= med <= hi and abs(med - exact_med) / exact_med < 0.1
+
+    # cov/corr match the SQL aggregates
+    cov = orders.stat.cov("o_totalprice", "o_custkey")
+    corr = orders.stat.corr("o_totalprice", "o_custkey")
+    row = orders.selectExpr(
+        "covar_samp(o_totalprice, o_custkey) AS cv",
+        "corr(o_totalprice, o_custkey) AS cr").collect()[0]
+    assert abs(cov - row.cv) < 1e-6 * max(1.0, abs(row.cv))
+    assert abs(corr - row.cr) < 1e-9
