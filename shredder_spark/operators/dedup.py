@@ -149,19 +149,33 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
+    # The expensive subtree (tokenize + num_perm permutations) must
+    # appear exactly ONCE in the DAG — the previous self-join shape
+    # evaluated it 4x (bucket-size count, semi-join, and both join
+    # sides) and quadrupled the codegen surface. Bucket membership is
+    # therefore collected per (band, bandhash) and pairs are generated
+    # in-array; everything downstream hangs off that single groupBy.
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    if src.rdd.getNumPartitions() < par:
+        # local/small inputs arrive as one split; spread the signature
+        # computation. On a real cluster the scan already has thousands
+        # of splits and this branch never fires.
+        src = src.repartition(par, "_id")
     # staged projection: hash the tokens once, then fan out the
     # num_perm permutations over the named column (see token_hashes)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        token_hashes(F.col(text_col)).alias("_hs"),
+    sig = src.select(
+        "_id",
+        token_hashes(F.col("_text")).alias("_hs"),
     ).select(
         "_id",
         minhash_from_hashes(F.col("_hs"), num_perm, seed).alias("_sig"),
     )
     # The banded relation is (id, band, bandhash) ONLY — at 100 TB the
-    # band join must never ship token arrays (16 copies of every doc's
-    # tokens through the shuffle); tokens are re-joined afterwards for
-    # the (much smaller) candidate set.
+    # banding shuffle must never ship token arrays (16 copies of every
+    # doc's tokens); text is re-joined afterwards for the (much
+    # smaller) candidate set.
     banded = sig.select(
         "_id",
         F.explode(F.array(*[
@@ -171,27 +185,41 @@ def minhash_lsh_pairs(
         ])).alias("b"),
     ).select("_id", "b.band", "b.bh")
 
-    # cap degenerate buckets (skew guard at scale)
-    bucket_sizes = banded.groupBy("band", "bh").count()
-    banded = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket_size).select("band", "bh"),
-        ["band", "bh"], "left_semi")
-
-    a, b = banded.alias("a"), banded.alias("b")
+    # One shuffle groups bucket members; the size cap is a filter on
+    # the collected array (skew guard: degenerate buckets — stopwords,
+    # empty docs — are skipped, same semantics as the old count+semi-
+    # join but without a second evaluation of the banded relation).
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size))
+    )
+    # i<j pairs straight from the sorted member array — no self-join.
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), "
+        "y -> named_struct('i', x, 'j', y))))"
+    )
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) &
-               (F.col("a.bh") == F.col("b.bh")) &
-               (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.i", "p.j")
         .dropDuplicates(["i", "j"])
     )
     if not verify:
         return cand
-    tok = df.select(F.col(id_col).alias("_id"),
-                    tokens_col(F.col(text_col)).alias("_tok"))
+    # Exact verification: join raw text back on each side. The
+    # candidate side is small (bucket-capped), so AQE's dynamic join
+    # selection broadcasts it — the corpus is scanned, never shuffled —
+    # and tokenization runs only on the joined (candidate) rows.
+    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     cand = (cand
-            .join(tok.select(F.col("_id").alias("i"), F.col("_tok").alias("ti")), "i")
-            .join(tok.select(F.col("_id").alias("j"), F.col("_tok").alias("tj")), "j"))
+            .join(txt.select(F.col("_id").alias("i"), F.col("_t").alias("xi")), "i")
+            .join(txt.select(F.col("_id").alias("j"), F.col("_t").alias("xj")), "j"))
+    cand = cand.select(
+        "i", "j",
+        tokens_col(F.col("xi")).alias("ti"),
+        tokens_col(F.col("xj")).alias("tj"),
+    )
     inter = F.size(F.array_intersect("ti", "tj"))
     union = F.size(F.array_union("ti", "tj"))
     return (
