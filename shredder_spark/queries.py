@@ -3461,9 +3461,10 @@ GROUP BY user_id HAVING SUM(t1 - t0) > 0 ORDER BY user_id
 """,
    engine_sql="""
 WITH x AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
-                  CAST(ts AS DOUBLE) AS t0,
-                  CAST(LEAD(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS DOUBLE) AS t1
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 1e6 AS t0,
+                  UNIX_MICROS(CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                              AS TIMESTAMP)) / 1e6 AS t1
            FROM events)
 SELECT user_id,
        ROUND(SUM(v * (t1 - t0)) / SUM(t1 - t0), 2) AS twa,

@@ -127,11 +127,19 @@ def _line_expr() -> Column:
     return F.concat(*parts)
 
 
+# Scratch on tmpfs when available: the reference's transcripts are
+# NVMe runs at 7/5 GB/s r/w (BASELINE.md) — this VM's disk is ~10×
+# slower than that, so tmpfs is the faithful stand-in; fall back to
+# /tmp otherwise.
+BENCH_BASE = ("/dev/shm/shredder_bench"
+              if os.path.isdir("/dev/shm") else "/tmp/shredder_bench")
+
+
 def ensure_fixture(
     spark: SparkSession,
     sf_dir: str,
     *,
-    base_dir: str = "/tmp/shredder_bench",
+    base_dir: str = BENCH_BASE,
     replicate: int | None = None,
     files: int = 32,
 ) -> dict:
@@ -185,7 +193,7 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
     # are hot-NVMe single-machine runs; the Go binary pays no JIT).
     warm = read_fixed_width(spark, path, BENCH_SCHEMA)
     warm.write.format("noop").mode("overwrite").save()
-    avro_out = os.path.join("/tmp/shredder_bench", "avro_out")
+    avro_out = os.path.join(BENCH_BASE, "avro_out")
     jvm_avro = have_spark_avro(spark)
     if jvm_avro:
         (warm.limit(100_000).write.format(AVRO_FORMAT)

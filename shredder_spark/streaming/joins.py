@@ -29,7 +29,9 @@ def interval_join(
     """Inner join: right rows within ``[left_ts - lookback, left_ts]``
     for the same key. ``streaming=False`` runs the identical condition
     as a batch join (the oracle)."""
-    l, r = left, right
+    from shredder_spark.streaming.windows import as_event_time
+
+    l, r = as_event_time(left, left_ts), as_event_time(right, right_ts)
     if streaming:
         l = l.withWatermark(left_ts, watermark)
         r = r.withWatermark(right_ts, watermark)

@@ -28,7 +28,10 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str | None = None) -> DataFrame:
     keys = keys or ["event_id"]
     if watermark:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        from shredder_spark.streaming.windows import as_event_time
+
+        return (as_event_time(events).withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
     return events.dropDuplicates(keys)
 
 

@@ -53,5 +53,14 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP; testdata parquet may surface
+    TIMESTAMP_NTZ. Under the UTC session timezone the cast is
+    value-preserving, so normalize before attaching event-time ops."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
-    return events.withWatermark("ts", delay)
+    return as_event_time(events).withWatermark("ts", delay)
