@@ -4451,3 +4451,150 @@ SELECT CASE WHEN l_extendedprice < 1000 THEN 'low'
 FROM lineitem
 GROUP BY band ORDER BY band
 """, builder=_q268_builder)
+
+# ------------------------------------------------- tokenizer / payload
+# batch: BPE merge step, opaque binary payloads, order-preserving
+# dedup, hyperbolic math, parameterized SQL (q269-q274).
+
+# One BPE merge step: the most frequent adjacent character pair across
+# the corpus vocabulary — the core counting kernel of byte-pair-
+# encoding tokenizer training, as one declarative pass (explode words
+# → explode in-word positions → pair counts). Ties break on pair text
+# so the top-20 cut is deterministic.
+_q("q269_bpe_merge_step",
+   oracle="""
+WITH words AS (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), ' ')) AS w
+               FROM documents),
+     w2 AS (SELECT w FROM words WHERE LENGTH(w) >= 2),
+     pairs AS (SELECT SUBSTRING(w, CAST(i AS INT), 2) AS pair
+               FROM w2, UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) AS g(i))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""",
+   engine_sql="""
+WITH words AS (SELECT EXPLODE(SPLIT(LOWER(text), ' ')) AS w FROM documents),
+     w2 AS (SELECT w FROM words WHERE LENGTH(w) >= 2),
+     pairs AS (SELECT SUBSTRING(w, i, 2) AS pair
+               FROM w2 LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(w) - 1)) t AS i)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""")
+
+
+def _q270_builder(spark: SparkSession) -> DataFrame:
+    # Multimodal tier, oracle-gated edge: document text re-encoded as
+    # an opaque BinaryType payload (the same plumbing
+    # operators/multimodal.py uses for image/audio bytes), then typed
+    # metadata extracted from the bytes — size, checksum, ASCII probe.
+    # The binary column exists in the plan for real (encode→md5 runs
+    # on bytes), while the oracle recomputes the same facts from text.
+    docs = spark.table("documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"),
+                          F.length("text").alias("n_chars"))
+    return (payload.select(
+                "doc_id",
+                F.octet_length("payload").cast("bigint").alias("n_bytes"),
+                F.md5("payload").alias("checksum"),
+                (F.octet_length("payload") == F.col("n_chars")).alias("is_ascii"))
+            .orderBy("doc_id"))
+
+
+_q("q270_binary_payload_meta",
+   oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS checksum,
+       OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
+FROM documents ORDER BY doc_id
+""",
+   builder=_q270_builder)
+
+# Order-preserving intra-document token dedup (repetition removal that
+# keeps first occurrences — array_distinct's documented order). The
+# oracle reconstructs "first occurrence" explicitly: positions via
+# GENERATE_SERIES, MIN(pos) per token, STRING_AGG ordered by it.
+_q("q271_ordered_token_dedup",
+   oracle="""
+WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' ') AS toks
+           FROM documents),
+     pos AS (SELECT doc_id, toks[CAST(i AS INT)] AS tok, i
+             FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(i)),
+     firsts AS (SELECT doc_id, tok, MIN(i) AS first_pos
+                FROM pos GROUP BY doc_id, tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique,
+       STRING_AGG(tok, ' ' ORDER BY first_pos) AS dedup_text
+FROM firsts GROUP BY doc_id ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_unique,
+       ARRAY_JOIN(ARRAY_DISTINCT(SPLIT(text, ' ')), ' ') AS dedup_text
+FROM documents ORDER BY doc_id
+""")
+
+# Hyperbolic + inverse-hyperbolic math. DuckDB lacks asinh and its
+# sinh/cosh availability varies by version, so the oracle computes
+# every function from EXP/LN closed forms; ROUND(,2) absorbs the
+# last-ulp formula-vs-native difference.
+_q("q272_hyperbolic_math",
+   oracle="""
+WITH t AS (SELECT o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       ROUND((EXP(x) - EXP(-x)) / 2, 2) AS sinh_x,
+       ROUND((EXP(x) + EXP(-x)) / 2, 2) AS cosh_x,
+       ROUND((EXP(2*x) - 1) / (EXP(2*x) + 1), 2) AS tanh_x,
+       ROUND(LN(x + SQRT(x*x + 1)), 2) AS asinh_x
+FROM t ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH t AS (SELECT o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       ROUND(SINH(x), 2) AS sinh_x,
+       ROUND(COSH(x), 2) AS cosh_x,
+       ROUND(TANH(x), 2) AS tanh_x,
+       ROUND(ASINH(x), 2) AS asinh_x
+FROM t ORDER BY o_orderkey
+""")
+
+
+def _q273_builder(spark: SparkSession) -> DataFrame:
+    # Named-parameter SQL binding (spark.sql(..., args={...})): the
+    # literals arrive as parameter markers, not string-spliced SQL —
+    # same plan as constants (pushdown intact), injection-safe. The
+    # oracle inlines the same constants.
+    return spark.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders
+           WHERE o_totalprice > :lo AND o_orderpriority = :prio
+           ORDER BY o_orderkey""",
+        args={"lo": 150000.0, "prio": "1-URGENT"})
+
+
+_q("q273_parameterized_sql", """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+""", builder=_q273_builder)
+
+
+def _q274_builder(spark: SparkSession) -> DataFrame:
+    # EXECUTE IMMEDIATE (Spark 4): dynamic SQL with positional USING
+    # binds — the late-bound counterpart of q273's named args.
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+        " FROM orders WHERE o_totalprice > ? "
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority' "
+        "USING 300000.0D")
+
+
+_q("q274_execute_immediate", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 300000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""", builder=_q274_builder)

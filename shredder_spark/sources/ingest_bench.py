@@ -217,6 +217,16 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             write_avro_ocf(df, avro_out, codec="snappy")
         avro_s = min(avro_s, time.perf_counter() - t0)
 
+    # Supplementary 4-task run: BASELINE.md's 220 MB/s/core headline was
+    # measured at 4 cores (README.md:4), where fixed overheads amortize
+    # differently than at 32 — report a same-core-count figure so the
+    # per-core comparison is apples-to-apples. (The reference's own
+    # 48-core run drops to 53 MB/s/core, BASELINE.md row 3.)
+    t0 = time.perf_counter()
+    (read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)
+        .write.format("noop").mode("overwrite").save())
+    parse4_s = time.perf_counter() - t0
+
     return {
         "timings": {
             "ingest_parse": round(parse_s, 4),
@@ -232,6 +242,7 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             "avro_mb_per_s": round(mb / avro_s, 2),
             "avro_mb_per_s_per_core": round(mb / avro_s / cores, 2),
             "avro_mlines_per_s": round(n_lines / avro_s / 1e6, 3),
+            "parse_mb_per_s_per_core_at4": round(mb / parse4_s / 4, 2),
             "avro_jvm_path": have_spark_avro(spark),
         },
     }
