@@ -84,10 +84,15 @@ def running_value_sum_tws(events: DataFrame) -> DataFrame:
 
     Requires the RocksDB state store provider (set by the caller on
     the session before starting the query). NOTE: in this container the
-    TransformWithStateInPySpark driver worker crashes on startup
-    (environment limitation — verified with a minimal repro), so this
-    operator is provided untested here; ``running_counts_stateful``
-    (applyInPandasWithState) is the tested stateful path (B60).
+    TransformWithStateInPySpark driver worker dies on startup with
+    ``ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`` — the state-server protocol needs the protobuf
+    package, which is not installed (and installs are out of scope).
+    tests/test_streaming.py::test_transform_with_state_gated pins this:
+    it asserts batch equivalence when the environment supports the API
+    and skips with the documented error signature when it doesn't;
+    ``running_counts_stateful`` (applyInPandasWithState) is the
+    always-tested stateful path (B60).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)

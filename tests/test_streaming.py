@@ -197,3 +197,35 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
 
     got = sorted((r.p_id, r.s_id) for r in collected)
     assert got == exp
+
+
+def test_transform_with_state_gated(spark, events):
+    """B60 successor API (transformWithStateInPandas): equivalence with
+    the batch sum when the environment can run it; otherwise skip with
+    the documented failure signature (the TWS state server needs
+    google.protobuf, absent in this container — see
+    streaming/stateful.py docstring)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from shredder_spark.streaming.stateful import running_value_sum_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        got = replay_stream(
+            spark, events, running_value_sum_tws, output_mode="update")
+    except StreamingQueryException as e:
+        assert "TransformWithStateInPySpark driver worker" in str(e)
+        pytest.skip("transformWithStateInPandas needs google.protobuf "
+                    "(not installed in this container)")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final: dict = {}
+    for r in got.collect():
+        final[r.user_id] = r.s  # update mode: later batches overwrite
+    batch = {r.user_id: float(r.s) for r in
+             events.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    assert {k: round(v, 6) for k, v in final.items()} == \
+        {k: round(v, 6) for k, v in batch.items()}
