@@ -4598,3 +4598,168 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
 FROM orders WHERE o_totalprice > 300000.0
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """, builder=_q274_builder)
+
+# ------------------------------------------------- sampling / stats /
+# entity-resolution batch (q275-q281).
+
+# Weighted sampling without replacement, A-Res (Efraimidis-Spirakis):
+# key = ln(u)/w with u a deterministic md5-derived uniform — both
+# engines derive the SAME u from the same hash, so the top-k selection
+# is engine- and partition-independent (the distributed analogue of a
+# seeded weighted shuffle). Selection only in the output; key floats
+# never surface.
+_q("q275_weighted_sample_ares",
+   oracle="""
+WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS wt,
+                  (CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS UBIGINT) + 1) / 4294967296.0 AS u
+           FROM orders),
+     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w),
+     r AS (SELECT o_orderkey, wt,
+                  ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rn
+           FROM k)
+SELECT o_orderkey, ROUND(wt, 2) AS wt FROM r WHERE rn <= 100
+ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS wt,
+                  (CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 8),
+                             16, 10) AS DOUBLE) + 1) / 4294967296.0 AS u
+           FROM orders),
+     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w),
+     r AS (SELECT o_orderkey, wt,
+                  ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rn
+           FROM k)
+SELECT o_orderkey, ROUND(wt, 2) AS wt FROM r WHERE rn <= 100
+ORDER BY o_orderkey
+""")
+
+# Chi-square independence statistic over the full lang x source
+# contingency grid (absent cells contribute their expectation) — the
+# classic corpus-drift / dependence probe, one declarative pass.
+_q("q276_chi_square_contingency", """
+WITH l AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS rt
+           FROM documents GROUP BY lang),
+     s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ct
+           FROM documents GROUP BY source),
+     o AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+           FROM documents GROUP BY lang, source),
+     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+     grid AS (SELECT l.lang, s.source, l.rt, s.ct, n.n
+              FROM l CROSS JOIN s CROSS JOIN n)
+SELECT ROUND(SUM(POWER(COALESCE(o.o, 0) - g.rt * g.ct / g.n, 2)
+                 / (g.rt * g.ct / g.n)), 2) AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM grid g LEFT JOIN o ON g.lang = o.lang AND g.source = o.source
+""")
+
+# Shannon entropy of the token distribution per language — corpus
+# diversity scoring (a collapsed vocabulary shows up as low H).
+_q("q277_token_entropy",
+   oracle="""
+WITH tok AS (SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' ')) AS t
+             FROM documents),
+     c AS (SELECT lang, t, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY lang, t),
+     tot AS (SELECT lang, SUM(c) AS n FROM c GROUP BY lang)
+SELECT c.lang, CAST(tot.n AS BIGINT) AS n_toks,
+       ROUND(-SUM((c.c / tot.n) * LN(c.c / tot.n)), 2) AS h
+FROM c JOIN tot ON c.lang = tot.lang
+GROUP BY c.lang, tot.n ORDER BY c.lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS t FROM documents),
+     c AS (SELECT lang, t, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY lang, t),
+     tot AS (SELECT lang, SUM(c) AS n FROM c GROUP BY lang)
+SELECT c.lang, CAST(tot.n AS BIGINT) AS n_toks,
+       ROUND(-SUM((c.c / tot.n) * LN(c.c / tot.n)), 2) AS h
+FROM c JOIN tot ON c.lang = tot.lang
+GROUP BY c.lang, tot.n ORDER BY c.lang
+""")
+
+# Benford first-significant-digit audit of order totals: observed share
+# per leading digit vs the log10(1+1/d) expectation. FLOOR before the
+# int cast — double->int casts truncate in Spark but round in DuckDB
+# (SURVEY B45), FLOOR makes both exact.
+_q("q278_benford_digits",
+   oracle="""
+WITH d AS (SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+     c AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY digit),
+     n AS (SELECT SUM(c) AS n FROM c)
+SELECT digit, CAST(c.c AS BIGINT) AS n_obs,
+       ROUND(c.c / n.n, 4) AS share,
+       ROUND(LOG10(1 + 1.0 / CAST(digit AS INT)), 4) AS benford
+FROM c CROSS JOIN n ORDER BY digit
+""",
+   engine_sql="""
+WITH d AS (SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                            AS STRING), 1, 1) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+     c AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY digit),
+     n AS (SELECT SUM(c) AS n FROM c)
+SELECT digit, CAST(c.c AS BIGINT) AS n_obs,
+       ROUND(c.c / n.n, 4) AS share,
+       ROUND(LOG10(1 + 1.0 / CAST(digit AS INT)), 4) AS benford
+FROM c CROSS JOIN n ORDER BY digit
+""")
+
+# Entity-resolution tier: edit-distance near-matches over part names,
+# blocked on (name prefix, length band) so the candidate set is the
+# block join, never n² — the classic record-linkage shape (block →
+# compare → threshold). LEVENSHTEIN agrees across engines.
+_q("q279_edit_distance_blocking", """
+WITH p AS (SELECT p_partkey AS id, p_name AS name,
+                  SUBSTRING(p_name, 1, 8) AS blk, LENGTH(p_name) AS ln
+           FROM part)
+SELECT a.id AS i, b.id AS j,
+       CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.id < b.id
+ AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
+WHERE LEVENSHTEIN(a.name, b.name) <= 10
+ORDER BY i, j
+""")
+
+# Per-dimension min-max scaling of the embedding matrix (feature
+# normalization before ANN / training): posexplode to (dim, value),
+# per-dim extrema, scaled stats per dim prove the rescale landed on
+# [0,1] with the same means in both engines.
+_q("q280_embedding_minmax_scale",
+   oracle="""
+WITH e AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)),
+     mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY dim)
+SELECT e.dim, ROUND(mm.lo, 4) AS lo, ROUND(mm.hi, 4) AS hi,
+       ROUND(AVG((e.v - mm.lo) / (mm.hi - mm.lo)), 4) AS scaled_mean
+FROM e JOIN mm ON e.dim = mm.dim
+GROUP BY e.dim, mm.lo, mm.hi ORDER BY e.dim
+""",
+   engine_sql="""
+WITH e AS (SELECT vec_id, dim, CAST(v AS DOUBLE) AS v
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS dim, v),
+     mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY dim)
+SELECT e.dim, ROUND(mm.lo, 4) AS lo, ROUND(mm.hi, 4) AS hi,
+       ROUND(AVG((e.v - mm.lo) / (mm.hi - mm.lo)), 4) AS scaled_mean
+FROM e JOIN mm ON e.dim = mm.dim
+GROUP BY e.dim, mm.lo, mm.hi ORDER BY e.dim
+""")
+
+# As-of join with a tolerance horizon (kdb aj / TimescaleDB semantics):
+# each purchase finds the latest signup of the same user no older than
+# 7 days — outside the horizon yields NULL, distinguishing "stale
+# match" from "no match". Correlated-subquery text is portable;
+# Catalyst decorrelates it to an aggregate+join.
+_q("q281_asof_tolerance", """
+SELECT p.event_id, p.user_id,
+       (SELECT MAX(s.ts) FROM events s
+        WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+          AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY) AS last_signup
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+""")

@@ -154,3 +154,38 @@ def test_survey_registry_coverage():
     r = subprocess.run([sys.executable, "/root/repo/tools/check_coverage.py"],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning (the 100 TB lever for selective
+    fact x dim SMJs that can't broadcast): the optimizer builds a bloom
+    filter from the filtered build side and injects might_contain on
+    the fact side's join key, pruning shuffle input at scan time. Off
+    by default below a 10 GB application-side scan, so the test lowers
+    that threshold - the assert is that the rewrite fires at all (and a
+    control that it doesn't when disabled)."""
+    from shredder_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").filter(
+        F.col("o_totalprice") > 400000)
+    mk = lambda: (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                  .select("l_orderkey", "l_quantity", "o_totalprice"))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        plan = mk()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        control = mk()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter."
+                         "applicationSideScanSizeThreshold")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
