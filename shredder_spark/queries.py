@@ -4763,3 +4763,214 @@ SELECT p.event_id, p.user_id,
 FROM events p WHERE p.event_type = 'purchase'
 ORDER BY p.event_id
 """)
+
+# ------------------------------------------------- time-series /
+# graph / basket batch (q282-q287).
+
+# OHLC downsampling to 15-minute bars (financial resample): open/close
+# via bidirectional ROW_NUMBER (portable — DuckDB's arg_max can't take
+# a composite key), high/low/count as plain aggregates. Paired only on
+# the epoch spelling.
+_q("q282_ohlc_bars",
+   oracle="""
+WITH b AS (SELECT CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) AS bucket,
+                  EPOCH(ts) AS sec, event_id, CAST(value AS DOUBLE) AS v
+           FROM events),
+     r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY sec, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY sec DESC, event_id DESC) AS rn_d
+           FROM b)
+SELECT bucket,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN v END), 2) AS open,
+       ROUND(MAX(v), 2) AS high, ROUND(MIN(v), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN v END), 2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY bucket ORDER BY bucket
+""",
+   engine_sql="""
+WITH b AS (SELECT CAST(FLOOR(UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 9e8)
+                       AS BIGINT) AS bucket,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 1e6 AS sec,
+                  event_id, CAST(value AS DOUBLE) AS v
+           FROM events),
+     r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY sec, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY sec DESC, event_id DESC) AS rn_d
+           FROM b)
+SELECT bucket,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN v END), 2) AS open,
+       ROUND(MAX(v), 2) AS high, ROUND(MIN(v), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN v END), 2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY bucket ORDER BY bucket
+""")
+
+# Linear interpolation of a sparse series (TimescaleDB interpolate):
+# 'error' events are treated as gaps; each gap takes
+# prev + (next-prev) * (t-t_prev)/(t_next-t_prev) from the bracketing
+# non-gap readings per user. Boundary gaps (no bracket) stay NULL.
+_q("q283_linear_interpolation",
+   oracle="""
+WITH e AS (SELECT event_id, user_id, EPOCH(ts) AS sec,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(value AS DOUBLE) END AS v
+           FROM events),
+     w AS (SELECT *,
+             LAST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+             FIRST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ns
+           FROM e)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv) * (sec - ps) / (ns - ps)
+             END, 2) AS v_filled,
+       v IS NULL AS was_gap
+FROM w ORDER BY event_id
+""",
+   engine_sql="""
+WITH e AS (SELECT event_id, user_id,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 1e6 AS sec,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(value AS DOUBLE) END AS v
+           FROM events),
+     w AS (SELECT *,
+             LAST_VALUE(v) IGNORE NULLS OVER
+               (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN sec END) IGNORE NULLS
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps,
+             FIRST_VALUE(v) IGNORE NULLS OVER
+               (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN sec END) IGNORE NULLS
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ns
+           FROM e)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv) * (sec - ps) / (ns - ps)
+             END, 2) AS v_filled,
+       v IS NULL AS was_gap
+FROM w ORDER BY event_id
+""")
+
+# Triangle counting over the part co-purchase graph (bounded block):
+# distinct same-order part pairs as edges, triangles via the canonical
+# a<b<c double join — the clustering-coefficient numerator.
+_q("q284_triangle_count", """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey <= 500),
+     e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM e e1 JOIN e e2 ON e1.d = e2.s
+          JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+""")
+
+# Market-basket pair mining (association rules over co-purchases):
+# support, per-item counts, and lift for part pairs in the same order;
+# min-support floor, top 20 by lift with a total tiebreak.
+_q("q285_market_basket_lift", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey <= 1000),
+     n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM li),
+     item AS (SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM li GROUP BY l_partkey),
+     pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(COUNT(*) AS DOUBLE) AS cp
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey)
+SELECT pa, pb, CAST(cp AS BIGINT) AS support,
+       ROUND(n.n * cp / (ia.c * ib.c), 2) AS lift
+FROM pair JOIN item ia ON pair.pa = ia.l_partkey
+          JOIN item ib ON pair.pb = ib.l_partkey
+          CROSS JOIN n
+WHERE cp >= 2
+ORDER BY lift DESC, pa, pb LIMIT 20
+""")
+
+# Run-length encoding of per-user event-type streams (gaps-and-islands
+# over VALUES equality instead of time gaps — compresses repeated
+# states; complements q219's interval coalescing).
+_q("q286_run_length_encoding",
+   oracle="""
+WITH o AS (SELECT user_id, event_type, EPOCH(ts) AS sec, event_id
+           FROM events),
+     r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY sec, event_id) AS rnt
+           FROM o)
+SELECT user_id, event_type,
+       CAST(rn - rnt AS BIGINT) AS grp_off,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(MIN(rn) AS BIGINT) AS run_start
+FROM r GROUP BY user_id, event_type, rn - rnt
+ORDER BY user_id, run_start
+""",
+   engine_sql="""
+WITH o AS (SELECT user_id, event_type,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS sec, event_id
+           FROM events),
+     r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY sec, event_id) AS rnt
+           FROM o)
+SELECT user_id, event_type,
+       CAST(rn - rnt AS BIGINT) AS grp_off,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(MIN(rn) AS BIGINT) AS run_start
+FROM r GROUP BY user_id, event_type, rn - rnt
+ORDER BY user_id, run_start
+""")
+
+# Rolling median over the trailing 5 readings per user — exact
+# percentile as a WINDOW aggregate (the frame makes it a sliding
+# sketchless median, the robust analogue of a moving average).
+# Medians are taken over integer cents and REPORTED in cents: even-
+# count frames interpolate to n+0.5, exact in a double, so no rounding
+# step exists for the engines' interpolation orders to disagree on
+# (ROUND over a double median flips at .005 boundaries — observed).
+_q("q287_rolling_median",
+   oracle="""
+WITH o AS (SELECT event_id, user_id, EPOCH(ts) AS sec,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events)
+SELECT event_id, user_id,
+       QUANTILE_CONT(c, 0.5) OVER
+         (PARTITION BY user_id ORDER BY sec, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_cents
+FROM o ORDER BY event_id
+""",
+   engine_sql="""
+WITH o AS (SELECT event_id, user_id,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS sec,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events)
+SELECT event_id, user_id,
+       PERCENTILE(c, 0.5) OVER
+         (PARTITION BY user_id ORDER BY sec, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_cents
+FROM o ORDER BY event_id
+""")
