@@ -4974,3 +4974,140 @@ SELECT event_id, user_id,
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5_cents
 FROM o ORDER BY event_id
 """)
+
+# ------------------------------------------------- behavioral scoring
+# batch (q288-q291).
+
+# RFM customer segmentation: recency (days since last order, against
+# the corpus max date), frequency, monetary, each cut into quintiles
+# with a custkey tiebreak so NTILE boundaries agree everywhere.
+_q("q288_rfm_quintiles", """
+WITH base AS (SELECT o_custkey,
+                     MAX(o_orderdate) AS last_o,
+                     CAST(COUNT(*) AS DOUBLE) AS f,
+                     SUM(CAST(o_totalprice AS DOUBLE)) AS m
+              FROM orders GROUP BY o_custkey),
+     mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+     r AS (SELECT o_custkey,
+                  CAST(DATEDIFF('day', base.last_o, mx.d0) AS DOUBLE) AS rec,
+                  f, m
+           FROM base CROSS JOIN mx)
+SELECT o_custkey,
+       CAST(NTILE(5) OVER (ORDER BY rec DESC, o_custkey) AS BIGINT) AS r_q,
+       CAST(NTILE(5) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_q,
+       CAST(NTILE(5) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_q
+FROM r ORDER BY o_custkey
+""",
+   engine_sql="""
+WITH base AS (SELECT o_custkey,
+                     MAX(o_orderdate) AS last_o,
+                     CAST(COUNT(*) AS DOUBLE) AS f,
+                     SUM(CAST(o_totalprice AS DOUBLE)) AS m
+              FROM orders GROUP BY o_custkey),
+     mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+     r AS (SELECT o_custkey,
+                  CAST(DATEDIFF(CAST(mx.d0 AS DATE),
+                                CAST(base.last_o AS DATE)) AS DOUBLE) AS rec,
+                  f, m
+           FROM base CROSS JOIN mx)
+SELECT o_custkey,
+       CAST(NTILE(5) OVER (ORDER BY rec DESC, o_custkey) AS BIGINT) AS r_q,
+       CAST(NTILE(5) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_q,
+       CAST(NTILE(5) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_q
+FROM r ORDER BY o_custkey
+""")
+
+# Sequence-pattern matching over per-user event paths (the
+# windowFunnel/sequenceMatch family as regex over an ordered initials
+# string): signup-then-later-purchase, and a 2+ consecutive-error run.
+_q("q289_sequence_pattern",
+   oracle="""
+WITH p AS (SELECT user_id,
+                  STRING_AGG(SUBSTRING(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS path
+           FROM events GROUP BY user_id)
+SELECT user_id, CAST(LENGTH(path) AS BIGINT) AS n,
+       REGEXP_MATCHES(path, 's.*p') AS signup_then_purchase,
+       REGEXP_MATCHES(path, 'ee+') AS error_burst
+FROM p ORDER BY user_id
+""",
+   engine_sql="""
+WITH p AS (SELECT user_id,
+                  ARRAY_JOIN(TRANSFORM(
+                    ARRAY_SORT(COLLECT_LIST(STRUCT(ts, event_id,
+                      SUBSTRING(event_type, 1, 1) AS c))),
+                    x -> x.c), '') AS path
+           FROM events GROUP BY user_id)
+SELECT user_id, CAST(LENGTH(path) AS BIGINT) AS n,
+       path RLIKE 's.*p' AS signup_then_purchase,
+       path RLIKE 'ee+' AS error_burst
+FROM p ORDER BY user_id
+""")
+
+# EWMA smoothing over the trailing 10 readings (decay 1/2). All
+# arithmetic exact in doubles — integer cents × 2^-k products and
+# their sums have exact binary representations — so numerator and
+# denominator are emitted unrounded and must match bit-for-bit.
+_q("q290_ewma",
+   oracle="""
+WITH o AS (SELECT event_id, user_id, EPOCH(ts) AS sec,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id) AS rn
+           FROM o)
+SELECT a.event_id, a.user_id,
+       SUM(b.c * POWER(0.5, a.rn - b.rn)) AS ewma_num,
+       SUM(POWER(0.5, a.rn - b.rn)) AS ewma_den
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+GROUP BY a.event_id, a.user_id
+ORDER BY a.event_id
+""",
+   engine_sql="""
+WITH o AS (SELECT event_id, user_id,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS sec,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id) AS rn
+           FROM o)
+SELECT a.event_id, a.user_id,
+       SUM(b.c * POWER(0.5, a.rn - b.rn)) AS ewma_num,
+       SUM(POWER(0.5, a.rn - b.rn)) AS ewma_den
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+GROUP BY a.event_id, a.user_id
+ORDER BY a.event_id
+""")
+
+# Group-statistic imputation (ML prep): 'error' readings are gaps,
+# filled with the user's median over non-gap readings (integer cents →
+# exact interpolation, as q287).
+_q("q291_median_imputation",
+   oracle="""
+WITH e AS (SELECT event_id, user_id,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
+           FROM events),
+     med AS (SELECT user_id, QUANTILE_CONT(c, 0.5) AS m
+             FROM e WHERE c IS NOT NULL GROUP BY user_id)
+SELECT e.event_id, e.user_id,
+       COALESCE(CAST(e.c AS DOUBLE), med.m) AS c_filled,
+       e.c IS NULL AS was_imputed
+FROM e LEFT JOIN med ON e.user_id = med.user_id
+ORDER BY e.event_id
+""",
+   engine_sql="""
+WITH e AS (SELECT event_id, user_id,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
+           FROM events),
+     med AS (SELECT user_id, PERCENTILE(c, 0.5) AS m
+             FROM e WHERE c IS NOT NULL GROUP BY user_id)
+SELECT e.event_id, e.user_id,
+       COALESCE(CAST(e.c AS DOUBLE), med.m) AS c_filled,
+       e.c IS NULL AS was_imputed
+FROM e LEFT JOIN med ON e.user_id = med.user_id
+ORDER BY e.event_id
+""")
