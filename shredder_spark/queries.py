@@ -5111,3 +5111,40 @@ SELECT e.event_id, e.user_id,
 FROM e LEFT JOIN med ON e.user_id = med.user_id
 ORDER BY e.event_id
 """)
+
+# ------------------------------------------------- SQL scripting
+# (q292): Spark 4 BEGIN/DECLARE/WHILE control flow, data-driven.
+
+
+def _q292_builder(spark: SparkSession) -> DataFrame:
+    # Iterative threshold search as a SQL SCRIPT: double the price
+    # threshold until at most 100 orders exceed it. The loop reads the
+    # data each iteration (genuine data-driven control flow on the
+    # engine — not driver-side Python). The oracle computes the same
+    # fixpoint in closed form over a candidate series.
+    return spark.sql("""
+BEGIN
+  DECLARE t DOUBLE DEFAULT 1000.0;
+  WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > t) > 100 DO
+    SET t = t * 2;
+  END WHILE;
+  SELECT t AS threshold,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice > t)
+              AS BIGINT) AS n_above;
+END
+""")
+
+
+_q("q292_sql_scripting_threshold", """
+WITH ks AS (SELECT UNNEST(GENERATE_SERIES(0, 40)) AS k),
+     c AS (SELECT k,
+                  (SELECT COUNT(*) FROM orders
+                   WHERE o_totalprice > 1000.0 * POWER(2, k)) AS n
+           FROM ks),
+     pick AS (SELECT MIN(k) AS k FROM c WHERE n <= 100)
+SELECT 1000.0 * POWER(2, pick.k) AS threshold,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_totalprice > 1000.0 * POWER(2, pick.k)) AS BIGINT)
+         AS n_above
+FROM pick
+""", builder=_q292_builder)
