@@ -35,7 +35,9 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition, SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from shredder_spark.avro_schema import FixedSchema, parse_avro_fixed_schema
@@ -75,6 +77,9 @@ class FixedWidthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "FixedWidthReader":
         return FixedWidthReader(dict(self.options), self._fixed())
+
+    def simpleStreamReader(self, schema: StructType) -> "FixedWidthStreamReader":
+        return FixedWidthStreamReader(dict(self.options), self._fixed())
 
 
 class FixedWidthReader(DataSourceReader):
@@ -139,6 +144,71 @@ class FixedWidthReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, type=pa.string()) for c in columns], names=names
             )
+
+
+class FixedWidthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tier of ``format("fixedwidth")``: tails a landing
+    DIRECTORY — each micro-batch picks up files not named in the last
+    committed offset (the reference CLI's continuous mode, `CLI.go:30-63`
+    run per dropped file, as a Structured Streaming source with
+    exactly-once file accounting).
+
+    Offsets are the sorted list of file names already processed — a
+    JSON value the checkpoint log owns, so restart/replay semantics
+    (``readBetweenOffsets``) are deterministic replays of the same
+    file set. Rune-offset slicing and footer handling match the batch
+    reader.
+    """
+
+    def __init__(self, options: dict, fixed: FixedSchema):
+        self.dir = options["path"]
+        self.fixed = fixed
+        self.footer_prefix = options.get("footer_prefix", FOOTER_PREFIX)
+        self._offsets = [
+            (start - 1, start - 1 + f.length)
+            for f, start in fixed.field_offsets()
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _list(self) -> list[str]:
+        return sorted(
+            fn for fn in os.listdir(self.dir)
+            if not fn.startswith((".", "_"))
+            and os.path.isfile(os.path.join(self.dir, fn))
+        )
+
+    def _parse_file(self, path: str):
+        with open(path, "rb") as fh:
+            for raw in fh:
+                line = raw.decode("utf-8").rstrip("\r\n")
+                if not line:
+                    continue
+                if self.footer_prefix and line.startswith(self.footer_prefix):
+                    break
+                yield tuple(line[a:b] for a, b in self._offsets)
+
+    def _rows_for(self, new_files: list[str]):
+        # materialized list, not a generator: the simple-reader wrapper
+        # caches the returned iterator with copy.copy for replay, which
+        # list iterators support and generators don't. The simple API
+        # prefetches driver-side by design, so a micro-batch's rows are
+        # bounded by that batch's file set either way.
+        rows: list[tuple] = []
+        for fn in new_files:
+            rows.extend(self._parse_file(os.path.join(self.dir, fn)))
+        return rows
+
+    def read(self, start: dict):
+        files = self._list()
+        new = [f for f in files if f not in set(start.get("files", []))]
+        return iter(self._rows_for(new)), {"files": files}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = [f for f in end.get("files", [])
+               if f not in set(start.get("files", []))]
+        return iter(self._rows_for(new))
 
 
 def register_fixedwidth_source(spark: SparkSession) -> None:
