@@ -5148,3 +5148,141 @@ SELECT 1000.0 * POWER(2, pick.k) AS threshold,
          AS n_above
 FROM pick
 """, builder=_q292_builder)
+
+# ------------------------------------------------- distribution
+# analytics batch (q293-q296).
+
+# Winsorization at the 5th/95th percentile per return flag (outlier
+# clipping for ML prep). DISCRETE percentiles over integer cents: the
+# clip bounds are actual data values, so every clipped sum is exact
+# BIGINT arithmetic — continuous interpolation at p=0.05·(n-1) was
+# observed to differ in the last ulp between engines.
+_q("q293_winsorize",
+   oracle="""
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+     p AS (SELECT f, QUANTILE_DISC(c, 0.05) AS lo,
+                  QUANTILE_DISC(c, 0.95) AS hi
+           FROM c GROUP BY f)
+SELECT c.f, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c.c < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN c.c > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(SUM(CASE WHEN c.c < p.lo THEN p.lo
+                     WHEN c.c > p.hi THEN p.hi
+                     ELSE c.c END) AS BIGINT) AS wsum_cents
+FROM c JOIN p ON c.f = p.f
+GROUP BY c.f ORDER BY c.f
+""",
+   engine_sql="""
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+     p AS (SELECT f,
+                  PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY c) AS lo,
+                  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY c) AS hi
+           FROM c GROUP BY f)
+SELECT c.f, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c.c < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN c.c > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(SUM(CASE WHEN c.c < p.lo THEN p.lo
+                     WHEN c.c > p.hi THEN p.hi
+                     ELSE c.c END) AS BIGINT) AS wsum_cents
+FROM c JOIN p ON c.f = p.f
+GROUP BY c.f ORDER BY c.f
+""")
+
+# Log-odds vocabulary drift between the English and German slices
+# (Monroe et al's "Fightin' Words" shape with add-1 smoothing): which
+# tokens over-index in each sub-corpus. Ordering is over the ROUNDED
+# score (+token tiebreak) so last-ulp LN differences can't reorder the
+# cut.
+_q("q294_log_odds_drift",
+   oracle="""
+WITH tok AS (SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' ')) AS t
+             FROM documents WHERE lang IN ('en', 'de')),
+     c AS (SELECT t,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c1,
+                  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c2
+           FROM tok GROUP BY t),
+     tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                    CAST(COUNT(*) AS DOUBLE) AS v FROM c)
+SELECT t AS tok,
+       ROUND(LN((c1 + 1) / (tot.n1 + tot.v))
+             - LN((c2 + 1) / (tot.n2 + tot.v)), 2) AS delta
+FROM c CROSS JOIN tot
+ORDER BY ABS(ROUND(LN((c1 + 1) / (tot.n1 + tot.v))
+                   - LN((c2 + 1) / (tot.n2 + tot.v)), 2)) DESC, tok
+LIMIT 15
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS t
+             FROM documents WHERE lang IN ('en', 'de')),
+     c AS (SELECT t,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c1,
+                  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c2
+           FROM tok GROUP BY t),
+     tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                    CAST(COUNT(*) AS DOUBLE) AS v FROM c)
+SELECT t AS tok,
+       ROUND(LN((c1 + 1) / (tot.n1 + tot.v))
+             - LN((c2 + 1) / (tot.n2 + tot.v)), 2) AS delta
+FROM c CROSS JOIN tot
+ORDER BY ABS(ROUND(LN((c1 + 1) / (tot.n1 + tot.v))
+                   - LN((c2 + 1) / (tot.n2 + tot.v)), 2)) DESC, tok
+LIMIT 15
+""")
+
+# Two-sample Kolmogorov-Smirnov statistic between the value
+# distributions of click vs view events: D = sup|F1 - F2| via the
+# pooled sort. The default aggregate-window frame (RANGE to current
+# row) is peer-inclusive in both engines, which is exactly the
+# tie-correct ECDF.
+_q("q295_ks_statistic", """
+WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('click', 'view')),
+     n AS (SELECT CAST(SUM(g1) AS DOUBLE) AS n1,
+                  CAST(SUM(g2) AS DOUBLE) AS n2 FROM s),
+     e AS (SELECT c,
+                  SUM(g1) OVER (ORDER BY c) AS f1,
+                  SUM(g2) OVER (ORDER BY c) AS f2
+           FROM s)
+SELECT ROUND(MAX(ABS(f1 / n.n1 - f2 / n.n2)), 4) AS ks_d,
+       CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
+FROM e CROSS JOIN n GROUP BY n.n1, n.n2
+""")
+
+# Gini concentration coefficient of order totals per priority class
+# (inequality audit): sorted-rank formula over integer cents with
+# DECIMAL(38) partial sums — Σ rank·x exceeds 2^53 long before it
+# troubles a decimal.
+_q("q296_gini", """
+WITH c AS (SELECT o_orderpriority AS p,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+                  o_orderkey
+           FROM orders),
+     r AS (SELECT p, x,
+                  ROW_NUMBER() OVER (PARTITION BY p
+                                     ORDER BY x, o_orderkey) AS i,
+                  COUNT(*) OVER (PARTITION BY p) AS n
+           FROM c),
+     s AS (SELECT p, n,
+                  SUM(CAST(i AS DECIMAL(38, 0)) * x) AS ixsum,
+                  SUM(CAST(x AS DECIMAL(38, 0))) AS xsum
+           FROM r GROUP BY p, n)
+SELECT p, CAST(n AS BIGINT) AS n,
+       ROUND(2.0 * CAST(ixsum AS DOUBLE)
+             / (n * CAST(xsum AS DOUBLE))
+             - (n + 1.0) / n, 4) AS gini
+FROM s ORDER BY p
+""")
