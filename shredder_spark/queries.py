@@ -5286,3 +5286,130 @@ SELECT p, CAST(n AS BIGINT) AS n,
              - (n + 1.0) / n, 4) AS gini
 FROM s ORDER BY p
 """)
+
+# ------------------------------------------------- sketch algebra /
+# text segmentation / codec batch (q297-q301).
+
+
+def _q297_builder(spark: SparkSession) -> DataFrame:
+    # Theta sketches: mergeable distinct sketches CLOSED under set
+    # algebra — union, intersection, and A-NOT-B estimates from
+    # per-slice sketches with no rescan (HLL unions only). Customers
+    # with orders vs customers in the table: intersection/difference
+    # answered sketch-side. Approximate → rows-only; accuracy pinned
+    # in tests/test_scale_semantics.py.
+    return spark.sql("""
+WITH a AS (SELECT theta_sketch_agg(c_custkey) AS sk FROM customer),
+     b AS (SELECT theta_sketch_agg(o_custkey) AS sk FROM orders)
+SELECT CAST(theta_sketch_estimate(theta_union(a.sk, b.sk)) AS BIGINT)
+         AS est_union,
+       CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk))
+            AS BIGINT) AS est_both,
+       CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk))
+            AS BIGINT) AS est_no_orders
+FROM a CROSS JOIN b
+""")
+
+
+_q("q297_theta_sketch_algebra", oracle=None, builder=_q297_builder)
+
+
+def _q298_builder(spark: SparkSession) -> DataFrame:
+    # KLL quantile sketches: mergeable percentile state — per-flag
+    # sketches combine via kll_merge_agg_double into corpus quantiles
+    # without re-reading rows (the distributed-quantile primitive; an
+    # exact percentile would reshuffle raw values). Approximate →
+    # rows-only; rank-error bound pinned in tests.
+    return spark.sql("""
+WITH per_flag AS (
+  SELECT l_returnflag,
+         kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE)) AS sk
+  FROM lineitem GROUP BY l_returnflag),
+     merged AS (SELECT kll_merge_agg_double(sk) AS sk FROM per_flag)
+SELECT ROUND(kll_sketch_get_quantile_double(sk, 0.5), 2) AS p50_est,
+       ROUND(kll_sketch_get_quantile_double(sk, 0.95), 2) AS p95_est,
+       CAST(kll_sketch_get_n_double(sk) AS BIGINT) AS n
+FROM merged
+""")
+
+
+_q("q298_kll_quantile_sketch", oracle=None, builder=_q298_builder)
+
+# Locale-aware sentence segmentation (`sentences`): text with an
+# injected boundary splits into two word lists. The oracle rebuilds
+# the same segmentation from the known split offsets (the corpus has
+# no intrinsic punctuation).
+_q("q299_sentence_segmentation",
+   oracle="""
+WITH base AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS s1,
+                     LTRIM(SUBSTRING(text, 42)) AS r
+              FROM documents WHERE LENGTH(text) >= 60),
+     t AS (SELECT doc_id, s1,
+                  UPPER(SUBSTRING(r, 1, 1)) || SUBSTRING(r, 2) AS s2
+           FROM base),
+     w AS (SELECT doc_id,
+                  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(s1, ' '),
+                              x -> x <> '') AS w1,
+                  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(s2, ' '),
+                              x -> x <> '') AS w2
+           FROM t)
+SELECT doc_id, 2 AS n_sent,
+       ARRAY_TO_STRING(w1, ' ') AS sent1,
+       ARRAY_TO_STRING(w2, ' ') AS sent2
+FROM w ORDER BY doc_id
+""",
+   engine_sql="""
+WITH base AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS s1,
+                     LTRIM(SUBSTRING(text, 42)) AS r
+              FROM documents WHERE LENGTH(text) >= 60),
+     t AS (SELECT doc_id,
+                  SENTENCES(CONCAT(s1, '. ', UPPER(SUBSTRING(r, 1, 1)),
+                                   SUBSTRING(r, 2))) AS s
+           FROM base)
+SELECT doc_id, CAST(SIZE(s) AS INT) AS n_sent,
+       ARRAY_JOIN(ELEMENT_AT(s, 1), ' ') AS sent1,
+       ARRAY_JOIN(ELEMENT_AT(s, 2), ' ') AS sent2
+FROM t ORDER BY doc_id
+""")
+
+# Binary codec batch 2: base64/hex decode and to_binary round-trips
+# (raw-bytes plumbing for payload columns).
+_q("q300_binary_codecs",
+   oracle="""
+SELECT doc_id,
+       HEX(FROM_BASE64(TO_BASE64(ENCODE(SUBSTRING(text, 1, 12)))))
+         AS hex_rt,
+       HEX(FROM_HEX(HEX(ENCODE(SUBSTRING(text, 1, 12))))) AS hex_rt2,
+       CAST(OCTET_LENGTH(FROM_HEX(MD5(text))) AS BIGINT) AS md5_bytes
+FROM documents ORDER BY doc_id
+""",
+   engine_sql="""
+SELECT doc_id,
+       HEX(UNBASE64(BASE64(ENCODE(SUBSTRING(text, 1, 12), 'UTF-8'))))
+         AS hex_rt,
+       HEX(UNHEX(HEX(ENCODE(SUBSTRING(text, 1, 12), 'UTF-8')))) AS hex_rt2,
+       CAST(OCTET_LENGTH(TO_BINARY(MD5(text), 'hex')) AS BIGINT)
+         AS md5_bytes
+FROM documents ORDER BY doc_id
+""")
+
+# Linear-regression aggregate completions (q133 covered slope/
+# intercept/r2/count): the moment aggregates regr_avgx/avgy/sxx/syy/
+# sxy agree closed-form across engines. The S-moments reach ~1e13,
+# where a double's ulp exceeds 2-decimal rounding — summation-order
+# differences between the engines would flip ROUND(,2), so S-moments
+# round to the nearest thousand (ulp/granularity ratio ~1e-6).
+_q("q301_regr_moments", """
+SELECT o_orderpriority,
+       ROUND(REGR_AVGX(CAST(o_totalprice AS DOUBLE),
+                       CAST(o_custkey AS DOUBLE)), 2) AS avgx,
+       ROUND(REGR_AVGY(CAST(o_totalprice AS DOUBLE),
+                       CAST(o_custkey AS DOUBLE)), 2) AS avgy,
+       ROUND(REGR_SXX(CAST(o_totalprice AS DOUBLE),
+                      CAST(o_custkey AS DOUBLE)), -3) AS sxx,
+       ROUND(REGR_SYY(CAST(o_totalprice AS DOUBLE),
+                      CAST(o_custkey AS DOUBLE)), -3) AS syy,
+       ROUND(REGR_SXY(CAST(o_totalprice AS DOUBLE),
+                      CAST(o_custkey AS DOUBLE)), -3) AS sxy
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")

@@ -58,3 +58,85 @@ def test_analyze_table_feeds_cbo_stats(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS cbo_customer")
+
+
+def test_theta_sketch_set_algebra_accuracy(spark):
+    """Theta sketches close under union/intersection/difference; at this
+    cardinality the estimates are exact. Pins q297's rows-only tier."""
+    from shredder_spark import queries as Q
+
+    row = Q.registry()["q297_theta_sketch_algebra"].run(spark, SF).collect()[0]
+    cust = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    n_cust = cust.select("c_custkey").distinct().count()
+    with_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                             "left_semi").count())
+    assert abs(row.est_union - n_cust) / n_cust < 0.03
+    assert abs(row.est_both - with_orders) / with_orders < 0.05
+    assert abs(row.est_no_orders - (n_cust - with_orders)) <= \
+        max(5, 0.1 * (n_cust - with_orders))
+
+
+def test_kll_sketch_rank_error_bound(spark):
+    """KLL quantile estimates sit within rank-error of the exact
+    percentiles: the p50 estimate must lie between the exact p48 and
+    p52 values (default k's normalized rank error ~1.65%)."""
+    from shredder_spark import queries as Q
+
+    row = Q.registry()["q298_kll_quantile_sketch"].run(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    lo, mid, hi = li.selectExpr(
+        "percentile(l_extendedprice, 0.48) AS lo",
+        "percentile(l_extendedprice, 0.95) AS mid95",
+        "percentile(l_extendedprice, 0.52) AS hi").collect()[0]
+    assert lo <= row.p50_est <= hi
+    assert row.n == li.count()
+    p93, p97 = li.selectExpr(
+        "percentile(l_extendedprice, 0.93)",
+        "percentile(l_extendedprice, 0.97)").collect()[0]
+    assert p93 <= row.p95_est <= p97
+
+
+def test_aes_roundtrip_and_determinism(spark):
+    """aes_encrypt/decrypt round-trip; ECB mode is deterministic (same
+    key+plaintext → same ciphertext), GCM mode salts (differs)."""
+    df = spark.sql("""
+        SELECT CAST(aes_decrypt(aes_encrypt('payload-7', k, 'ECB'),
+                                k, 'ECB') AS STRING) AS rt,
+               aes_encrypt('payload-7', k, 'ECB') AS c1,
+               aes_encrypt('payload-7', k, 'ECB') AS c2
+        FROM (SELECT '0123456789abcdef' AS k)""").collect()[0]
+    assert df.rt == "payload-7"
+    assert bytes(df.c1) == bytes(df.c2)
+
+
+def test_utf8_validation_family(spark):
+    """is_valid_utf8 / make_valid_utf8 / try_validate_utf8 — raw-bytes
+    hygiene for ingest paths that can't trust their input encoding."""
+    rows = spark.sql(r"""
+        SELECT is_valid_utf8(CAST(good AS STRING)) AS ok_good,
+               is_valid_utf8(CAST(bad AS STRING)) AS ok_bad,
+               try_validate_utf8(CAST(bad AS STRING)) IS NULL AS bad_nulls,
+               make_valid_utf8(CAST(bad AS STRING)) IS NOT NULL AS repaired
+        FROM (SELECT encode('plain', 'UTF-8') AS good,
+                     X'C3' AS bad)""").collect()[0]
+    assert rows.ok_good and not rows.ok_bad
+    assert rows.bad_nulls and rows.repaired
+
+
+def test_id_generation_invariants(spark):
+    """monotonically_increasing_id: distinct across rows, ordered within
+    a partition (the partition-id lives in the high bits); uuid():
+    distinct and well-formed."""
+    import re
+
+    df = (load_table(spark, SF, "orders").repartition(4)
+          .withColumn("mid", F.expr("monotonically_increasing_id()"))
+          .withColumn("pid", F.expr("spark_partition_id()"))
+          .withColumn("u", F.expr("uuid()")))
+    n = df.count()
+    got = df.select("mid", "pid", "u").collect()
+    assert len({r.mid for r in got}) == n
+    assert len({r.u for r in got}) == n
+    assert all(re.fullmatch(r"[0-9a-f-]{36}", r.u) for r in got)
+    assert all((r.mid >> 33) == r.pid for r in got)
