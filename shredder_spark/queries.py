@@ -5413,3 +5413,208 @@ SELECT o_orderpriority,
                       CAST(o_custkey AS DOUBLE)), -3) AS sxy
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
+
+# ------------------------------------------------- breadth batch
+# (q302-q307): bitmaps, math 4, maps 3, datetime 7, arrays 6,
+# conditionals 3.
+
+
+def _q302_builder(spark: SparkSession) -> DataFrame:
+    # Audience-overlap via roaring-bitmap AND/OR aggregation: exact
+    # mergeable set intersection counts (the segment-overlap primitive
+    # — distinct-exact, unlike sketches, and still shuffle-friendly
+    # because bitmaps union associatively). Buckets per
+    # bitmap_bucket_number; overlap = sum of per-bucket AND counts.
+    return spark.sql("""
+WITH bm AS (SELECT o_orderpriority AS p,
+                   bitmap_bucket_number(o_custkey) AS b,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS m
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)),
+     per_b AS (SELECT b,
+                      CASE WHEN COUNT(*) = 2
+                           THEN bitmap_count(bitmap_and_agg(m))
+                           ELSE 0 END AS cb,
+                      bitmap_count(bitmap_or_agg(m)) AS co
+               FROM bm GROUP BY b)
+SELECT CAST(SUM(cb) AS BIGINT) AS n_both,
+       CAST(SUM(co) AS BIGINT) AS n_either
+FROM per_b
+""")
+
+
+_q("q302_bitmap_overlap", """
+WITH u AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     l AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '5-LOW')
+SELECT CAST((SELECT COUNT(*) FROM u WHERE o_custkey IN
+             (SELECT o_custkey FROM l)) AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM u UNION
+                                   SELECT o_custkey FROM l) t) AS BIGINT)
+         AS n_either
+""", builder=_q302_builder)
+
+# Math batch 4: hypot, cot, log1p, expm1, signum — closed-form oracle
+# (DuckDB lacks hypot/log1p/expm1).
+_q("q303_math_batch4",
+   oracle="""
+WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / 100000.0 AS x,
+                  CAST(o_custkey AS DOUBLE) / 1000.0 AS y
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       ROUND(SQRT(x * x + y * y), 2) AS hyp,
+       ROUND(COS(x) / SIN(x), 2) + 0 AS cot_x,
+       ROUND(LN(1 + x), 4) AS l1p,
+       ROUND(EXP(x) - 1, 4) AS em1,
+       CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END AS sgn
+FROM t ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / 100000.0 AS x,
+                  CAST(o_custkey AS DOUBLE) / 1000.0 AS y
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       ROUND(HYPOT(x, y), 2) AS hyp,
+       ROUND(COT(x), 2) + 0 AS cot_x,
+       ROUND(LOG1P(x), 4) AS l1p,
+       ROUND(EXPM1(x), 4) AS em1,
+       SIGNUM(x) AS sgn
+FROM t ORDER BY o_orderkey
+""")
+
+# Map batch 3: map_entries / map_from_entries / map_contains_key —
+# entry-list round-trip; oracle reconstructs from the scalar columns.
+_q("q304_map_entries",
+   oracle="""
+SELECT c_custkey,
+       'n=' || c_name || ',s=' || c_mktsegment AS entries_str,
+       TRUE AS has_n, FALSE AS has_x
+FROM customer ORDER BY c_custkey
+""",
+   engine_sql="""
+WITH m AS (SELECT c_custkey,
+                  MAP_FROM_ENTRIES(ARRAY(
+                    STRUCT('n' AS key, c_name AS value),
+                    STRUCT('s' AS key, c_mktsegment AS value))) AS mp
+           FROM customer)
+SELECT c_custkey,
+       ARRAY_JOIN(TRANSFORM(MAP_ENTRIES(mp),
+                            e -> CONCAT(e.key, '=', e.value)), ',')
+         AS entries_str,
+       MAP_CONTAINS_KEY(mp, 'n') AS has_n,
+       MAP_CONTAINS_KEY(mp, 'x') AS has_x
+FROM m ORDER BY c_custkey
+""")
+
+# Datetime batch 7: unix_date / date_from_unix_date / unix_seconds /
+# from_unixtime / dateadd / date_part.
+_q("q305_datetime_batch7",
+   oracle="""
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       CAST(d - DATE '1970-01-01' AS BIGINT) AS epoch_days,
+       d AS d_rt,
+       CAST(EPOCH(CAST(d AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+       STRFTIME(CAST(d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+       d + 45 AS plus45,
+       CAST(DATE_PART('quarter', d) AS BIGINT) AS qtr
+FROM o ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       CAST(UNIX_DATE(d) AS BIGINT) AS epoch_days,
+       DATE_FROM_UNIX_DATE(UNIX_DATE(d)) AS d_rt,
+       CAST(UNIX_SECONDS(CAST(d AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+       FROM_UNIXTIME(UNIX_SECONDS(CAST(d AS TIMESTAMP))) AS ts_str,
+       CAST(DATEADD(DAY, 45, d) AS DATE) AS plus45,
+       CAST(DATE_PART('QUARTER', d) AS BIGINT) AS qtr
+FROM o ORDER BY o_orderkey
+""")
+
+# Arrays batch 6 + outer generators: arrays_overlap, array_size/
+# cardinality, posexplode_outer on possibly-empty arrays.
+_q("q306_arrays_batch6",
+   oracle="""
+WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' ') AS toks
+           FROM documents WHERE doc_id <= 50),
+     probe AS (SELECT ['table', 'join', 'query'] AS kw)
+SELECT t.doc_id,
+       LEN(LIST_INTERSECT(toks, probe.kw)) > 0 AS hits_kw,
+       CAST(LEN(toks) AS BIGINT) AS n_toks
+FROM t CROSS JOIN probe ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS toks
+           FROM documents WHERE doc_id <= 50),
+     probe AS (SELECT ARRAY('table', 'join', 'query') AS kw)
+SELECT t.doc_id,
+       ARRAYS_OVERLAP(toks, probe.kw) AS hits_kw,
+       CAST(CARDINALITY(toks) AS BIGINT) AS n_toks
+FROM t CROSS JOIN probe ORDER BY doc_id
+""")
+
+
+def _q306b_builder(spark: SparkSession) -> DataFrame:
+    # posexplode_outer: rows with empty arrays survive with NULL
+    # (pos, tok) — the generator analogue of a left join.
+    return spark.sql("""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN ARRAY()
+                       ELSE SPLIT(SUBSTRING(text, 1, 30), ' ') END AS toks
+           FROM documents WHERE doc_id <= 50)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+FROM t LATERAL VIEW OUTER POSEXPLODE(toks) x AS pos, tok
+ORDER BY doc_id, pos
+""")
+
+
+_q("q307_posexplode_outer",
+   oracle="""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN []
+                       ELSE REGEXP_SPLIT_TO_ARRAY(SUBSTRING(text, 1, 30),
+                                                  ' ') END AS toks
+           FROM documents WHERE doc_id <= 50),
+     e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  toks[CAST(i AS INT)] AS tok
+           FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(i)
+           WHERE LEN(toks) > 0)
+SELECT doc_id, pos, tok FROM e
+UNION ALL
+SELECT doc_id, NULL AS pos, NULL AS tok FROM t WHERE LEN(toks) = 0
+ORDER BY doc_id, pos
+""",
+   builder=_q306b_builder)
+
+# Conditional batch 3: equal_null, ifnull, nullifzero, zeroifnull.
+_q("q308_conditional_batch3",
+   oracle="""
+WITH t AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE o_custkey END AS a,
+                  o_custkey AS b
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       (a IS NOT DISTINCT FROM b) AS eqn,
+       COALESCE(a, -1) AS ifn,
+       CASE WHEN a % 2 = 0 THEN NULL ELSE a % 2 END AS nz,
+       CASE WHEN a IS NULL THEN 0 ELSE a END AS zn
+FROM t ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH t AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE o_custkey END AS a,
+                  o_custkey AS b
+           FROM orders WHERE o_orderkey <= 2000)
+SELECT o_orderkey,
+       EQUAL_NULL(a, b) AS eqn,
+       IFNULL(a, -1) AS ifn,
+       NULLIFZERO(a % 2) AS nz,
+       ZEROIFNULL(a) AS zn
+FROM t ORDER BY o_orderkey
+""")
