@@ -5618,3 +5618,101 @@ SELECT o_orderkey,
        ZEROIFNULL(a) AS zn
 FROM t ORDER BY o_orderkey
 """)
+
+# ------------------------------------------------- sparse similarity /
+# incremental maintenance (q309-q310).
+
+# Document-document cosine similarity WITHOUT embeddings: TF-IDF
+# sparse vectors meet in an inverted-index self-join on shared terms
+# (the classic sparse similarity join — pairs exist only where terms
+# co-occur, never n²). Bounded block for the oracle tier; the same
+# plan shape scales by pruning high-DF terms first.
+_q("q309_tfidf_cosine_pairs",
+   oracle="""
+WITH tok AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' '))
+                          AS t
+                   FROM documents WHERE doc_id <= 60) s
+             GROUP BY doc_id, t),
+     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+           WHERE doc_id <= 60),
+     df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tok GROUP BY t),
+     w AS (SELECT tok.doc_id, tok.t,
+                  tf * LN(n.n / df.df) AS w
+           FROM tok JOIN df ON tok.t = df.t CROSS JOIN n),
+     nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nv FROM w GROUP BY doc_id),
+     dots AS (SELECT a.doc_id AS i, b.doc_id AS j, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+SELECT i, j, ROUND(dot / (na.nv * nb.nv), 3) AS cosine
+FROM dots JOIN nrm na ON dots.i = na.doc_id
+          JOIN nrm nb ON dots.j = nb.doc_id
+WHERE dot / (na.nv * nb.nv) >= 0.5
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS t
+                   FROM documents WHERE doc_id <= 60) s
+             GROUP BY doc_id, t),
+     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+           WHERE doc_id <= 60),
+     df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tok GROUP BY t),
+     w AS (SELECT tok.doc_id, tok.t,
+                  tf * LN(n.n / df.df) AS w
+           FROM tok JOIN df ON tok.t = df.t CROSS JOIN n),
+     nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nv FROM w GROUP BY doc_id),
+     dots AS (SELECT a.doc_id AS i, b.doc_id AS j, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+SELECT i, j, ROUND(dot / (na.nv * nb.nv), 3) AS cosine
+FROM dots JOIN nrm na ON dots.i = na.doc_id
+          JOIN nrm nb ON dots.j = nb.doc_id
+WHERE dot / (na.nv * nb.nv) >= 0.5
+ORDER BY i, j
+""")
+
+
+def _q310_builder(spark: SparkSession) -> DataFrame:
+    # Incremental aggregate maintenance: a "yesterday" rollup merges
+    # with today's delta via partial-state algebra (counts/sums add,
+    # min/max fold, avg re-derives from sums) — no rescan of the base.
+    # The oracle aggregates the full table directly; equality IS the
+    # correctness of the merge algebra.
+    from shredder_spark.operators.incremental import merge_rollups
+
+    orders = spark.table("orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0)
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("cents"),
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"))
+
+    merged = merge_rollups(rollup(base), rollup(delta),
+                           keys=["o_orderpriority"],
+                           add_cols=["n", "cents"],
+                           min_cols=["first_d"], max_cols=["last_d"])
+    return (merged.select(
+                "o_orderpriority", "n",
+                (F.col("cents") / 100.0).alias("total"),
+                "first_d", "last_d",
+                F.round(F.col("cents") / 100.0 / F.col("n"), 2).alias("avg_p"))
+            .orderBy("o_orderpriority"))
+
+
+_q("q310_incremental_rollup_merge", """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total,
+       MIN(o_orderdate) AS first_d,
+       MAX(o_orderdate) AS last_d,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*), 2) AS avg_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""", builder=_q310_builder)

@@ -56,3 +56,49 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "c_custkey" in plan.split("PushedFilters")[1][:120]
     assert df.count() == src.filter("c_custkey < 10").count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: batches written with different (compatible)
+    schemas union under mergeSchema — late columns surface as NULL in
+    old files (the 100 TB reality: schemas drift across years of
+    files)."""
+    p = str(tmp_path / "evolve")
+    base = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    base.write.mode("append").parquet(p)
+    extended = (load_table(spark, SF_DIR, "region")
+                .select("r_regionkey", "r_name")
+                .withColumn("score", F.col("r_regionkey") * 10))
+    extended.write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "score"}
+    assert merged.count() == base.count() * 2
+    # old-file rows carry NULL score; new-file rows carry values
+    assert merged.filter(F.col("score").isNull()).count() == base.count()
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """B8 for JSON: PERMISSIVE mode routes unparseable lines to
+    _corrupt_record instead of failing the job — the quarantine
+    pattern the fixed-width reader implements natively."""
+    p = tmp_path / "messy.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n'
+                 'not json at all\n'
+                 '{"a": 2, "b": "y"}\n'
+                 '{"a": "NaN-ish", "b": 3}\n')
+    df = (spark.read
+          .schema("a INT, b STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(str(p)))
+    # Spark disallows lazily querying only the corrupt column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first, the
+    # documented pattern
+    df = df.cache()
+    df.count()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2 and bad.count() == 2
+    assert sorted(r.a for r in clean.collect()) == [1, 2]
+    # the raw offending line is preserved for repair/audit
+    assert any("not json" in r._corrupt_record for r in bad.collect())
