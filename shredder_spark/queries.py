@@ -5716,3 +5716,96 @@ SELECT o_orderpriority,
              / 100.0 / COUNT(*), 2) AS avg_p
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """, builder=_q310_builder)
+
+# ------------------------------------------------- evaluation-
+# methodology batch (q311-q313).
+
+# Cohen's kappa between two "labelers" (deterministic proxies derived
+# from independent columns): chance-corrected agreement, the
+# inter-annotator staple for label-quality audits.
+_q("q311_cohens_kappa", """
+WITH l AS (SELECT CASE WHEN LENGTH(text) % 2 = 0 THEN 'even'
+                       ELSE 'odd' END AS r1,
+                  CASE WHEN doc_id % 2 = 0 THEN 'even'
+                       ELSE 'odd' END AS r2
+           FROM documents),
+     c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS agree,
+                  CAST(SUM(CASE WHEN r1 = 'even' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS a_even,
+                  CAST(SUM(CASE WHEN r2 = 'even' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS b_even
+           FROM l)
+SELECT ROUND(agree / n, 4) AS po,
+       ROUND((a_even * b_even + (n - a_even) * (n - b_even)) / (n * n), 4)
+         AS pe,
+       ROUND((agree / n - (a_even * b_even + (n - a_even) * (n - b_even))
+              / (n * n))
+             / (1 - (a_even * b_even + (n - a_even) * (n - b_even))
+                / (n * n)), 4) AS kappa
+FROM c
+""")
+
+# Bootstrap confidence interval with DETERMINISTIC resamples: replicate
+# b=0..49 draws each doc with a weight derived from md5(doc_id, b) —
+# both engines materialize identical resamples, so the percentile CI
+# is engine-exact (the honest distributed substitute for rng-based
+# bootstrap: reproducible across runs, partitions, engines).
+_q("q312_bootstrap_ci",
+   oracle="""
+WITH b AS (SELECT UNNEST(GENERATE_SERIES(0, 49)) AS b),
+     draw AS (SELECT b.b, d.n_chars,
+                     CAST(('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)
+                           || ':' || CAST(b.b AS VARCHAR)), 1, 4))
+                          AS UBIGINT) % 3 AS w
+              FROM documents d CROSS JOIN b),
+     means AS (SELECT b, SUM(w * CAST(n_chars AS DOUBLE)) / SUM(w) AS m
+               FROM draw GROUP BY b HAVING SUM(w) > 0)
+SELECT ROUND(QUANTILE_CONT(m, 0.05), 2) AS ci_lo,
+       ROUND(QUANTILE_CONT(m, 0.5), 2) AS ci_mid,
+       ROUND(QUANTILE_CONT(m, 0.95), 2) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_boot
+FROM means
+""",
+   engine_sql="""
+WITH b AS (SELECT EXPLODE(SEQUENCE(0, 49)) AS b),
+     draw AS (SELECT b.b, d.n_chars,
+                     CAST(CONV(SUBSTRING(MD5(CONCAT(
+                            CAST(d.doc_id AS STRING), ':',
+                            CAST(b.b AS STRING))), 1, 4), 16, 10)
+                          AS BIGINT) % 3 AS w
+              FROM documents d CROSS JOIN b),
+     means AS (SELECT b, SUM(w * CAST(n_chars AS DOUBLE)) / SUM(w) AS m
+               FROM draw GROUP BY b HAVING SUM(w) > 0)
+SELECT ROUND(PERCENTILE(m, 0.05), 2) AS ci_lo,
+       ROUND(PERCENTILE(m, 0.5), 2) AS ci_mid,
+       ROUND(PERCENTILE(m, 0.95), 2) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_boot
+FROM means
+""")
+
+# Quantile normalization of a per-group metric onto the global
+# distribution (batch-effect removal): each value maps to the global
+# value at its within-group rank fraction. Rank→index arithmetic is
+# integer, the lookup is an equi-join — no per-row percentile calls.
+_q("q313_quantile_normalization", """
+WITH v AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+     g AS (SELECT x AS gx,
+                  ROW_NUMBER() OVER (ORDER BY x, doc_id) AS grn
+           FROM v),
+     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+     l AS (SELECT doc_id, lang, x,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY x, doc_id) AS lrn,
+                  COUNT(*) OVER (PARTITION BY lang) AS ln
+           FROM v)
+SELECT l.doc_id, l.lang, l.x,
+       g.gx AS x_norm
+FROM l CROSS JOIN n
+JOIN g ON g.grn = CASE WHEN l.ln = 1 THEN 1
+                       ELSE CAST(ROUND((l.lrn - 1.0) * (n.n - 1)
+                                       / (l.ln - 1)) AS BIGINT) + 1 END
+ORDER BY l.doc_id
+""")
