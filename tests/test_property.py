@@ -263,3 +263,35 @@ def test_avro_codec_roundtrip(data):
         assert len(got_rows) == len(rows)
         for exp, act in zip(rows, got_rows):
             assert tuple(act) == exp
+
+
+# ------------------------------------------------- incremental merge
+# algebra: any split of the rows must merge to the direct rollup.
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),         # group key
+              st.integers(min_value=-10**6, max_value=10**6),  # additive
+              st.integers(min_value=0, max_value=10**9)),      # extremal
+    min_size=1, max_size=40),
+    cut=st.integers(min_value=0, max_value=40))
+def test_merge_rollups_equals_direct(spark, rows, cut):
+    from shredder_spark.operators.incremental import merge_rollups
+
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    base = df.limit(min(cut, len(rows)))
+    # delta = the complement (exceptAll keeps duplicate multiplicity)
+    delta = df.exceptAll(base)
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("w").alias("lo"), F.max("w").alias("hi"))
+
+    merged = merge_rollups(rollup(base), rollup(delta), keys=["k"],
+                           add_cols=["n", "s"], min_cols=["lo"],
+                           max_cols=["hi"])
+    got = {r.k: (r.n, r.s, r.lo, r.hi) for r in merged.collect()}
+    want = {r.k: (r.n, r.s, r.lo, r.hi) for r in rollup(df).collect()}
+    assert got == want
