@@ -5809,3 +5809,81 @@ JOIN g ON g.grn = CASE WHEN l.ln = 1 THEN 1
                                        / (l.ln - 1)) AS BIGINT) + 1 END
 ORDER BY l.doc_id
 """)
+
+# ------------------------------------------------- containment dedup /
+# grouped regression (q314-q316).
+
+# Exact substring-containment dedup (bounded block): docs whose whole
+# text occurs inside another doc. Blocked on shared first token so the
+# pair space is the block join; INSTR/STRPOS does the containment
+# test. The tier quadratic-in-block, like the q42 oracle tier.
+_q("q314_containment_dedup",
+   oracle="""
+WITH d AS (SELECT doc_id, text,
+                  SPLIT_PART(text, ' ', 1) AS t0, LENGTH(text) AS ln
+           FROM documents WHERE doc_id <= 300)
+SELECT a.doc_id AS contained, b.doc_id AS container
+FROM d a JOIN d b
+  ON a.t0 = b.t0 AND a.doc_id <> b.doc_id AND a.ln < b.ln
+WHERE STRPOS(b.text, a.text) > 0
+ORDER BY contained, container
+""",
+   engine_sql="""
+WITH d AS (SELECT doc_id, text,
+                  SPLIT_PART(text, ' ', 1) AS t0, LENGTH(text) AS ln
+           FROM documents WHERE doc_id <= 300)
+SELECT a.doc_id AS contained, b.doc_id AS container
+FROM d a JOIN d b
+  ON a.t0 = b.t0 AND a.doc_id <> b.doc_id AND a.ln < b.ln
+WHERE INSTR(b.text, a.text) > 0
+ORDER BY contained, container
+""")
+
+# Asymmetric Jaccard CONTAINMENT |A∩B|/|A| (how much of doc A lives in
+# doc B — catches quote/expansion relationships symmetric Jaccard
+# misses). Bounded block; token-set arithmetic as q42.
+_q("q315_jaccard_containment",
+   oracle="""
+WITH t AS (SELECT doc_id,
+                  LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, ' ')) AS tok
+           FROM documents WHERE doc_id <= 100)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+             / LEN(a.tok), 3) AS containment
+FROM t a JOIN t b ON a.doc_id <> b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+      / LEN(a.tok) >= 0.9
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id,
+                  ARRAY_DISTINCT(SPLIT(text, ' ')) AS tok
+           FROM documents WHERE doc_id <= 100)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       ROUND(CAST(SIZE(ARRAY_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+             / SIZE(a.tok), 3) AS containment
+FROM t a JOIN t b ON a.doc_id <> b.doc_id
+WHERE CAST(SIZE(ARRAY_INTERSECT(a.tok, b.tok)) AS DOUBLE)
+      / SIZE(a.tok) >= 0.9
+ORDER BY i, j
+""")
+
+# Per-group linear fit applied back to rows (prediction + residual):
+# regr_slope/intercept per priority, joined to score every order —
+# the grouped-model-scoring shape (fit once per group, score all rows,
+# no per-row model calls).
+_q("q316_group_regression_residuals", """
+WITH fit AS (SELECT o_orderpriority AS p,
+                    REGR_SLOPE(CAST(o_totalprice AS DOUBLE),
+                               CAST(o_custkey AS DOUBLE)) AS b,
+                    REGR_INTERCEPT(CAST(o_totalprice AS DOUBLE),
+                                   CAST(o_custkey AS DOUBLE)) AS a
+             FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderkey,
+       ROUND(fit.a + fit.b * o.o_custkey, 2) AS pred,
+       ROUND(CAST(o.o_totalprice AS DOUBLE)
+             - (fit.a + fit.b * o.o_custkey), 2) AS resid
+FROM orders o JOIN fit ON o.o_orderpriority = fit.p
+WHERE o.o_orderkey <= 2000
+ORDER BY o.o_orderkey
+""")
