@@ -438,3 +438,46 @@ def test_seeded_sample_deterministic_and_bounded(spark, documents):
     n = documents.count()
     assert 0.10 * n <= len(a) <= 0.32 * n  # loose binomial bounds
     assert a != pick(8)  # different seed actually changes the sample
+
+
+def test_minhash_parity_with_mllib_lsh(spark):
+    """B72 parity proof: our band-bucket MinHash-LSH and Spark MLlib's
+    ml.feature.MinHashLSH recover (near-)identical near-dup pair sets
+    against the exact-Jaccard ground truth — two independent
+    implementations of the same sketch family agreeing on the same
+    corpus. Ours is exact-verified (precision 1.0 by construction);
+    MLlib's approxSimilarityJoin also filters by exact distance, so
+    both sides differ from ground truth only by banding recall."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from shredder_spark.catalog import load_table
+    from shredder_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    # bounded block (same as the q42/q59 exact tier): this synthetic
+    # corpus is extremely self-similar, so full-corpus buckets blow
+    # past the skew cap and get skipped by design — recall guarantees
+    # hold modulo that cap (see minhash_lsh_pairs docstring)
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter("doc_id < 100"))
+    exact = {(r.i, r.j) for r in
+             jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()}
+    assert exact, "fixture must contain near-dup pairs"
+
+    ours = {(r.i, r.j) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text",
+                              threshold=0.8).collect()}
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True)
+    vecs = cv.fit(toks).transform(toks)
+    mh = MinHashLSH(inputCol="vec", outputCol="h", numHashTables=16, seed=7)
+    mllib = {(ra, rb) for ra, rb in (
+        (r["datasetA"].doc_id, r["datasetB"].doc_id)
+        for r in mh.fit(vecs).approxSimilarityJoin(
+            vecs, vecs, 0.2 + 1e-9, distCol="jd").collect())
+        if ra < rb}
+
+    assert ours <= exact                      # exact-verified: precision 1.0
+    assert len(ours & exact) / len(exact) >= 0.9
+    assert len(mllib & exact) / len(exact) >= 0.9
