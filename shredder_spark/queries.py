@@ -5887,3 +5887,38 @@ FROM orders o JOIN fit ON o.o_orderpriority = fit.p
 WHERE o.o_orderkey <= 2000
 ORDER BY o.o_orderkey
 """)
+
+# ------------------------------------------------- data-quality drift
+# (q317): null/metric drift between two corpus snapshots.
+
+# Snapshot drift monitor: profile "last week" vs "this week" (modulo
+# split proxies) and flag per-column null-rate and mean shifts — the
+# one-pass guardrail that runs before a training-data refresh ships.
+_q("q317_drift_monitor", """
+WITH snap AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'base'
+                          ELSE 'cand' END AS snap,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE n_chars END AS n_chars,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          ELSE lang END AS lang
+              FROM documents),
+     prof AS (SELECT snap,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(COUNT(n_chars) AS DOUBLE) AS nn_chars,
+                     CAST(COUNT(lang) AS DOUBLE) AS nn_lang,
+                     AVG(CAST(n_chars AS DOUBLE)) AS mean_chars
+              FROM snap GROUP BY snap),
+     b AS (SELECT * FROM prof WHERE snap = 'base'),
+     c AS (SELECT * FROM prof WHERE snap = 'cand')
+SELECT ROUND(1 - b.nn_chars / b.n, 4) AS null_rate_base,
+       ROUND(1 - c.nn_chars / c.n, 4) AS null_rate_cand,
+       ROUND(ABS((1 - c.nn_chars / c.n) - (1 - b.nn_chars / b.n)), 4)
+         AS null_drift,
+       ROUND(ABS(c.mean_chars - b.mean_chars) / b.mean_chars, 4)
+         AS mean_drift,
+       ABS((1 - c.nn_chars / c.n) - (1 - b.nn_chars / b.n)) > 0.05
+         AS null_alarm,
+       ABS(c.mean_chars - b.mean_chars) / b.mean_chars > 0.1
+         AS mean_alarm
+FROM b CROSS JOIN c
+""")

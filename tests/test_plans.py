@@ -189,3 +189,22 @@ def test_runtime_bloom_filter_injection(spark):
                          "applicationSideScanSizeThreshold")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+
+
+def test_sparse_cosine_join_no_cartesian(spark, reg):
+    """q309's sparse TF-IDF cosine must meet docs through the shared-
+    term equi-join — a Cartesian/BNL pair generator would be the
+    O(n^2) failure mode at scale."""
+    df = _run(spark, reg, "q309_tfidf_cosine_pairs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    strategies = P.join_strategies(df)
+    assert strategies, "expected joins in the sparse-cosine plan"
+
+
+def test_basket_lift_no_cartesian(spark, reg):
+    """q285 pair mining joins baskets on l_orderkey (equi), never as a
+    cross product."""
+    df = _run(spark, reg, "q285_market_basket_lift")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
