@@ -5922,3 +5922,30 @@ SELECT ROUND(1 - b.nn_chars / b.n, 4) AS null_rate_base,
          AS mean_alarm
 FROM b CROSS JOIN c
 """)
+
+# ------------------------------------------------- weighted median
+# (q318): neither engine ships weighted percentiles — the running-
+# weight formulation is the portable (and distributed) answer.
+
+# Weighted median order price per priority, weight = line count: sort
+# by value, take the first value whose running weight crosses half the
+# total. Integer weights → exact threshold comparisons everywhere.
+_q("q318_weighted_median", """
+WITH w AS (SELECT o.o_orderpriority AS p,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS wt
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY o.o_orderpriority, o.o_orderkey, o.o_totalprice),
+     r AS (SELECT p, v, wt,
+                  SUM(wt) OVER (PARTITION BY p
+                                ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                  SUM(wt) OVER (PARTITION BY p) AS tw
+           FROM w),
+     pick AS (SELECT p, v,
+                     ROW_NUMBER() OVER (PARTITION BY p ORDER BY v) AS rn
+              FROM r WHERE cw * 2 >= tw)
+SELECT p, CAST(v AS DOUBLE) / 100.0 AS wmedian
+FROM pick WHERE rn = 1 ORDER BY p
+""")
