@@ -5949,3 +5949,58 @@ WITH w AS (SELECT o.o_orderpriority AS p,
 SELECT p, CAST(v AS DOUBLE) / 100.0 AS wmedian
 FROM pick WHERE rn = 1 ORDER BY p
 """)
+
+# ------------------------------------------------- spatial join /
+# variant introspection (q319-q320).
+
+# Spatial proximity join, the scale pattern: deterministic lat/lon per
+# customer, a cheap bounding-box equi/band prefilter prunes the pair
+# space, exact haversine verifies survivors — prune-then-verify, the
+# same shape every real geo join compiles to (and no geo extension
+# needed: pure math both engines).
+_q("q319_haversine_join", """
+WITH pts AS (SELECT c_custkey AS id,
+                    (CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 1000.0 - 0.5)
+                      * 2 AS lat,
+                    (CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 1000.0)
+                      * 2 AS lon
+             FROM customer WHERE c_custkey <= 400),
+     cand AS (SELECT a.id AS i, b.id AS j,
+                     a.lat AS la, a.lon AS oa, b.lat AS lb, b.lon AS ob
+              FROM pts a JOIN pts b
+                ON a.id < b.id
+               AND CAST(FLOOR(a.lat * 10) AS BIGINT)
+                   BETWEEN CAST(FLOOR(b.lat * 10) AS BIGINT) - 1
+                       AND CAST(FLOOR(b.lat * 10) AS BIGINT) + 1
+               AND ABS(a.lon - b.lon) < 0.2),
+     d AS (SELECT i, j,
+                  2 * 6371.0 * ASIN(SQRT(
+                    POWER(SIN(RADIANS(lb - la) / 2), 2)
+                    + COS(RADIANS(la)) * COS(RADIANS(lb))
+                      * POWER(SIN(RADIANS(ob - oa) / 2), 2))) AS km
+           FROM cand)
+SELECT i, j, ROUND(km, 1) AS km
+FROM d WHERE km <= 10
+ORDER BY i, j
+""")
+
+# VARIANT deep introspection (extends q220): explode a variant array
+# into typed elements and recover the value schema — the
+# semi-structured pipeline's schema-discovery step.
+_q("q320_variant_explode",
+   oracle="""
+WITH t AS (SELECT event_id, props FROM events WHERE event_id <= 200),
+     e AS (SELECT t.event_id,
+                  CAST(k.k AS VARCHAR) AS vkey,
+                  json_extract_string(t.props, '$.' || k.k) AS vval
+           FROM t, UNNEST(json_keys(t.props)) AS k(k))
+SELECT event_id, vkey, vval FROM e ORDER BY event_id, vkey
+""",
+   engine_sql="""
+WITH t AS (SELECT event_id, PARSE_JSON(props) AS v
+           FROM events WHERE event_id <= 200)
+SELECT event_id, key AS vkey,
+       CAST(REPLACE(TO_JSON(value), '"', '') AS STRING) AS vval
+FROM t, LATERAL VARIANT_EXPLODE(v)
+ORDER BY event_id, vkey
+""")

@@ -140,3 +140,22 @@ def test_id_generation_invariants(spark):
     assert len({r.u for r in got}) == n
     assert all(re.fullmatch(r"[0-9a-f-]{36}", r.u) for r in got)
     assert all((r.mid >> 33) == r.pid for r in got)
+
+
+def test_geospatial_st_wkb_roundtrip(spark):
+    """ST geometry surface (gated behind spark.sql.geospatial.enabled):
+    WKB parse → binary round-trip is the identity, and SRID get/set
+    behave. Spark-side only — the oracle engine has no geo extension
+    in this container, so the distance-join tier (q319) uses pure
+    haversine math instead of ST types."""
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    try:
+        row = spark.sql("""
+            SELECT hex(st_asbinary(st_geomfromwkb(wkb))) AS rt,
+                   st_srid(st_setsrid(st_geomfromwkb(wkb), 4326)) AS srid
+            FROM (SELECT X'0101000000000000000000F03F0000000000000040'
+                  AS wkb)""").collect()[0]
+        assert row.rt == "0101000000000000000000F03F0000000000000040"
+        assert row.srid == 4326
+    finally:
+        spark.conf.unset("spark.sql.geospatial.enabled")
