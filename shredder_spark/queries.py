@@ -6004,3 +6004,52 @@ SELECT event_id, key AS vkey,
 FROM t, LATERAL VARIANT_EXPLODE(v)
 ORDER BY event_id, vkey
 """)
+
+# ------------------------------------------------- final coverage pair
+# (q321-q322): grouped top-k sketch, boolean aggregates.
+
+# APPROX_TOP_K per group: at this cardinality the sketch is exact on
+# COUNTS, but tied counts at the k boundary make the chosen ITEMS
+# arbitrary — so the declared output is the tie-insensitive count
+# multiset per group (any valid top-5 has the same counts).
+_q("q321_grouped_top_terms",
+   oracle="""
+WITH tok AS (SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' ')) AS t
+             FROM documents),
+     c AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY lang, t),
+     r AS (SELECT lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, t) AS rk
+           FROM c)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS top5_total,
+       CAST(MAX(n) AS BIGINT) AS top1_n, CAST(MIN(n) AS BIGINT) AS top5_n
+FROM r WHERE rk <= 5 GROUP BY lang ORDER BY lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS t FROM documents),
+     sk AS (SELECT lang, APPROX_TOP_K(t, 5, 4096) AS tk
+            FROM tok GROUP BY lang),
+     e AS (SELECT lang, x.count AS n
+           FROM sk LATERAL VIEW EXPLODE(tk) v AS x)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS top5_total,
+       CAST(MAX(n) AS BIGINT) AS top1_n, CAST(MIN(n) AS BIGINT) AS top5_n
+FROM e GROUP BY lang ORDER BY lang
+""")
+
+# Boolean aggregates EVERY / ANY / SOME (ANSI spellings of
+# bool_and/bool_or; q67 covered the bool_* spellings).
+_q("q322_boolean_aggregates",
+   oracle="""
+SELECT o_orderpriority,
+       BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+       BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+       BOOL_OR(o_orderstatus = 'P') AS some_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   engine_sql="""
+SELECT o_orderpriority,
+       EVERY(o_totalprice > 1000) AS all_over_1k,
+       ANY(o_totalprice > 400000) AS any_over_400k,
+       SOME(o_orderstatus = 'P') AS some_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
