@@ -6053,3 +6053,96 @@ SELECT o_orderpriority,
        SOME(o_orderstatus = 'P') AS some_pending
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
+
+# ------------------------------------------------- warehouse / search /
+# contrastive batch (q323-q326).
+
+# Effective-dated dimension lookup (completes q154's SCD2 build): each
+# purchase resolves the user's validity interval containing its
+# timestamp — the BETWEEN join every temporal warehouse runs. Interval
+# grain from q154's construction; far-future sentinel closes the last
+# row.
+_q("q323_scd2_lookup", """
+WITH dim AS (SELECT user_id, ts AS valid_from,
+                    COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             TIMESTAMP '2099-12-31 00:00:00') AS valid_to,
+                    event_id AS version_id
+             FROM events WHERE event_type = 'signup'),
+     facts AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, d.version_id
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from AND f.ts < d.valid_to
+ORDER BY f.event_id
+""")
+
+# Conjunctive term search (docs containing ALL query terms): inverted-
+# index semi-join counting distinct matched terms — the AND-query
+# shape; no per-doc rescans, no LIKE chains.
+_q("q324_conjunctive_search",
+   oracle="""
+WITH q AS (SELECT UNNEST(['table', 'join', 'scan']) AS term),
+     hit AS (SELECT d.doc_id, q.term
+             FROM (SELECT doc_id,
+                          UNNEST(LIST_DISTINCT(
+                            REGEXP_SPLIT_TO_ARRAY(text, ' '))) AS t
+                   FROM documents) d
+             JOIN q ON d.t = q.term)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM hit GROUP BY doc_id HAVING COUNT(*) = 3
+ORDER BY doc_id
+""",
+   engine_sql="""
+WITH q AS (SELECT EXPLODE(ARRAY('table', 'join', 'scan')) AS term),
+     hit AS (SELECT d.doc_id, q.term
+             FROM (SELECT doc_id,
+                          EXPLODE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS t
+                   FROM documents) d
+             JOIN q ON d.t = q.term)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM hit GROUP BY doc_id HAVING COUNT(*) = 3
+ORDER BY doc_id
+""")
+
+# Phrase search ("table value" as ADJACENT tokens): positional
+# inverted index — explode with ordinality, self-join on doc and
+# pos+1 — the bigram-position shape n-word phrases generalize to.
+_q("q325_phrase_search",
+   oracle="""
+WITH p AS (SELECT doc_id, toks[CAST(i AS INT)] AS t, i
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' ') AS toks
+                 FROM documents) d,
+                UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(i))
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.t = 'table' AND b.t = 'value'
+GROUP BY a.doc_id ORDER BY a.doc_id
+""",
+   engine_sql="""
+WITH p AS (SELECT doc_id, t, pos
+           FROM (SELECT doc_id, SPLIT(text, ' ') AS toks FROM documents)
+           LATERAL VIEW POSEXPLODE(toks) x AS pos, t)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table' AND b.t = 'value'
+GROUP BY a.doc_id ORDER BY a.doc_id
+""")
+
+# Deterministic negative sampling for contrastive pairs: each anchor
+# doc draws its 2 cross-language "negatives" by md5(anchor, candidate)
+# rank — reproducible across engines/partitions (no rand()), the
+# training-pair generator for embedding models.
+_q("q326_negative_sampling", """
+WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id <= 80),
+     pairs AS (SELECT a.doc_id AS anchor, b.doc_id AS neg,
+                      MD5(CONCAT(CAST(a.doc_id AS STRING), ':',
+                                 CAST(b.doc_id AS STRING))) AS h
+               FROM d a JOIN d b ON a.lang <> b.lang),
+     r AS (SELECT anchor, neg,
+                  ROW_NUMBER() OVER (PARTITION BY anchor
+                                     ORDER BY h, neg) AS rk
+           FROM pairs)
+SELECT anchor, neg FROM r WHERE rk <= 2 ORDER BY anchor, neg
+""")
