@@ -6146,3 +6146,82 @@ WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id <= 80),
            FROM pairs)
 SELECT anchor, neg FROM r WHERE rk <= 2 ORDER BY anchor, neg
 """)
+
+# ------------------------------------------------- robust stats /
+# integrity batch (q327-q329).
+
+# Theil-Sen robust slope (median of pairwise slopes, bounded block):
+# the outlier-immune regression estimate; DISC median picks an actual
+# slope value so both engines select the same element.
+_q("q327_theil_sen",
+   oracle="""
+WITH pts AS (SELECT CAST(c_custkey AS DOUBLE) AS x,
+                    CAST(c_acctbal AS DOUBLE) AS y
+             FROM customer WHERE c_custkey <= 200),
+     slopes AS (SELECT (b.y - a.y) / (b.x - a.x) AS s
+                FROM pts a JOIN pts b ON a.x < b.x)
+SELECT ROUND(QUANTILE_DISC(s, 0.5), 4) AS theil_sen_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM slopes
+""",
+   engine_sql="""
+WITH pts AS (SELECT CAST(c_custkey AS DOUBLE) AS x,
+                    CAST(c_acctbal AS DOUBLE) AS y
+             FROM customer WHERE c_custkey <= 200),
+     slopes AS (SELECT (b.y - a.y) / (b.x - a.x) AS s
+                FROM pts a JOIN pts b ON a.x < b.x)
+SELECT ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s), 4)
+         AS theil_sen_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM slopes
+""")
+
+# Mann-Whitney U rank-sum test between click and view values: average
+# ranks over integer cents (ties → .5 ranks, exact in doubles) — the
+# nonparametric complement of q295's KS distance.
+_q("q328_mann_whitney_u", """
+WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  event_type AS g
+           FROM events WHERE event_type IN ('click', 'view')),
+     r AS (SELECT g, c,
+                  RANK() OVER (ORDER BY c) AS rk,
+                  COUNT(*) OVER (PARTITION BY c) AS ties
+           FROM s),
+     avg_r AS (SELECT g, rk + (ties - 1) / 2.0 AS ar FROM r),
+     agg AS (SELECT CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS n1,
+                    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS n2,
+                    SUM(CASE WHEN g = 'click' THEN ar ELSE 0 END) AS r1
+             FROM avg_r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       r1 - n1 * (n1 + 1) / 2 AS u1,
+       ROUND((r1 - n1 * (n1 + 1) / 2) / (n1 * n2), 4) AS auc
+FROM agg
+""")
+
+# Orderless table checksum: per-row md5 folded with modular addition —
+# partition- and order-independent, so replicas/engines compare one
+# number to verify a copy (the distributed analogue of a file md5).
+_q("q329_table_checksum",
+   oracle="""
+WITH h AS (SELECT CAST(('0x' || SUBSTRING(MD5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(o_custkey AS VARCHAR) || '|' ||
+                    o_orderstatus), 1, 15)) AS UBIGINT) AS v
+           FROM orders)
+SELECT CAST(SUM(v) % 2305843009213693951 AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM h
+""",
+   engine_sql="""
+WITH h AS (SELECT CAST(CONV(SUBSTRING(MD5(CONCAT(
+                    CAST(o_orderkey AS STRING), '|',
+                    CAST(o_custkey AS STRING), '|',
+                    o_orderstatus)), 1, 15), 16, 10) AS BIGINT) AS v
+           FROM orders)
+SELECT CAST(SUM(CAST(v AS DECIMAL(38, 0))) % 2305843009213693951
+            AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM h
+""")
