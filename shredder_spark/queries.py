@@ -6281,3 +6281,51 @@ SELECT user_id,
 FROM f WHERE c > 0
 GROUP BY user_id ORDER BY user_id
 """)
+
+# ------------------------------------------------- pareto / keyset
+# pagination (q332-q333).
+
+# Pareto concentration: the smallest customer count whose revenue
+# reaches 80% of each segment's total — running share over a desc
+# sort, integer cents exact until the final threshold pick.
+_q("q332_pareto_8020", """
+WITH r AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_mktsegment, o.o_custkey),
+     w AS (SELECT seg, o_custkey, cents,
+                  SUM(cents) OVER (PARTITION BY seg
+                                   ORDER BY cents DESC, o_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run,
+                  SUM(cents) OVER (PARTITION BY seg) AS tot,
+                  COUNT(*) OVER (PARTITION BY seg) AS n_cust
+           FROM r),
+     hit AS (SELECT seg, n_cust,
+                    MIN(CASE WHEN run * 5 >= tot * 4
+                             THEN rn END) AS n_for_80
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY cents DESC, o_custkey) AS rn
+                   FROM w) t
+             GROUP BY seg, n_cust)
+SELECT seg, CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(n_for_80 AS BIGINT) AS n_for_80,
+       ROUND(CAST(n_for_80 AS DOUBLE) / n_cust, 4) AS share_of_customers
+FROM hit ORDER BY seg
+""")
+
+# Keyset ("seek") pagination: page 3 of the (o_orderdate, o_orderkey)
+# ordering fetched by row-value comparison against page 2's last key —
+# O(page) work at any depth, where OFFSET pays O(depth). Row-value
+# (tuple) comparison parses in both engines.
+_q("q333_keyset_pagination", """
+WITH page2_last AS (
+  SELECT o_orderdate AS d, o_orderkey AS k
+  FROM orders ORDER BY o_orderdate, o_orderkey
+  LIMIT 1 OFFSET 39)
+SELECT o.o_orderkey, o.o_orderdate
+FROM orders o CROSS JOIN page2_last p
+WHERE (o.o_orderdate, o.o_orderkey) > (p.d, p.k)
+ORDER BY o.o_orderdate, o.o_orderkey
+LIMIT 20
+""")
