@@ -6329,3 +6329,50 @@ WHERE (o.o_orderdate, o.o_orderkey) > (p.d, p.k)
 ORDER BY o.o_orderdate, o.o_orderkey
 LIMIT 20
 """)
+
+# ------------------------------------------------- named windows /
+# pandas UDAF (q334-q335).
+
+# Named WINDOW clause: one spec declared once, shared by four
+# functions — parses identically in both engines.
+_q("q334_named_window", """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       ROUND(SUM(CAST(o_totalprice AS DOUBLE)) OVER w, 2) AS run_sum,
+       ROUND(MIN(CAST(o_totalprice AS DOUBLE)) OVER w, 2) AS run_min,
+       ROUND(MAX(CAST(o_totalprice AS DOUBLE)) OVER w, 2) AS run_max
+FROM orders
+WHERE o_custkey <= 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""")
+
+
+def _q335_builder(spark: SparkSession) -> DataFrame:
+    # Pandas grouped-aggregate UDAF (Arrow-batched, the B50 family's
+    # aggregation flavor): per-priority geometric mean of order
+    # totals. The UDAF computes exp(mean(log x)) in numpy; the oracle
+    # spells the same thing in SQL.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this build's signature inference rejects
+    # the Series->float annotation form
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    orders = spark.table("orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.round(geo_mean(F.col("o_totalprice").cast("double")), 2)
+                 .alias("gm"))
+            .orderBy("o_orderpriority"))
+
+
+_q("q335_pandas_udaf_geomean", """
+SELECT o_orderpriority,
+       ROUND(EXP(AVG(LN(CAST(o_totalprice AS DOUBLE)))), 2) AS gm
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""", builder=_q335_builder)
