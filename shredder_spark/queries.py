@@ -6376,3 +6376,109 @@ SELECT o_orderpriority,
        ROUND(EXP(AVG(LN(CAST(o_totalprice AS DOUBLE)))), 2) AS gm
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """, builder=_q335_builder)
+
+# ------------------------------------------------- probabilistic
+# linkage / survival batch (q336-q337).
+
+# Fellegi-Sunter record-linkage scoring: candidate pairs (blocked on
+# nation) score field agreements with log2(m/u) weights and
+# disagreements with log2((1-m)/(1-u)) — the probabilistic-linkage
+# standard. Constant m/u priors keep the arithmetic deterministic;
+# pairs above threshold are "links".
+_q("q336_fellegi_sunter", """
+WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+                  c_mktsegment AS seg
+           FROM customer WHERE c_custkey <= 300),
+     pairs AS (SELECT a.id AS i, b.id AS j,
+                      CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+                      CASE WHEN ABS(a.bal - b.bal) <= 10000
+                           THEN 1 ELSE 0 END AS g_bal,
+                      CASE WHEN a.id % 7 = b.id % 7 THEN 1 ELSE 0 END
+                        AS g_key
+               FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
+     scored AS (SELECT i, j,
+                       (CASE WHEN g_seg = 1 THEN LN(0.9 / 0.2)
+                             ELSE LN(0.1 / 0.8) END
+                        + CASE WHEN g_bal = 1 THEN LN(0.8 / 0.1)
+                               ELSE LN(0.2 / 0.9) END
+                        + CASE WHEN g_key = 1 THEN LN(0.95 / 0.14)
+                               ELSE LN(0.05 / 0.86) END) / LN(2)
+                         AS w
+                FROM pairs)
+SELECT i, j, ROUND(w, 2) AS weight
+FROM scored WHERE w > 2
+ORDER BY i, j
+""")
+
+# Kaplan-Meier survival estimate of "time to first error" per user
+# (users with no error are right-censored at their last event): the
+# product-limit estimator as exp(sum(ln(1 - d/n))) over event times —
+# the declarative spelling of the survival curve.
+_q("q337_kaplan_meier",
+   oracle="""
+WITH life AS (SELECT user_id,
+                     MIN(ts) AS t0,
+                     MIN(CASE WHEN event_type = 'error' THEN ts END)
+                       AS t_err,
+                     MAX(ts) AS t_last
+              FROM events GROUP BY user_id),
+     obs AS (SELECT user_id,
+                    CAST(CEIL((EPOCH(COALESCE(t_err, t_last))
+                      - EPOCH(t0)) / 86400.0) AS BIGINT) AS t_days,
+                    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM life),
+     by_t AS (SELECT t_days, CAST(SUM(ev) AS DOUBLE) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS c
+              FROM obs GROUP BY t_days),
+     risk AS (SELECT t_days, d,
+                     SUM(c) OVER (ORDER BY t_days DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_at_risk
+              FROM by_t),
+     km AS (SELECT t_days, d, n_at_risk,
+                   EXP(SUM(LN(GREATEST(1 - d / n_at_risk, 1e-300))) OVER
+                       (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)) AS s
+            FROM risk WHERE d > 0)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       ROUND(s, 4) AS survival
+FROM km ORDER BY t_days
+""",
+   engine_sql="""
+WITH life AS (SELECT user_id,
+                     MIN(ts) AS t0,
+                     MIN(CASE WHEN event_type = 'error' THEN ts END)
+                       AS t_err,
+                     MAX(ts) AS t_last
+              FROM events GROUP BY user_id),
+     obs AS (SELECT user_id,
+                    CAST(CEIL((UNIX_MICROS(CAST(
+                        COALESCE(t_err, t_last) AS TIMESTAMP))
+                      - UNIX_MICROS(CAST(t0 AS TIMESTAMP)))
+                      / 86400000000.0) AS BIGINT) AS t_days,
+                    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM life),
+     by_t AS (SELECT t_days, CAST(SUM(ev) AS DOUBLE) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS c
+              FROM obs GROUP BY t_days),
+     risk AS (SELECT t_days, d,
+                     SUM(c) OVER (ORDER BY t_days DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_at_risk
+              FROM by_t),
+     km AS (SELECT t_days, d, n_at_risk,
+                   EXP(SUM(LN(GREATEST(1 - d / n_at_risk, 1e-300))) OVER
+                       (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)) AS s
+            FROM risk WHERE d > 0)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       ROUND(s, 4) AS survival
+FROM km ORDER BY t_days
+""")
