@@ -6482,3 +6482,123 @@ SELECT CAST(t_days AS BIGINT) AS t_days,
        ROUND(s, 4) AS survival
 FROM km ORDER BY t_days
 """)
+
+# ------------------------------------------------- divergence /
+# sampling / calibration batch (q338-q340).
+
+# Jensen-Shannon divergence between the en/de token distributions —
+# the symmetric, bounded corpus-drift measure (complements q294's
+# per-token log-odds with one corpus-level number).
+_q("q338_jensen_shannon",
+   oracle="""
+WITH tok AS (SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' ')) AS t
+             FROM documents WHERE lang IN ('en', 'de')),
+     c AS (SELECT t,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c1,
+                  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c2
+           FROM tok GROUP BY t),
+     n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+     p AS (SELECT c1 / n.n1 AS p, c2 / n.n2 AS q FROM c CROSS JOIN n),
+     terms AS (SELECT
+                 CASE WHEN p > 0 THEN p * LN(2 * p / (p + q)) ELSE 0 END
+                   AS kp,
+                 CASE WHEN q > 0 THEN q * LN(2 * q / (p + q)) ELSE 0 END
+                   AS kq
+               FROM p)
+SELECT ROUND((SUM(kp) + SUM(kq)) / (2 * LN(2)), 3) AS js_bits
+FROM terms
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS t
+             FROM documents WHERE lang IN ('en', 'de')),
+     c AS (SELECT t,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c1,
+                  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c2
+           FROM tok GROUP BY t),
+     n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+     p AS (SELECT c1 / n.n1 AS p, c2 / n.n2 AS q FROM c CROSS JOIN n),
+     terms AS (SELECT
+                 CASE WHEN p > 0 THEN p * LN(2 * p / (p + q)) ELSE 0 END
+                   AS kp,
+                 CASE WHEN q > 0 THEN q * LN(2 * q / (p + q)) ELSE 0 END
+                   AS kq
+               FROM p)
+SELECT ROUND((SUM(kp) + SUM(kq)) / (2 * LN(2)), 3) AS js_bits
+FROM terms
+""")
+
+# Gumbel-max weighted sampling WITH replacement semantics (softmax
+# draw): key = ln(w) - ln(-ln(u)) over the shared md5 uniform — the
+# complement of q275's without-replacement A-Res; per-draw argmax is
+# deterministic because both engines derive the same u.
+_q("q339_gumbel_topk",
+   oracle="""
+WITH d AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS draw),
+     u AS (SELECT d.draw, o.o_orderkey,
+                  CAST(o.o_totalprice AS DOUBLE) AS w,
+                  (CAST(('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)
+                        || '#' || CAST(d.draw AS VARCHAR)), 1, 8))
+                       AS UBIGINT) + 1) / 4294967296.0 AS un
+           FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
+     k AS (SELECT draw, o_orderkey, w,
+                  LN(w) - LN(-LN(un)) AS gkey
+           FROM u),
+     r AS (SELECT draw, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY draw
+                                     ORDER BY gkey DESC, o_orderkey) AS rn
+           FROM k)
+SELECT draw, o_orderkey AS winner FROM r WHERE rn = 1 ORDER BY draw
+""",
+   engine_sql="""
+WITH d AS (SELECT EXPLODE(SEQUENCE(0, 9)) AS draw),
+     u AS (SELECT d.draw, o.o_orderkey,
+                  CAST(o.o_totalprice AS DOUBLE) AS w,
+                  (CAST(CONV(SUBSTRING(MD5(CONCAT(
+                        CAST(o.o_orderkey AS STRING), '#',
+                        CAST(d.draw AS STRING))), 1, 8), 16, 10)
+                       AS DOUBLE) + 1) / 4294967296.0 AS un
+           FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
+     k AS (SELECT draw, o_orderkey, w,
+                  LN(w) - LN(-LN(un)) AS gkey
+           FROM u),
+     r AS (SELECT draw, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY draw
+                                     ORDER BY gkey DESC, o_orderkey) AS rn
+           FROM k)
+SELECT draw, o_orderkey AS winner FROM r WHERE rn = 1 ORDER BY draw
+""")
+
+# Calibration / reliability bins: deterministic pseudo-scores vs
+# realized outcomes, binned into deciles — avg predicted probability
+# against observed rate per bin (the reliability-diagram table).
+_q("q340_calibration_bins",
+   oracle="""
+WITH s AS (SELECT o_orderkey,
+                  CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)),
+                        1, 4)) AS UBIGINT) / 65536.0 AS score,
+                  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     b AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS bin, score, y
+           FROM s)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 4) AS avg_pred,
+       ROUND(AVG(CAST(y AS DOUBLE)), 4) AS obs_rate
+FROM b GROUP BY bin ORDER BY bin
+""",
+   engine_sql="""
+WITH s AS (SELECT o_orderkey,
+                  CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)),
+                       1, 4), 16, 10) AS DOUBLE) / 65536.0 AS score,
+                  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     b AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS bin, score, y
+           FROM s)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 4) AS avg_pred,
+       ROUND(AVG(CAST(y AS DOUBLE)), 4) AS obs_rate
+FROM b GROUP BY bin ORDER BY bin
+""")
