@@ -6602,3 +6602,103 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(CAST(y AS DOUBLE)), 4) AS obs_rate
 FROM b GROUP BY bin ORDER BY bin
 """)
+
+# ------------------------------------------------- seasonality / AB
+# testing / gains batch (q341-q343).
+
+# Weekday seasonality index: per-day-of-week mean deviation from the
+# overall mean (additive seasonal effects). DOW origins differ between
+# engines, so both sides pin ISO weekday via arithmetic from a known
+# Monday epoch.
+_q("q341_weekday_seasonality",
+   oracle="""
+WITH e AS (SELECT CAST(FLOOR((EPOCH(ts) / 86400 + 4) % 7) AS BIGINT)
+             AS dow,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+     g AS (SELECT AVG(CAST(c AS DOUBLE)) AS mu FROM e)
+SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(c AS DOUBLE)) / 100, 2) AS dow_mean,
+       ROUND((AVG(CAST(c AS DOUBLE)) - g.mu) / 100, 2) AS seasonal_idx
+FROM e CROSS JOIN g
+GROUP BY dow, g.mu ORDER BY dow
+""",
+   engine_sql="""
+WITH e AS (SELECT CAST(FLOOR((UNIX_SECONDS(CAST(ts AS TIMESTAMP))
+                              / 86400 + 4) % 7) AS BIGINT) AS dow,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+     g AS (SELECT AVG(CAST(c AS DOUBLE)) AS mu FROM e)
+SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(c AS DOUBLE)) / 100, 2) AS dow_mean,
+       ROUND((AVG(CAST(c AS DOUBLE)) - g.mu) / 100, 2) AS seasonal_idx
+FROM e CROSS JOIN g
+GROUP BY dow, g.mu ORDER BY dow
+""")
+
+# Two-proportion z-test (A/B evaluation): high-value-order rate in
+# URGENT vs LOW priority with the pooled-variance z statistic — the
+# ship/no-ship arithmetic as one pass.
+_q("q342_two_proportion_ztest", """
+WITH g AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                       ELSE 'b' END AS grp,
+                  CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS y
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+     s AS (SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS na,
+                  CAST(SUM(CASE WHEN grp = 'a' THEN y ELSE 0 END)
+                       AS DOUBLE) AS xa,
+                  CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS nb,
+                  CAST(SUM(CASE WHEN grp = 'b' THEN y ELSE 0 END)
+                       AS DOUBLE) AS xb
+           FROM g)
+SELECT ROUND(xa / na, 4) AS rate_a, ROUND(xb / nb, 4) AS rate_b,
+       ROUND((xa / na - xb / nb)
+             / SQRT(((xa + xb) / (na + nb))
+                    * (1 - (xa + xb) / (na + nb))
+                    * (1 / na + 1 / nb)), 3) AS z
+FROM s
+""")
+
+# Cumulative gains per decile (model discrimination — complements
+# q340's calibration): rank all rows by pseudo-score desc, report the
+# cumulative share of positives captured by each decile.
+_q("q343_cumulative_gains",
+   oracle="""
+WITH s AS (SELECT o_orderkey,
+                  CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)),
+                        1, 4)) AS UBIGINT) AS score,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     r AS (SELECT y, NTILE(10) OVER (ORDER BY score DESC, o_orderkey)
+             AS decile FROM s),
+     d AS (SELECT decile, CAST(SUM(y) AS DOUBLE) AS pos,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM r GROUP BY decile),
+     t AS (SELECT SUM(pos) AS tot FROM d)
+SELECT CAST(decile AS BIGINT) AS decile, n,
+       ROUND(SUM(pos) OVER (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / t.tot, 4) AS cum_capture
+FROM d CROSS JOIN t ORDER BY decile
+""",
+   engine_sql="""
+WITH s AS (SELECT o_orderkey,
+                  CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)),
+                       1, 4), 16, 10) AS BIGINT) AS score,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     r AS (SELECT y, NTILE(10) OVER (ORDER BY score DESC, o_orderkey)
+             AS decile FROM s),
+     d AS (SELECT decile, CAST(SUM(y) AS DOUBLE) AS pos,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM r GROUP BY decile),
+     t AS (SELECT SUM(pos) AS tot FROM d)
+SELECT CAST(decile AS BIGINT) AS decile, n,
+       ROUND(SUM(pos) OVER (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / t.tot, 4) AS cum_capture
+FROM d CROSS JOIN t ORDER BY decile
+""")
