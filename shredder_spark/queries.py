@@ -6702,3 +6702,59 @@ SELECT CAST(decile AS BIGINT) AS decile, n,
                             AND CURRENT ROW) / t.tot, 4) AS cum_capture
 FROM d CROSS JOIN t ORDER BY decile
 """)
+
+# ------------------------------------------------- histogram overlap /
+# dwell times (q344-q345).
+
+# Histogram intersection between the en/de doc-length distributions:
+# 20 equal-width bins, similarity = sum of min(p, q) — the cheap
+# distribution-overlap score (1 = identical, 0 = disjoint).
+_q("q344_histogram_intersection", """
+WITH b AS (SELECT lang,
+                  CAST(LEAST(FLOOR(n_chars / 25.0), 19) AS BIGINT) AS bin
+           FROM documents WHERE lang IN ('en', 'de')),
+     c AS (SELECT bin,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS ce,
+                  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS cd
+           FROM b GROUP BY bin),
+     n AS (SELECT SUM(ce) AS ne, SUM(cd) AS nd FROM c)
+SELECT ROUND(SUM(LEAST(c.ce / n.ne, c.cd / n.nd)), 4) AS overlap,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM c CROSS JOIN n
+""")
+
+# Time-in-state: total dwell seconds per (user, event_type), where a
+# state lasts until the user's next event — the telemetry "how long in
+# each mode" rollup (q223's span machinery aggregated by state).
+_q("q345_time_in_state",
+   oracle="""
+WITH x AS (SELECT user_id, event_type,
+                  EPOCH(ts) AS t0,
+                  EPOCH(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS t1
+           FROM events)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CAST(ROUND((t1 - t0) * 1000000) AS BIGINT)) AS BIGINT)
+         AS dwell_micros
+FROM x WHERE t1 IS NOT NULL
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+   engine_sql="""
+WITH x AS (SELECT user_id, event_type,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 1e6 AS t0,
+                  UNIX_MICROS(CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                              AS TIMESTAMP)) / 1e6 AS t1
+           FROM events)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CAST(ROUND((t1 - t0) * 1000000) AS BIGINT)) AS BIGINT)
+         AS dwell_micros
+FROM x WHERE t1 IS NOT NULL
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""")
