@@ -6758,3 +6758,82 @@ FROM x WHERE t1 IS NOT NULL
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """)
+
+# ------------------------------------------------- proportion
+# inference / behavioral similarity (q346-q348).
+
+# Wilson score interval for per-priority high-value rates — the
+# small-n-safe proportion CI (normal-approximation intervals misbehave
+# near 0/1); z = 1.96 fixed.
+_q("q346_wilson_interval", """
+WITH s AS (SELECT o_orderpriority AS p,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CASE WHEN o_totalprice > 300000
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS x
+           FROM orders GROUP BY o_orderpriority)
+SELECT p, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       ROUND(x / n, 4) AS rate,
+       ROUND((x / n + 1.96 * 1.96 / (2 * n)
+              - 1.96 * SQRT((x / n) * (1 - x / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 4) AS wilson_lo,
+       ROUND((x / n + 1.96 * 1.96 / (2 * n)
+              + 1.96 * SQRT((x / n) * (1 - x / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 4) AS wilson_hi
+FROM s ORDER BY p
+""")
+
+# Empirical-Bayes rate shrinkage: per-customer return rates pulled
+# toward the corpus prior Beta(a,b) fit by moments — small-sample
+# customers shrink hard, heavy customers keep their rate (the
+# smoothed-rate ranking every leaderboard needs).
+_q("q347_eb_rate_shrinkage", """
+WITH per AS (SELECT o_custkey,
+                    CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                  THEN 1 ELSE 0 END) AS DOUBLE) AS x
+             FROM orders GROUP BY o_custkey),
+     prior AS (SELECT AVG(x / n) AS mu,
+                      VAR_SAMP(x / n) AS v
+               FROM per WHERE n >= 3),
+     ab AS (SELECT mu, GREATEST(v, 1e-6) AS v,
+                   mu * (mu * (1 - mu) / GREATEST(v, 1e-6) - 1) AS a,
+                   (1 - mu) * (mu * (1 - mu) / GREATEST(v, 1e-6) - 1) AS b
+            FROM prior)
+SELECT per.o_custkey,
+       CAST(per.n AS BIGINT) AS n,
+       ROUND(per.x / per.n, 4) AS raw_rate,
+       ROUND((per.x + ab.a) / (per.n + ab.a + ab.b), 4) AS shrunk_rate
+FROM per CROSS JOIN ab
+ORDER BY per.o_custkey
+""")
+
+# Behavioral similarity via edit distance over event-path strings
+# (bounded block): users whose ordered action sequences nearly match —
+# q279's record-linkage machinery applied to sequences.
+_q("q348_path_edit_distance",
+   oracle="""
+WITH p AS (SELECT user_id,
+                  STRING_AGG(SUBSTRING(event_type, 1, 1), ''
+                             ORDER BY ts, event_id) AS path
+           FROM events WHERE user_id <= 60 GROUP BY user_id)
+SELECT a.user_id AS i, b.user_id AS j,
+       CAST(LEVENSHTEIN(a.path, b.path) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.user_id < b.user_id
+WHERE LEVENSHTEIN(a.path, b.path) <= 40
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH p AS (SELECT user_id,
+                  ARRAY_JOIN(TRANSFORM(
+                    ARRAY_SORT(COLLECT_LIST(STRUCT(ts, event_id,
+                      SUBSTRING(event_type, 1, 1) AS c))),
+                    x -> x.c), '') AS path
+           FROM events WHERE user_id <= 60 GROUP BY user_id)
+SELECT a.user_id AS i, b.user_id AS j,
+       CAST(LEVENSHTEIN(a.path, b.path) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.user_id < b.user_id
+WHERE LEVENSHTEIN(a.path, b.path) <= 40
+ORDER BY i, j
+""")
