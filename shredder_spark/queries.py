@@ -6837,3 +6837,69 @@ FROM p a JOIN p b ON a.user_id < b.user_id
 WHERE LEVENSHTEIN(a.path, b.path) <= 40
 ORDER BY i, j
 """)
+
+# ------------------------------------------------- ops audit batch
+# (q349-q350).
+
+# Backlog aging report: open orders bucketed by days outstanding
+# relative to the corpus max date — the operations staple.
+_q("q349_backlog_aging",
+   oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+     open_o AS (SELECT DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                CAST(mx.d0 AS DATE)) AS age
+                FROM orders o CROSS JOIN mx
+                WHERE o.o_orderstatus = 'O')
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 90 THEN '31-90'
+            WHEN age <= 365 THEN '91-365'
+            ELSE '365+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM open_o GROUP BY 1 ORDER BY bucket
+""",
+   engine_sql="""
+WITH mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+     open_o AS (SELECT DATEDIFF(CAST(mx.d0 AS DATE),
+                                CAST(o.o_orderdate AS DATE)) AS age
+                FROM orders o CROSS JOIN mx
+                WHERE o.o_orderstatus = 'O')
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 90 THEN '31-90'
+            WHEN age <= 365 THEN '91-365'
+            ELSE '365+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM open_o GROUP BY 1 ORDER BY bucket
+""")
+
+# Duplicate-transaction audit: same customer, same amount (to the
+# cent), order dates within 7 days — the double-charge detector; the
+# band self-join never goes n² (equi on custkey+amount first).
+_q("q350_duplicate_payment_audit",
+   oracle="""
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS band,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders)
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2, a.o_custkey,
+       a.band,
+       CAST(DATEDIFF('day', a.d, b.d) AS BIGINT) AS gap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+ AND DATEDIFF('day', a.d, b.d) BETWEEN -365 AND 365
+ORDER BY k1, k2
+""",
+   engine_sql="""
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS band,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders)
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2, a.o_custkey,
+       a.band,
+       CAST(DATEDIFF(b.d, a.d) AS BIGINT) AS gap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+ AND DATEDIFF(b.d, a.d) BETWEEN -365 AND 365
+ORDER BY k1, k2
+""")
