@@ -6903,3 +6903,63 @@ FROM o a JOIN o b
  AND DATEDIFF(b.d, a.d) BETWEEN -365 AND 365
 ORDER BY k1, k2
 """)
+
+# ------------------------------------------------- classification /
+# signal batch (q351-q352).
+
+# ABC inventory classification: parts classed A/B/C by cumulative
+# revenue share (80/95 cuts) — q332's Pareto arithmetic emitted as a
+# per-item label, the form downstream procurement joins against.
+_q("q351_abc_classification", """
+WITH r AS (SELECT l_partkey,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS cents
+           FROM lineitem WHERE l_partkey <= 2000
+           GROUP BY l_partkey),
+     w AS (SELECT l_partkey, cents,
+                  SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run,
+                  SUM(cents) OVER () AS tot
+           FROM r)
+SELECT l_partkey,
+       CASE WHEN run * 100 <= tot * 80 THEN 'A'
+            WHEN run * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM w ORDER BY l_partkey
+""")
+
+# Local-maximum peak detection per user series (strictly above both
+# neighbors) — the LAG/LEAD signal primitive under alerting and
+# changepoint heuristics.
+_q("q352_peak_detection",
+   oracle="""
+WITH s AS (SELECT user_id, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  EPOCH(ts) AS sec
+           FROM events),
+     w AS (SELECT *,
+                  LAG(c) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS pc,
+                  LEAD(c) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS nc
+           FROM s)
+SELECT user_id, event_id, CAST(c AS DOUBLE) / 100 AS v
+FROM w WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
+ORDER BY user_id, event_id
+""",
+   engine_sql="""
+WITH s AS (SELECT user_id, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS sec
+           FROM events),
+     w AS (SELECT *,
+                  LAG(c) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS pc,
+                  LEAD(c) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS nc
+           FROM s)
+SELECT user_id, event_id, CAST(c AS DOUBLE) / 100 AS v
+FROM w WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
+ORDER BY user_id, event_id
+""")
