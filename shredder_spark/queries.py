@@ -6963,3 +6963,102 @@ SELECT user_id, event_id, CAST(c AS DOUBLE) / 100 AS v
 FROM w WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
 ORDER BY user_id, event_id
 """)
+
+# ------------------------------------------------- changepoint /
+# causal batch (q353-q354).
+
+# Single changepoint per user by variance reduction: candidate split k
+# scores SSE_left(k)+SSE_right(k) from prefix sums of x and x² (an
+# O(n) window formulation — no nested scans), best split by max
+# reduction with an index tiebreak. Integer cents keep the moments
+# exact; the final score division is one double op.
+_q("q353_changepoint_detection",
+   oracle="""
+WITH s AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY EPOCH(ts), event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+     pre AS (SELECT *,
+                    SUM(c) OVER (PARTITION BY user_id ORDER BY rn) AS sx,
+                    SUM(c * c) OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS sxx,
+                    SUM(c) OVER (PARTITION BY user_id) AS tx,
+                    SUM(c * c) OVER (PARTITION BY user_id) AS txx
+             FROM s),
+     scored AS (SELECT user_id, rn AS k, n,
+                       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * sx / rn)
+                       + (CAST(txx - sxx AS DOUBLE)
+                          - CAST(tx - sx AS DOUBLE) * (tx - sx)
+                            / (n - rn)) AS split_sse,
+                       CAST(txx AS DOUBLE)
+                         - CAST(tx AS DOUBLE) * tx / n AS total_sse
+                FROM pre WHERE rn < n AND rn >= 2 AND n - rn >= 2),
+     best AS (SELECT user_id, k, total_sse - split_sse AS gain,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY total_sse - split_sse
+                                          DESC, k) AS r
+              FROM scored)
+SELECT user_id, CAST(k AS BIGINT) AS split_at,
+       ROUND(gain / 10000, 1) AS gain_dollars_sq
+FROM best WHERE r = 1 ORDER BY user_id
+""",
+   engine_sql="""
+WITH s AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY UNIX_MICROS(CAST(ts AS
+                                       TIMESTAMP)), event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+     pre AS (SELECT *,
+                    SUM(c) OVER (PARTITION BY user_id ORDER BY rn) AS sx,
+                    SUM(c * c) OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS sxx,
+                    SUM(c) OVER (PARTITION BY user_id) AS tx,
+                    SUM(c * c) OVER (PARTITION BY user_id) AS txx
+             FROM s),
+     scored AS (SELECT user_id, rn AS k, n,
+                       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * sx / rn)
+                       + (CAST(txx - sxx AS DOUBLE)
+                          - CAST(tx - sx AS DOUBLE) * (tx - sx)
+                            / (n - rn)) AS split_sse,
+                       CAST(txx AS DOUBLE)
+                         - CAST(tx AS DOUBLE) * tx / n AS total_sse
+                FROM pre WHERE rn < n AND rn >= 2 AND n - rn >= 2),
+     best AS (SELECT user_id, k, total_sse - split_sse AS gain,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY total_sse - split_sse
+                                          DESC, k) AS r
+              FROM scored)
+SELECT user_id, CAST(k AS BIGINT) AS split_at,
+       ROUND(gain / 10000, 1) AS gain_dollars_sq
+FROM best WHERE r = 1 ORDER BY user_id
+""")
+
+# Difference-in-differences: treatment = URGENT priority, before/after
+# the corpus median date — the four cell means and the DiD estimate in
+# one pass (the causal-inference primitive over observational rollups).
+_q("q354_diff_in_diff", """
+WITH med AS (SELECT CAST('1998-01-01' AS DATE) AS cutoff),
+     cells AS (SELECT
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 'treat' ELSE 'ctrl' END AS grp,
+                 CASE WHEN CAST(o_orderdate AS DATE) >= med.cutoff
+                      THEN 'post' ELSE 'pre' END AS period,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders CROSS JOIN med
+               WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+     m AS (SELECT grp, period, AVG(CAST(cents AS DOUBLE)) / 100 AS mu
+           FROM cells GROUP BY grp, period)
+SELECT ROUND(tp.mu, 2) AS treat_post, ROUND(tr.mu, 2) AS treat_pre,
+       ROUND(cp.mu, 2) AS ctrl_post, ROUND(cr.mu, 2) AS ctrl_pre,
+       ROUND((tp.mu - tr.mu) - (cp.mu - cr.mu), 2) AS did
+FROM (SELECT mu FROM m WHERE grp = 'treat' AND period = 'post') tp
+CROSS JOIN (SELECT mu FROM m WHERE grp = 'treat' AND period = 'pre') tr
+CROSS JOIN (SELECT mu FROM m WHERE grp = 'ctrl' AND period = 'post') cp
+CROSS JOIN (SELECT mu FROM m WHERE grp = 'ctrl' AND period = 'pre') cr
+""")
