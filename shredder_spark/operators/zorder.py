@@ -39,9 +39,11 @@ def z_value(df: DataFrame, col_a: str, col_b: str, *,
     n = 1 << bits
 
     def norm(c: str) -> Column:
-        rk = F.row_number().over(Window.orderBy(F.col(c))) - 1
+        # long arithmetic: row_number() is IntegerType, and rk * n
+        # overflows 32 bits past 32,767 rows at the default bits=16
+        rk = (F.row_number().over(Window.orderBy(F.col(c))) - 1).cast("long")
         cnt = F.count("*").over(Window.partitionBy())
-        return ((rk * n) / cnt).cast("long")
+        return ((rk * F.lit(n).cast("long")) / cnt).cast("long")
 
     # note: the global-window rank is the honest spec; for very large
     # tables substitute an approxQuantile-based bucketizer (sampled

@@ -6000,7 +6000,7 @@ SELECT event_id, vkey, vval FROM e ORDER BY event_id, vkey
 WITH t AS (SELECT event_id, PARSE_JSON(props) AS v
            FROM events WHERE event_id <= 200)
 SELECT event_id, key AS vkey,
-       CAST(REPLACE(TO_JSON(value), '"', '') AS STRING) AS vval
+       VARIANT_GET(value, '$', 'string') AS vval
 FROM t, LATERAL VARIANT_EXPLODE(v)
 ORDER BY event_id, vkey
 """)
@@ -6534,7 +6534,9 @@ FROM terms
 # Gumbel-max weighted sampling WITH replacement semantics (softmax
 # draw): key = ln(w) - ln(-ln(u)) over the shared md5 uniform — the
 # complement of q275's without-replacement A-Res; per-draw argmax is
-# deterministic because both engines derive the same u.
+# deterministic because both engines derive the same u. The uniform is
+# (hash + 0.5) / 2^32 so u ∈ (0, 1) strictly: at u = 1 exactly,
+# LN(-LN(u)) is -inf in DuckDB but NULL in Spark (divergent winners).
 _q("q339_gumbel_topk",
    oracle="""
 WITH d AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS draw),
@@ -6542,7 +6544,7 @@ WITH d AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS draw),
                   CAST(o.o_totalprice AS DOUBLE) AS w,
                   (CAST(('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)
                         || '#' || CAST(d.draw AS VARCHAR)), 1, 8))
-                       AS UBIGINT) + 1) / 4294967296.0 AS un
+                       AS UBIGINT) + 0.5) / 4294967296.0 AS un
            FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
      k AS (SELECT draw, o_orderkey, w,
                   LN(w) - LN(-LN(un)) AS gkey
@@ -6560,7 +6562,7 @@ WITH d AS (SELECT EXPLODE(SEQUENCE(0, 9)) AS draw),
                   (CAST(CONV(SUBSTRING(MD5(CONCAT(
                         CAST(o.o_orderkey AS STRING), '#',
                         CAST(d.draw AS STRING))), 1, 8), 16, 10)
-                       AS DOUBLE) + 1) / 4294967296.0 AS un
+                       AS DOUBLE) + 0.5) / 4294967296.0 AS un
            FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
      k AS (SELECT draw, o_orderkey, w,
                   LN(w) - LN(-LN(un)) AS gkey

@@ -153,11 +153,21 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
     run per dropped file, as a Structured Streaming source with
     exactly-once file accounting).
 
-    Offsets are the sorted list of file names already processed — a
-    JSON value the checkpoint log owns, so restart/replay semantics
-    (``readBetweenOffsets``) are deterministic replays of the same
-    file set. Rune-offset slicing and footer handling match the batch
-    reader.
+    Offsets are the CUMULATIVE list of ``[name, size]`` pairs already
+    committed — a JSON value the checkpoint log owns, so restart/replay
+    semantics (``readBetweenOffsets``) are deterministic replays of the
+    same file set. Committed names are retained even after the file
+    disappears from the directory (a delete-then-redrop under the same
+    name is NOT re-ingested — the name stays in the offset). Rune-offset
+    slicing and footer handling match the batch reader.
+
+    Drop contract: files must appear ATOMICALLY (write to a dot/underscore
+    prefixed temp name in the same directory, then rename) — the listing
+    skips ``.``/``_`` prefixes for exactly this protocol. A file written
+    in place can be listed mid-write; its name commits on first sight and
+    the tail written later is never read. The recorded size is the bytes
+    this source observed at commit time, so such torn drops are at least
+    diagnosable from the checkpoint log.
     """
 
     def __init__(self, options: dict, fixed: FixedSchema):
@@ -200,14 +210,26 @@ class FixedWidthStreamReader(SimpleDataSourceStreamReader):
             rows.extend(self._parse_file(os.path.join(self.dir, fn)))
         return rows
 
+    @staticmethod
+    def _names(offset: dict) -> list[str]:
+        # entries are [name, size]; tolerate bare-name entries from
+        # pre-size checkpoints
+        return [e[0] if isinstance(e, (list, tuple)) else e
+                for e in offset.get("files", [])]
+
     def read(self, start: dict):
-        files = self._list()
-        new = [f for f in files if f not in set(start.get("files", []))]
-        return iter(self._rows_for(new)), {"files": files}
+        committed = set(self._names(start))
+        new = [f for f in self._list() if f not in committed]
+        # offset is cumulative: committed entries persist even when the
+        # file has left the directory (same-name redrop stays excluded)
+        merged = list(start.get("files", [])) + [
+            [f, os.path.getsize(os.path.join(self.dir, f))] for f in new
+        ]
+        return iter(self._rows_for(new)), {"files": merged}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        new = [f for f in end.get("files", [])
-               if f not in set(start.get("files", []))]
+        committed = set(self._names(start))
+        new = [f for f in self._names(end) if f not in committed]
         return iter(self._rows_for(new))
 
 

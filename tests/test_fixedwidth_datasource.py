@@ -120,3 +120,53 @@ def test_streaming_tier_tails_landing_dir(spark, tmp_path):
          .foreachBatch(_sink).trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert len(collected) == 10
+
+
+def test_streaming_offsets_cumulative_no_redrop_reingest():
+    """Unit tier (no Spark): committed names persist in the offset even
+    after the file leaves the directory, so a delete-then-redrop under
+    the same name is NOT ingested twice; bare-name entries from
+    pre-size checkpoints still resolve."""
+    import json
+    import tempfile
+    import os as _os
+
+    from shredder_spark.avro_schema import parse_avro_fixed_schema
+    from shredder_spark.sources.fixedwidth_datasource import (
+        FixedWidthStreamReader,
+    )
+    from tests.fixtures import F1_WEBLOG_SCHEMA, write_f1
+
+    fs = parse_avro_fixed_schema(F1_WEBLOG_SCHEMA)
+    with tempfile.TemporaryDirectory() as land:
+        write_f1(_os.path.join(land, "a.txt"), rows=5)
+        rdr = FixedWidthStreamReader({"path": land}, fs)
+
+        rows1, off1 = rdr.read(rdr.initialOffset())
+        assert len(list(rows1)) == 5
+        assert [e[0] for e in off1["files"]] == ["a.txt"]
+        assert off1["files"][0][1] > 0  # observed size recorded
+
+        # delete a.txt, redrop same name with different content size
+        _os.remove(_os.path.join(land, "a.txt"))
+        write_f1(_os.path.join(land, "a.txt"), rows=9)
+        rows2, off2 = rdr.read(off1)
+        assert list(rows2) == []  # committed name stays excluded
+        assert [e[0] for e in off2["files"]] == ["a.txt"]
+
+        # a genuinely new file still arrives, offset accumulates
+        write_f1(_os.path.join(land, "b.txt"), rows=3)
+        rows3, off3 = rdr.read(off2)
+        assert len(list(rows3)) == 3
+        assert [e[0] for e in off3["files"]] == ["a.txt", "b.txt"]
+
+        # replay between offsets is by name diff
+        replay = list(rdr.readBetweenOffsets(off2, off3))
+        assert len(replay) == 3
+
+        # pre-size checkpoint shape (bare names) still resolves
+        legacy = {"files": ["a.txt", "b.txt"]}
+        rows4, _ = rdr.read(legacy)
+        assert list(rows4) == []
+        # JSON round-trip (what the checkpoint log does) is stable
+        assert json.loads(json.dumps(off3)) == off3

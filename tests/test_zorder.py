@@ -66,3 +66,18 @@ def test_zorder_file_pruning_effect(spark, tmp_path):
     touched = box.select("f").distinct().count()
     # a 1/256-area query box should live in a handful of curve segments
     assert touched <= max(2, total // 4), (touched, total)
+
+
+def test_zorder_over_32k_rows_no_overflow(spark):
+    """Regression: rank * 2^16 must use long arithmetic — with 32-bit
+    math any input over 32,767 rows overflows (ANSI error or negative
+    z-codes). 40k rows at the default bits=16 exercises that range."""
+    from shredder_spark.operators.zorder import z_value
+
+    pts = _mk_points(spark, n=40_000)
+    z = z_value(pts, "x", "y")  # default bits=16
+    stats = z.agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"),
+                  F.count("*").alias("n")).collect()[0]
+    assert stats.n == 40_000
+    assert stats.lo >= 0
+    assert stats.hi < (1 << 32)

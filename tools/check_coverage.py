@@ -34,6 +34,17 @@ def main() -> int:
         print("cited in SURVEY but NOT in registry:", missing_impl)
     if uncited:
         print("in registry but NOT cited in SURVEY:", uncited)
+
+    # README's registry-range line must match the live registry's max
+    # query number (this is what drifted in rounds 2-3)
+    hi = max(int(re.match(r"q(\d+)", n).group(1)) for n in Q.registry())
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"Q01–Q(\d+) registry", readme)
+    if not m or int(m.group(1)) != hi:
+        print(f"README registry range stale: says Q{m.group(1) if m else '?'}"
+              f", registry ends at q{hi}")
+        return 1
+
     if not missing_impl and not uncited:
         print(f"coverage OK: {len(reg)} registry queries all cited; "
               f"{len(cited)} citations all implemented")
