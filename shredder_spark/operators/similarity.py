@@ -148,21 +148,36 @@ def cosine_near_dup_lsh(
     sharing a sign-LSH bucket in ANY table (per-table **equi-join** on
     the bucket id — no n² anywhere), then exact-cosine verified, so
     precision is 1.0 and only recall is approximate (pinned vs the
-    exact tier in tests). Same output columns as the exact tier."""
+    exact tier in tests). Same output columns as the exact tier.
+
+    The banding relation is IDS-ONLY — buckets are computed from the
+    vector pre-shuffle, but the (table, bucket) equi-join and the
+    candidate dedup ship just ``(id, table, bucket)``; vectors are
+    re-joined only onto the surviving deduped candidates (the same
+    deferred-vector shape as the MinHash tier, `dedup.py` band
+    relation). At scale the wide embedding arrays never ride a
+    shuffle whose volume is candidate-count-shaped."""
     dim = len(embeddings.select(vec_col).first()[0])
     t = embeddings.select(F.col(id_col).alias("_id"),
                           normalized(F.col(vec_col)).alias("_v"))
-    cand = None
+    bands = None
     for tbl in range(n_tables):
         planes = _hyperplanes(dim, n_bits, seed + tbl)
-        bucketed = t.select("_id", "_v", lsh_bucket_col(F.col("_v"), planes).alias("_b"))
-        a = bucketed.select(F.col("_id").alias("i"), F.col("_v").alias("va"), "_b")
-        b = bucketed.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), "_b")
-        pairs = a.join(b, ["_b"]).filter(F.col("i") < F.col("j")).select("i", "j", "va", "vb")
-        cand = pairs if cand is None else cand.unionAll(pairs)
-    cand = cand.dropDuplicates(["i", "j"])
+        r = t.select(
+            "_id", F.lit(tbl).alias("_t"),
+            lsh_bucket_col(F.col("_v"), planes).alias("_b"))
+        bands = r if bands is None else bands.unionAll(r)
+    a = bands.select(F.col("_id").alias("i"), "_t", "_b")
+    b = bands.select(F.col("_id").alias("j"), "_t", "_b")
+    cand = (a.join(b, ["_t", "_b"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j")
+            .dropDuplicates(["i", "j"]))
+    va = t.select(F.col("_id").alias("i"), F.col("_v").alias("va"))
+    vb = t.select(F.col("_id").alias("j"), F.col("_v").alias("vb"))
     return (
-        cand.select("i", "j", F.round(dot(F.col("va"), F.col("vb")), 2).alias("sim"))
+        cand.join(va, "i").join(vb, "j")
+        .select("i", "j", F.round(dot(F.col("va"), F.col("vb")), 2).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .orderBy("i", "j")
     )

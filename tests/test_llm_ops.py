@@ -481,3 +481,23 @@ def test_minhash_parity_with_mllib_lsh(spark):
     assert ours <= exact                      # exact-verified: precision 1.0
     assert len(ours & exact) / len(exact) >= 0.9
     assert len(mllib & exact) / len(exact) >= 0.9
+
+
+def test_cosine_lsh_banding_is_ids_only(spark, embeddings):
+    """Round-3 verdict item: the (table, bucket) banding relation must
+    not carry embedding arrays — vectors are deferred to a re-join on
+    the deduped candidates (same shape as the MinHash tier). Any plan
+    Project that outputs a bucket column must not also output a vector
+    column (bucket EXPRESSIONS may consume `_v` map-side; the old shape
+    projected `_v AS va` alongside `_b`, which is what this pins out)."""
+    import re
+
+    df = S.cosine_near_dup_lsh(embeddings.filter(F.col("vec_id") < 50), 0.5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for ln in plan.splitlines():
+        if "_b#" not in ln:
+            continue
+        assert "AS va#" not in ln and "AS vb#" not in ln, ln
+        # a bare `_v#N` output entry (not inside an expression) would
+        # also ship the vector with the band rows
+        assert not re.search(r"[\[, ]_v#\d+[,\]]", ln), ln
