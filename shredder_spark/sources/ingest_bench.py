@@ -217,15 +217,56 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             write_avro_ocf(df, avro_out, codec="snappy")
         avro_s = min(avro_s, time.perf_counter() - t0)
 
-    # Supplementary 4-task run: BASELINE.md's 220 MB/s/core headline was
-    # measured at 4 cores (README.md:4), where fixed overheads amortize
-    # differently than at 32 — report a same-core-count figure so the
-    # per-core comparison is apples-to-apples. (The reference's own
-    # 48-core run drops to 53 MB/s/core, BASELINE.md row 3.)
-    t0 = time.perf_counter()
-    (read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)
-        .write.format("noop").mode("overwrite").save())
-    parse4_s = time.perf_counter() - t0
+    # 4-task block: BASELINE.md's 220 MB/s/core headline was measured
+    # at 4 cores (README.md:4), where fixed overheads amortize
+    # differently than at 32 — so the per-core comparison must be made
+    # at the same task count. Stages are INTERLEAVED A/B/C/D × 2 reps
+    # (round-3 noise methodology: interleaving decorrelates the VM's
+    # multi-second performance phases from any one stage):
+    #   A parse→noop;  B parse→snappy Avro (the target metric);
+    #   C cached→snappy Avro — the SERIALIZER CEILING: spark-avro's
+    #     per-row InternalRow→Avro encode with zero parse cost. If C
+    #     is at/below the 110 MB/s/core target, no parse speed can
+    #     bring B above it on this VM — that pins the floor;
+    #   D ascii-mode parse→snappy Avro (declared single-byte feed,
+    #     unconditional byte slicing — the reference's workload shape).
+    parse4_s = avro4_s = ceil4_s = ascii4_s = float("inf")
+    # ceiling input: cache a REVERSED-column projection — identical
+    # serialization work, but a distinct analyzed plan, so Spark's
+    # cache manager cannot silently substitute the cache into the
+    # timed parse/avro runs below (it plan-matches subtrees; caching
+    # the verbatim read would turn stages A/B into cache reads)
+    typed = read_fixed_width(spark, path, BENCH_SCHEMA)
+    cached4 = typed.select(*reversed(typed.columns)).coalesce(4).cache()
+    cached4.write.format("noop").mode("overwrite").save()  # fill, untimed
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)
+            .write.format("noop").mode("overwrite").save())
+        parse4_s = min(parse4_s, time.perf_counter() - t0)
+
+        if jvm_avro:
+            t0 = time.perf_counter()
+            (read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)
+                .write.format(AVRO_FORMAT).option("compression", "snappy")
+                .mode("overwrite").save(avro_out))
+            avro4_s = min(avro4_s, time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            (cached4.write.format(AVRO_FORMAT).option("compression", "snappy")
+                .mode("overwrite").save(avro_out))
+            ceil4_s = min(ceil4_s, time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            (read_fixed_width(spark, path, BENCH_SCHEMA, encoding="ascii")
+                .coalesce(4)
+                .write.format(AVRO_FORMAT).option("compression", "snappy")
+                .mode("overwrite").save(avro_out))
+            ascii4_s = min(ascii4_s, time.perf_counter() - t0)
+    cached4.unpersist()
+
+    def _per_core4(sec: float):
+        return round(mb / sec / 4, 2) if sec != float("inf") else None
 
     return {
         "timings": {
@@ -242,7 +283,11 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             "avro_mb_per_s": round(mb / avro_s, 2),
             "avro_mb_per_s_per_core": round(mb / avro_s / cores, 2),
             "avro_mlines_per_s": round(n_lines / avro_s / 1e6, 3),
-            "parse_mb_per_s_per_core_at4": round(mb / parse4_s / 4, 2),
+            "parse_mb_per_s_per_core_at4": _per_core4(parse4_s),
+            "avro_mb_per_s_per_core_at4": _per_core4(avro4_s),
+            "avro_ascii_mb_per_s_per_core_at4": _per_core4(ascii4_s),
+            "avro_serializer_ceiling_mb_per_s_per_core_at4":
+                _per_core4(ceil4_s),
             "avro_jvm_path": have_spark_avro(spark),
         },
     }

@@ -121,3 +121,33 @@ def test_observed_ingest_report(spark, tmp_path):
     exact = df.agg(F.sum(F.length("Some_text1"))).first()[0]
     assert report.chars == exact
     assert report.wall_s > 0 and "MB/s" in report.render()
+
+
+def test_ascii_mode_matches_default_on_ascii_input(spark, fixture_dir):
+    """encoding='ascii' byte slicing must agree with the default rune
+    path field-for-field on a pure-ASCII feed (F1)."""
+    a = read_fixed_width(spark, str(fixture_dir / "f1.txt"),
+                         fixtures.F1_WEBLOG_SCHEMA, encoding="ascii")
+    d = read_fixed_width(spark, str(fixture_dir / "f1.txt"),
+                         fixtures.F1_WEBLOG_SCHEMA)
+    assert a.schema == d.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_ascii_mode_on_multibyte_shifts_only_downstream(spark, fixture_dir):
+    """encoding='ascii' on the UTF-8 fixture: byte offsets agree with
+    rune offsets UP TO the first multibyte rune, so F3's leading int Id
+    still parses on every row; fields AFTER a multibyte rune slice at
+    shifted offsets (documented contract — declare ascii only for
+    single-byte feeds; typed fields would null out via fallible casts)."""
+    df = read_fixed_width(spark, str(fixture_dir / "f3.txt"),
+                          fixtures.F3_UTF8_SCHEMA, encoding="ascii")
+    rows = df.orderBy("Id").collect()
+    assert len(rows) == 200
+    assert [r.Id for r in rows] == list(range(200))
+    # a shifted downstream slice: row 0's Name starts with multibyte
+    # åäö — its byte-sliced Note differs from the rune-correct one
+    rune_rows = read_fixed_width(
+        spark, str(fixture_dir / "f3.txt"),
+        fixtures.F3_UTF8_SCHEMA).orderBy("Id").collect()
+    assert rows[0].Note != rune_rows[0].Note
