@@ -351,6 +351,62 @@ _q("q38_python_udf",
    oracle="SELECT doc_id, REVERSE(lang) AS r FROM documents ORDER BY doc_id",
    builder=_q38_builder)
 
+
+def _q39_builder(spark: SparkSession) -> DataFrame:
+    # Python UDTF surface (B123): Arrow-batched table function fan-out.
+    # The UDTF splits on any whitespace run (Python str.split()); the
+    # oracle mirrors that with a regexp split + empty filter so the two
+    # agree even on irregular spacing.
+    from shredder_spark.functions.text import register_tokenize_udtf
+    register_tokenize_udtf(spark)
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.tok
+        FROM documents d, LATERAL tokenize_py(d.text) t
+        WHERE d.doc_id < 20 ORDER BY d.doc_id, t.pos
+    """)
+
+
+_q("q39_python_udtf",
+   oracle="""
+WITH t AS (SELECT doc_id,
+                  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(UNNEST(GENERATE_SERIES(1, LEN(toks))) - 1 AS INT) AS pos,
+       UNNEST(toks) AS tok
+FROM t ORDER BY doc_id, pos
+""",
+   builder=_q39_builder)
+
+
+def _q40_builder(spark: SparkSession) -> DataFrame:
+    # Scalar pandas UDF (B50): one Arrow batch in, one out — the
+    # vectorized Python tier (vs q38's row-at-a-time udf). The body is
+    # pure pandas string ops so the whole column transforms per batch.
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type: module-level `from __future__ import
+    # annotations` stringifies pd.Series hints, which the type-hint
+    # inference path can't resolve for a locally-defined function
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def pd_sig(s):
+        return s.str.slice(0, 3) + ":" + s.str.len().astype(str)
+
+    spark.udf.register("pd_sig", pd_sig)
+    return spark.sql("""
+        SELECT o_orderkey, pd_sig(o_orderpriority) AS sig
+        FROM orders ORDER BY o_orderkey
+    """)
+
+
+_q("q40_pandas_udf",
+   oracle="""
+SELECT o_orderkey,
+       SUBSTR(o_orderpriority, 1, 3) || ':' ||
+       CAST(LENGTH(o_orderpriority) AS VARCHAR) AS sig
+FROM orders ORDER BY o_orderkey
+""",
+   builder=_q40_builder)
+
 # ---------------------------------------------------------------- B.5 dedup
 _q("q41_exact_dedup", """
 SELECT lang, n_chars, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
