@@ -7120,3 +7120,26 @@ CROSS JOIN (SELECT mu FROM m WHERE grp = 'treat' AND period = 'pre') tr
 CROSS JOIN (SELECT mu FROM m WHERE grp = 'ctrl' AND period = 'post') cp
 CROSS JOIN (SELECT mu FROM m WHERE grp = 'ctrl' AND period = 'pre') cr
 """)
+
+
+# ExactSubstr dedup (Lee et al. 2022): maximal cross-doc duplicated
+# spans + per-doc duplicated-char accounting. No portable-SQL oracle
+# exists (rolling-hash anchors + extension aren't expressible in
+# DuckDB SQL) → rows-only here; exactness is golden-tested against a
+# pure-Python suffix-array/DP reference (tests/test_substring_dedup.py).
+def _q355_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.operators.substring_dedup import duplicate_substring_spans
+    docs = spark.table("documents").select("doc_id", "text")
+    return duplicate_substring_spans(docs, min_len=60)
+
+
+_q("q355_exact_substring_spans", oracle=None, builder=_q355_builder)
+
+
+def _q356_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.operators.substring_dedup import duplicated_char_stats
+    docs = spark.table("documents").select("doc_id", "text")
+    return duplicated_char_stats(docs, min_len=60)
+
+
+_q("q356_substring_dup_stats", oracle=None, builder=_q356_builder)
