@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from shredder_spark.catalog import register_views
@@ -7143,3 +7143,324 @@ def _q356_builder(spark: SparkSession) -> DataFrame:
 
 
 _q("q356_substring_dup_stats", oracle=None, builder=_q356_builder)
+
+
+# ------------------------------------------------------- batch r4.1:
+# training-data packing/ordering, classical test statistics, drift and
+# drawdown series ops, lexical-diversity metrics, graph link prediction.
+
+# Length-bucketed batch packing: the padding-efficiency primitive for
+# transformer training (bucket docs by token length, pad to the bucket
+# max, account the waste). Pure keyed agg — no global sort.
+_q("q357_length_bucket_packing",
+   oracle="""
+WITH t AS (SELECT doc_id, LEN(STRING_SPLIT(text,' ')) AS ntok FROM documents)
+SELECT CAST(FLOOR(ntok / 16) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(ntok) AS BIGINT) AS pad_to,
+       CAST(SUM(ntok) AS BIGINT) AS toks,
+       ROUND(1.0 - SUM(ntok) / CAST(COUNT(*) * MAX(ntok) AS DOUBLE), 4)
+         AS pad_waste
+FROM t GROUP BY bucket ORDER BY bucket
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SIZE(SPLIT(text,' ')) AS ntok FROM documents)
+SELECT CAST(FLOOR(ntok / 16) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(ntok) AS BIGINT) AS pad_to,
+       CAST(SUM(ntok) AS BIGINT) AS toks,
+       ROUND(1.0 - SUM(ntok) / CAST(COUNT(*) * MAX(ntok) AS DOUBLE), 4)
+         AS pad_waste
+FROM t GROUP BY bucket ORDER BY bucket
+""")
+
+# Curriculum ordering: per-language quartile phases by a difficulty
+# proxy (mean word length), NTILE partitioned by lang — never a global
+# window.
+_q("q358_curriculum_order",
+   oracle="""
+WITH s AS (SELECT doc_id, lang,
+                  LENGTH(text) / CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE)
+                    AS mwl
+           FROM documents)
+SELECT doc_id, lang,
+       CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY mwl, doc_id)
+            AS BIGINT) AS phase
+FROM s ORDER BY lang, phase, doc_id
+""",
+   engine_sql="""
+WITH s AS (SELECT doc_id, lang,
+                  LENGTH(text) / CAST(SIZE(SPLIT(text,' ')) AS DOUBLE) AS mwl
+           FROM documents)
+SELECT doc_id, lang,
+       CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY mwl, doc_id)
+            AS BIGINT) AS phase
+FROM s ORDER BY lang, phase, doc_id
+""")
+
+
+def _q359_builder(spark: SparkSession) -> DataFrame:
+    # The full Lee et al. dedup recipe as ONE lazy pipeline: exact
+    # content-fingerprint dedup -> MinHash-LSH near-dup keepers ->
+    # ExactSubstr duplicated-char accounting on the survivors. Every
+    # stage is a keyed shuffle (no n², no collect); rows-only (the
+    # approximate tiers can't hash-match an oracle).
+    from shredder_spark.functions.text import doc_fingerprint
+    from shredder_spark.operators.dedup import dedupe_keepers
+    from shredder_spark.operators.substring_dedup import duplicated_char_stats
+
+    docs = spark.table("documents").select("doc_id", "text")
+    exact = (docs.withColumn("_fp", doc_fingerprint(F.col("text")))
+             .withColumn("_keep", F.min("doc_id").over(
+                 Window.partitionBy("_fp")))
+             .filter(F.col("doc_id") == F.col("_keep"))
+             .drop("_fp", "_keep"))
+    kept = dedupe_keepers(exact, "doc_id", "text", threshold=0.8)
+    stats = duplicated_char_stats(kept, min_len=60)
+    return (kept.join(stats, "doc_id", "left")
+            .agg(F.count("*").cast("long").alias("survivors"),
+                 F.sum(F.coalesce(F.col("dup_chars"), F.lit(0)))
+                  .cast("long").alias("residual_dup_chars")))
+
+
+_q("q359_full_dedup_pipeline", oracle=None, builder=_q359_builder)
+
+# Sorted-neighborhood blocking (Hernández & Stolfo 1995): order
+# records inside each block (mktsegment) by the sort key, compare each
+# record only to its w=2 successors — the classic O(n·w) entity-
+# resolution candidate generator (vs the O(n²) naive pass).
+_q("q360_sorted_neighborhood", """
+WITH r AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal, c_custkey) AS rn
+           FROM customer)
+SELECT a.c_custkey AS i, b.c_custkey AS j,
+       ROUND(b.c_acctbal - a.c_acctbal, 2) AS bal_gap
+FROM r a JOIN r b
+  ON a.c_mktsegment = b.c_mktsegment AND b.rn - a.rn BETWEEN 1 AND 2
+WHERE b.c_acctbal - a.c_acctbal <= 1.0
+ORDER BY i, j
+""")
+
+# Spearman rank correlation, exact: fractional (average) ranks for
+# ties via RANK + per-value group size, then plain CORR of the ranks.
+# Windows partitioned by returnflag — same honest 3-partition caveat
+# as Q21.
+_q("q361_spearman_corr", """
+WITH r AS (SELECT l_returnflag,
+                  CAST(RANK() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity) AS DOUBLE)
+                  + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                          AS DOUBLE) - 1) / 2 AS rq,
+                  CAST(RANK() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS DOUBLE)
+                  + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag,
+                                         l_extendedprice)
+                          AS DOUBLE) - 1) / 2 AS rp
+           FROM lineitem)
+SELECT l_returnflag, ROUND(CORR(rq, rp), 4) AS spearman
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Kendall tau-a per user over the (time order, value order) pair —
+# the pairwise pass stays inside a user_id block (bounded), never n²
+# across the table.
+_q("q362_kendall_tau", """
+WITH e AS (SELECT user_id, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+     p AS (SELECT a.user_id, SIGN(b.value - a.value) AS s
+           FROM e a JOIN e b
+             ON a.user_id = b.user_id AND b.rn > a.rn)
+SELECT user_id, ROUND(SUM(s) / CAST(COUNT(*) AS DOUBLE), 4) AS tau
+FROM p GROUP BY user_id HAVING COUNT(*) >= 10 ORDER BY user_id
+""")
+
+# Cramér's V from the full priority × status contingency grid
+# (absent cells included, as in the chi-square query B304).
+_q("q363_cramers_v", """
+WITH obs AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+                    CAST(COUNT(*) AS DOUBLE) AS n
+             FROM orders GROUP BY p, s),
+     rs AS (SELECT p, SUM(n) AS np FROM obs GROUP BY p),
+     cs AS (SELECT s, SUM(n) AS ns FROM obs GROUP BY s),
+     tt AS (SELECT SUM(n) AS t FROM obs),
+     grid AS (SELECT r.p, c.s, r.np, c.ns, tt.t, COALESCE(o.n, 0) AS n
+              FROM rs r CROSS JOIN cs c CROSS JOIN tt
+              LEFT JOIN obs o ON o.p = r.p AND o.s = c.s),
+     chi AS (SELECT SUM(POWER(n - np * ns / t, 2) / (np * ns / t)) AS chi2,
+                    MAX(t) AS t,
+                    COUNT(DISTINCT p) AS nr, COUNT(DISTINCT s) AS nc
+             FROM grid)
+SELECT ROUND(chi2, 2) AS chi2,
+       ROUND(SQRT(chi2 / (t * (LEAST(nr, nc) - 1))), 4) AS cramers_v
+FROM chi
+""")
+
+# One-way ANOVA F statistic across order priorities (between/within
+# decomposition from per-group moments — one pass, no window).
+_q("q364_anova_f", """
+WITH g AS (SELECT o_orderpriority AS p, CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(o_totalprice) AS m,
+                  SUM(o_totalprice * o_totalprice) AS ss
+           FROM orders GROUP BY p),
+     t AS (SELECT SUM(n) AS n, SUM(m * n) / SUM(n) AS gm,
+                  COUNT(*) AS k FROM g),
+     d AS (SELECT SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+                  SUM(g.ss - g.n * g.m * g.m) AS ssw,
+                  MAX(t.n) AS n, MAX(t.k) AS k
+           FROM g CROSS JOIN t)
+SELECT ROUND(ssb / (k - 1), 2) AS ms_between,
+       ROUND(ssw / (n - k), 2) AS ms_within,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+FROM d
+""")
+
+# Welch's unequal-variance two-sample t: URGENT vs LOW order values,
+# with the Welch–Satterthwaite degrees of freedom.
+_q("q365_welch_t_test", """
+WITH s AS (SELECT o_orderpriority AS p, CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(o_totalprice) AS m, VAR_SAMP(o_totalprice) AS v
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY p),
+     w AS (SELECT a.m - b.m AS dm, a.v / a.n AS va, b.v / b.n AS vb
+           FROM (SELECT * FROM s WHERE p = '1-URGENT') a
+           CROSS JOIN (SELECT * FROM s WHERE p = '5-LOW') b),
+     s2 AS (SELECT a.n AS na, b.n AS nb
+            FROM (SELECT * FROM s WHERE p = '1-URGENT') a
+            CROSS JOIN (SELECT * FROM s WHERE p = '5-LOW') b)
+SELECT ROUND(w.dm / SQRT(w.va + w.vb), 4) AS t_stat,
+       ROUND(POWER(w.va + w.vb, 2)
+             / (POWER(w.va, 2) / (s2.na - 1)
+                + POWER(w.vb, 2) / (s2.nb - 1)), 1) AS df
+FROM w CROSS JOIN s2
+""")
+
+# CUSUM drift monitor: per-user cumulative deviation from the global
+# mean (running sum partitioned by user — order unique on ts,event_id
+# so the float fold is bit-identical across engines), max excursions.
+_q("q366_cusum_drift", """
+WITH m AS (SELECT AVG(value) AS mu FROM events),
+     c AS (SELECT user_id,
+                  SUM(value - mu) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS cs
+           FROM events CROSS JOIN m)
+SELECT user_id, ROUND(MAX(cs), 2) AS max_up, ROUND(MIN(cs), 2) AS max_dn
+FROM c GROUP BY user_id ORDER BY user_id
+""")
+
+# Max drawdown of a per-user running balance (purchases credit,
+# errors debit): running peak minus current, the high-water-mark
+# primitive. Both windows partitioned by user.
+_q("q367_max_drawdown", """
+WITH f AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'purchase' THEN value
+                       WHEN event_type = 'error' THEN -value
+                       ELSE 0.0 END AS flow
+           FROM events),
+     c AS (SELECT user_id,
+                  SUM(flow) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS bal
+           FROM f),
+     d AS (SELECT user_id, bal,
+                  MAX(bal) OVER (PARTITION BY user_id
+                                 ORDER BY bal ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS peak
+           FROM c)
+SELECT user_id, ROUND(MAX(peak - bal), 2) AS max_drawdown
+FROM d GROUP BY user_id ORDER BY user_id
+""")
+
+# Lexical diversity per language: type-token ratio and hapax fraction
+# from one explode + two keyed aggs.
+_q("q368_ttr_hapax",
+   oracle="""
+WITH tok AS (SELECT lang, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     c AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 4) AS ttr,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_frac
+FROM c GROUP BY lang ORDER BY lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     c AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 4) AS ttr,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_frac
+FROM c GROUP BY lang ORDER BY lang
+""")
+
+# Zipf slope per language: ln(freq) ~ ln(rank) over the top-50 terms,
+# REGR_SLOPE. The rank window partitions by lang and runs over the
+# distinct vocabulary (dimension-sized), never the corpus.
+_q("q369_zipf_slope",
+   oracle="""
+WITH tok AS (SELECT lang, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     c AS (SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM tok GROUP BY lang, tok),
+     r AS (SELECT lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, tok) AS rk
+           FROM c)
+SELECT lang, ROUND(REGR_SLOPE(LN(n), LN(CAST(rk AS DOUBLE))), 4)
+         AS zipf_slope
+FROM r WHERE rk <= 50 GROUP BY lang ORDER BY lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     c AS (SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM tok GROUP BY lang, tok),
+     r AS (SELECT lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, tok) AS rk
+           FROM c)
+SELECT lang, ROUND(REGR_SLOPE(LN(n), LN(CAST(rk AS DOUBLE))), 4)
+         AS zipf_slope
+FROM r WHERE rk <= 50 GROUP BY lang ORDER BY lang
+""")
+
+# Degree distribution of the bounded co-purchase graph (same
+# l_orderkey < 5000 block as the triangle-counting query B313).
+_q("q370_degree_distribution", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 5000),
+     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     deg AS (SELECT u AS node, COUNT(*) AS d
+             FROM (SELECT u FROM e UNION ALL SELECT v FROM e) all_e
+             GROUP BY u)
+SELECT CAST(d AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d ORDER BY degree
+""")
+
+# Adamic–Adar link prediction on the same bounded co-purchase graph:
+# score candidate pairs by Σ 1/ln(deg(z)) over common neighbors z —
+# the inverse-log-degree weighting of common-neighbor counting.
+_q("q371_adamic_adar", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 5000),
+     e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+     deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS d
+             FROM e GROUP BY u),
+     cn AS (SELECT a.u AS i, b.u AS j, a.v AS z
+            FROM e a JOIN e b ON a.v = b.v AND a.u < b.u),
+     sc AS (SELECT cn.i, cn.j, SUM(1.0 / LN(deg.d)) AS aa
+            FROM cn JOIN deg ON deg.node = cn.z
+            WHERE deg.d > 1 GROUP BY cn.i, cn.j)
+SELECT i, j, ROUND(aa, 4) AS aa_score
+FROM sc ORDER BY aa DESC, i, j LIMIT 25
+""")

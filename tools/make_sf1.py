@@ -1,0 +1,130 @@
+"""Derive a deterministic sf1 (10x sf0.1) dataset for scale sweeps.
+
+The driver ships sf{0.001,0.01,0.1} only; the 100 TB claims need at
+least one measured decade of scaling. This tool derives sf1 from
+sf0.1 (never touching /root/testdata) into $SHREDDER_SF1_DIR, default
+/tmp/shredder_sf1 — BENCH-ONLY data: correctness oracles stay on the
+driver-generated tables.
+
+Derivation (seeded, reproducible):
+- relational tables: 10 replicas with per-replica key offsets that
+  preserve FK structure inside each replica (o_custkey offsets with
+  customer, l_orderkey with orders, ...); dimension tables
+  region/nation copied as-is (25/5 rows at every sf, as in TPC-H);
+- documents: replica 0 verbatim; replicas 1-9 drop a per-replica 40%
+  of each doc's DISTINCT tokens (drop decision = crc32(r:token), the
+  same for every doc in a replica) — within-replica near-dup
+  structure is preserved (both members of an organic near-dup pair
+  lose the SAME tokens, token-set Jaccard barely moves) while
+  cross-replica Jaccard falls to ~0.43 << the 0.8 near-dup threshold,
+  so the q110 dup-pair population scales linearly with corpus size
+  instead of degenerating into 10-wide exact-dup cliques;
+- embeddings: replica 0 verbatim; replicas 1-9 multiply by a seeded
+  per-replica +-1 sign vector per dimension — norms and within-replica
+  angles are exactly preserved (replica geometry = original), across
+  replicas neighborhoods decorrelate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1")
+REPLICAS = 10
+
+OFFSETS = {
+    "customer": {"c_custkey": 15_000},
+    "supplier": {"s_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000, "l_partkey": 20_000,
+                 "l_suppkey": 1_000},
+    "events": {"event_id": 100_000, "user_id": 1_500},
+}
+
+
+def relational(con: duckdb.DuckDBPyConnection) -> None:
+    for t in ["region", "nation"]:
+        con.execute(f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+                    f"TO '{DST}/{t}.parquet' (FORMAT parquet)")
+    for t, offs in OFFSETS.items():
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
+        sel = ", ".join(
+            f"{c} + r.r * {offs[c]} AS {c}" if c in offs else c for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
+            f"(SELECT UNNEST(GENERATE_SERIES(0, {REPLICAS - 1})) AS r) r "
+            f"ORDER BY {cols[0]}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
+
+
+def documents() -> None:
+    tbl = pq.read_table(f"{SRC}/documents.parquet")
+    doc_id = tbl["doc_id"].to_pylist()
+    text = tbl["text"].to_pylist()
+    lang = tbl["lang"].to_pylist()
+    source = tbl["source"].to_pylist()
+    n_docs = 5_000
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for r in range(REPLICAS):
+        def dropped(tok: str) -> bool:
+            return r > 0 and zlib.crc32(f"{r}:{tok}".encode()) % 100 < 40
+        for d, t, lg, src_ in zip(doc_id, text, lang, source):
+            toks = [w for w in t.split(" ") if not dropped(w)]
+            nt = " ".join(toks)
+            out["doc_id"].append(d + r * n_docs)
+            out["text"].append(nt)
+            out["lang"].append(lg)
+            out["source"].append(src_)
+            out["n_chars"].append(len(nt))
+    pq.write_table(pa.table(out, schema=pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64())])),
+        f"{DST}/documents.parquet")
+
+
+def embeddings() -> None:
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_id = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    label = np.asarray(tbl["label"].to_pylist(), dtype=np.int32)
+    n, dim = emb.shape
+    ids, vecs, labels = [], [], []
+    for r in range(REPLICAS):
+        sign = (np.random.default_rng(1_000 + r).integers(0, 2, dim) * 2 - 1
+                if r else np.ones(dim, dtype=np.int64))
+        ids.append(vec_id + r * 2_000)
+        vecs.append(emb * sign.astype(np.float32))
+        labels.append(label)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.concatenate(ids)),
+        "embedding": pa.array(list(np.concatenate(vecs)),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.concatenate(labels)),
+    }), f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    relational(con)
+    documents()
+    embeddings()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n}", file=sys.stderr)
+    print(DST)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Scale-robustness sweep: sf0.01 -> sf0.1 -> sf1 (two decades).
+
+Evidence for the 100 TB posture that a single-sf bench can't give:
+per-query wall-time slopes across 10x data steps, the LSH
+candidate-count slope for the dedup tiers (the quantity that must stay
+~linear for the banding design to survive scale-up), and a DuckDB
+oracle re-check of the oracle-paired headline queries at sf1.
+
+sf1 is derived by tools/make_sf1.py (bench-only data — see its
+docstring for the replica construction that keeps near-dup density
+scale-invariant). Run:
+
+    python tools/make_sf1.py && python tools/scale_sweep.py > SCALE_SWEEP.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from shredder_spark import queries as queries_mod
+from shredder_spark.catalog import TABLES, load_table
+from shredder_spark.session import get_spark
+
+SF_DIRS = {
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1"),
+}
+
+TIMED = [
+    "q01_scan_count",
+    "q05_inner_join",
+    "q15_pricing_summary",
+    "q21_ranking_windows",
+    "q50_term_frequency",
+    "q110_minhash_dedup_full",
+    "q140_bm25_search",
+    "q355_exact_substring_spans",
+]
+
+# headline queries with a DuckDB oracle — re-checked at sf1
+ORACLE_CHECK = ["q01_scan_count", "q05_inner_join", "q15_pricing_summary",
+                "q21_ranking_windows", "q50_term_frequency",
+                "q140_bm25_search"]
+
+
+def _drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _norm(rows):
+    return sorted(tuple(str(round(v, 6)) if isinstance(v, float) else str(v)
+                        for v in r) for r in rows)
+
+
+def main() -> None:
+    spark = get_spark("shredder-scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = queries_mod.registry()
+    out: dict = {"metric": "scale_sweep", "sfs": {}}
+
+    for sf, sf_dir in SF_DIRS.items():
+        if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        stats: dict = {"dir": sf_dir}
+        stats["rows"] = {
+            "lineitem": load_table(spark, sf_dir, "lineitem").count(),
+            "documents": load_table(spark, sf_dir, "documents").count(),
+        }
+        timings: dict = {}
+        for name in TIMED:
+            _drain(reg[name].run(spark, sf_dir))  # warm-up / codegen
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _drain(reg[name].run(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        stats["timings"] = timings
+
+        # LSH internals: candidate pairs before exact verification, and
+        # verified pairs — the scale-critical quantities for q110
+        from shredder_spark.operators.dedup import minhash_lsh_pairs
+        docs = load_table(spark, sf_dir, "documents")
+        stats["minhash_candidates"] = minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, verify=False).count()
+        stats["minhash_pairs"] = minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8).count()
+
+        from shredder_spark.operators.substring_dedup import (
+            duplicate_substring_spans)
+        stats["substr_spans"] = duplicate_substring_spans(
+            docs.select("doc_id", "text"), min_len=60).count()
+        out["sfs"][sf] = stats
+
+    # oracle re-check at sf1 (engine vs DuckDB on the same derived files)
+    sf1 = SF_DIRS["1"]
+    if os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'")
+        oracle_ok: dict = {}
+        for name in ORACLE_CHECK:
+            q = reg[name]
+            s = q.run(spark, sf1).collect()
+            o = con.execute(q.oracle).fetchall()
+            oracle_ok[name] = bool(_norm(s) == _norm(o))
+        out["oracle_at_sf1"] = oracle_ok
+
+    # decade slopes: time ratio per 10x rows (1.0 = perfectly linear)
+    sfs = out["sfs"]
+    if "0.1" in sfs and "1" in sfs:
+        slopes = {}
+        for name in TIMED:
+            a, b = sfs["0.1"]["timings"][name], sfs["1"]["timings"][name]
+            slopes[name] = round(b / a, 2) if a else None
+        slopes["minhash_candidates"] = round(
+            sfs["1"]["minhash_candidates"]
+            / max(sfs["0.1"]["minhash_candidates"], 1), 2)
+        out["x10_ratios"] = slopes
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
