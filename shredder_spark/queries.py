@@ -7464,3 +7464,433 @@ WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 SELECT i, j, ROUND(aa, 4) AS aa_score
 FROM sc ORDER BY aa DESC, i, j LIMIT 25
 """)
+
+
+# ------------------------------------------------------- batch r4.2:
+# readability, concordance, mixture temperature, demand classes,
+# returns/volatility, RSI, business days, systematic sampling.
+
+# Flesch-style readability from deterministic proxies: syllables =
+# vowel groups (regexp), sentences = ceil(words/15) (the corpus has
+# no sentence punctuation — documented proxy, same on both sides).
+_q("q372_readability",
+   oracle="""
+WITH t AS (SELECT doc_id,
+                  CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) AS words,
+                  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),'[aeiou]+'))
+                       AS DOUBLE) AS syll
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       ROUND(206.835 - 1.015 * (words / CEIL(words / 15))
+             - 84.6 * (syll / words), 2) AS flesch
+FROM t ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id,
+                  CAST(SIZE(SPLIT(text,' ')) AS DOUBLE) AS words,
+                  CAST(SIZE(REGEXP_EXTRACT_ALL(LOWER(text),'[aeiou]+',0))
+                       AS DOUBLE) AS syll
+           FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       ROUND(206.835 - 1.015 * (words / CEIL(words / 15))
+             - 84.6 * (syll / words), 2) AS flesch
+FROM t ORDER BY doc_id
+""")
+
+# KWIC concordance: every occurrence of the term with ±2 tokens of
+# context, via position explode + array slice (no string re-scans).
+_q("q373_kwic_concordance",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS toks
+           FROM documents WHERE doc_id < 50),
+     p AS (SELECT doc_id, toks,
+                  UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos
+           FROM t)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       ARRAY_TO_STRING(toks[GREATEST(pos - 2, 1):LEAST(pos + 2, LEN(toks))],
+                       ' ') AS kwic
+FROM p WHERE toks[pos] = 'spark'
+ORDER BY doc_id, pos
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text,' ') AS toks
+           FROM documents WHERE doc_id < 50),
+     p AS (SELECT doc_id, toks, pos0 + 1 AS pos
+           FROM t LATERAL VIEW POSEXPLODE(toks) x AS pos0, tok)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       ARRAY_JOIN(SLICE(toks, GREATEST(pos - 2, 1),
+                        LEAST(pos + 2, SIZE(toks))
+                          - GREATEST(pos - 2, 1) + 1), ' ') AS kwic
+FROM p WHERE ELEMENT_AT(toks, pos) = 'spark'
+ORDER BY doc_id, pos
+""")
+
+# Temperature-scaled mixture weights (the multilingual-sampling
+# p^alpha renormalization, alpha=0.7): expected docs per language for
+# a 10k-doc budget.
+_q("q374_temperature_mixture", """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+           GROUP BY lang),
+     t AS (SELECT SUM(n) AS tot FROM c),
+     p AS (SELECT lang, POWER(n / tot, 0.7) AS pa FROM c CROSS JOIN t),
+     z AS (SELECT SUM(pa) AS zsum FROM p)
+SELECT lang, ROUND(pa / zsum, 4) AS w,
+       CAST(ROUND(10000 * pa / zsum) AS BIGINT) AS budget_docs
+FROM p CROSS JOIN z ORDER BY lang
+""")
+
+# XYZ demand-variability classification: coefficient of variation of
+# monthly shipped quantity per part (X stable / Y variable / Z
+# erratic at the classic 0.5 / 1.0 cuts).
+_q("q375_xyz_classification", """
+WITH m AS (SELECT l_partkey, DATE_TRUNC('month', CAST(l_shipdate AS DATE))
+                    AS mon, SUM(l_quantity) AS q
+           FROM lineitem WHERE l_partkey < 200 GROUP BY l_partkey, mon),
+     s AS (SELECT l_partkey, AVG(q) AS mu, STDDEV_SAMP(q) AS sd,
+                  COUNT(*) AS n
+           FROM m GROUP BY l_partkey HAVING COUNT(*) >= 3)
+SELECT l_partkey, ROUND(sd / mu, 4) AS cv,
+       CASE WHEN sd / mu < 0.5 THEN 'X'
+            WHEN sd / mu < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+FROM s ORDER BY l_partkey
+""")
+
+# Log-return volatility per part: daily mean price series, LAG ratio,
+# stddev of ln returns — all windows partitioned by part.
+_q("q376_return_volatility", """
+WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                  AVG(l_extendedprice / l_quantity) AS px
+           FROM lineitem WHERE l_partkey < 100
+           GROUP BY l_partkey, day),
+     r AS (SELECT l_partkey,
+                  LN(px / LAG(px) OVER (PARTITION BY l_partkey
+                                        ORDER BY day)) AS lr
+           FROM d)
+SELECT l_partkey, CAST(COUNT(lr) AS BIGINT) AS n_returns,
+       ROUND(STDDEV_SAMP(lr), 4) AS vol
+FROM r GROUP BY l_partkey HAVING COUNT(lr) >= 5 ORDER BY l_partkey
+""")
+
+# RSI-14 (SMA variant): rolling mean gain / mean loss over the last
+# 14 daily moves, partitioned by part.
+_q("q377_rsi", """
+WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                  AVG(l_extendedprice / l_quantity) AS px
+           FROM lineitem WHERE l_partkey < 20 GROUP BY l_partkey, day),
+     mv AS (SELECT l_partkey, day,
+                   px - LAG(px) OVER (PARTITION BY l_partkey ORDER BY day)
+                     AS chg
+            FROM d),
+     g AS (SELECT l_partkey, day,
+                  AVG(CASE WHEN chg > 0 THEN chg ELSE 0 END)
+                    OVER (PARTITION BY l_partkey ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+                  AVG(CASE WHEN chg < 0 THEN -chg ELSE 0 END)
+                    OVER (PARTITION BY l_partkey ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al,
+                  COUNT(chg) OVER (PARTITION BY l_partkey ORDER BY day
+                                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                    AS nc
+           FROM mv)
+SELECT l_partkey, day,
+       ROUND(100 - 100 / (1 + ag / al), 2) AS rsi
+FROM g WHERE nc >= 14 AND al > 0 ORDER BY l_partkey, day
+""")
+
+# Inclusive business-day span from order date to ship date (weekday
+# count via day explode — bounded block; closed-form DOW arithmetic is
+# the scale tier, this is the declared oracle shape).
+_q("q378_business_days",
+   oracle="""
+WITH s AS (SELECT o.o_orderkey, l.l_linenumber,
+                  CAST(o.o_orderdate AS DATE) AS d0,
+                  CAST(l.l_shipdate AS DATE) AS d1
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderkey < 1000
+             AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+     x AS (SELECT o_orderkey, l_linenumber,
+                  CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))
+                       AS DATE) AS day
+           FROM s)
+SELECT o_orderkey, l_linenumber,
+       CAST(SUM(CASE WHEN DAYOFWEEK(day) IN (0, 6) THEN 0 ELSE 1 END)
+            AS BIGINT) AS bdays
+FROM x GROUP BY o_orderkey, l_linenumber
+ORDER BY o_orderkey, l_linenumber
+""",
+   engine_sql="""
+WITH s AS (SELECT o.o_orderkey, l.l_linenumber,
+                  CAST(o.o_orderdate AS DATE) AS d0,
+                  CAST(l.l_shipdate AS DATE) AS d1
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderkey < 1000
+             AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+     x AS (SELECT o_orderkey, l_linenumber, day
+           FROM s LATERAL VIEW EXPLODE(SEQUENCE(d0, d1)) t AS day)
+SELECT o_orderkey, l_linenumber,
+       CAST(SUM(CASE WHEN DAYOFWEEK(day) IN (1, 7) THEN 0 ELSE 1 END)
+            AS BIGINT) AS bdays
+FROM x GROUP BY o_orderkey, l_linenumber
+ORDER BY o_orderkey, l_linenumber
+""")
+
+# Systematic sampling: every 10th record in deterministic md5 order,
+# WITHIN each language partition (never a global rank).
+_q("q379_systematic_sample",
+   oracle="""
+WITH r AS (SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY MD5(CAST(doc_id AS VARCHAR)))
+                    AS rn
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id
+""",
+   engine_sql="""
+WITH r AS (SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY MD5(CAST(doc_id AS STRING)))
+                    AS rn
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rn % 10 = 1 ORDER BY lang, doc_id
+""")
+
+
+# Pythagorean means batch: geometric (exp-mean-log) and harmonic
+# (n / Σ 1/x) alongside the arithmetic mean.
+_q("q380_pythagorean_means", """
+SELECT l_returnflag,
+       ROUND(AVG(l_quantity), 4) AS amean,
+       ROUND(EXP(AVG(LN(l_quantity))), 4) AS gmean,
+       ROUND(COUNT(*) / SUM(1.0 / l_quantity), 4) AS hmean
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+# Feature hashing (the hashing trick): md5-derived bucket in [0,64) —
+# portable across engines, unlike engine-native hash functions.
+_q("q381_feature_hashing",
+   oracle="""
+WITH tok AS (SELECT doc_id, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+             WHERE doc_id < 20)
+SELECT doc_id,
+       CAST(CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) % 64
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok
+             WHERE doc_id < 20)
+SELECT doc_id,
+       CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) % 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+""")
+
+# Deterministic k-fold assignment (md5 mod 5) + per-fold class
+# balance: the split must preserve the segment distribution — report
+# per-fold share next to the global share.
+_q("q382_kfold_balance",
+   oracle="""
+WITH f AS (SELECT c_custkey, c_mktsegment,
+                  CAST(CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 5
+                       AS BIGINT) AS fold
+           FROM customer),
+     g AS (SELECT c_mktsegment,
+                  CAST(COUNT(*) AS DOUBLE) AS n_seg FROM f
+           GROUP BY c_mktsegment),
+     t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)
+SELECT f.fold, f.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY f.fold)
+                             AS DOUBLE), 3) AS fold_share,
+       ROUND(MAX(g.n_seg) / MAX(t.n), 3) AS global_share
+FROM f JOIN g ON g.c_mktsegment = f.c_mktsegment CROSS JOIN t
+GROUP BY f.fold, f.c_mktsegment ORDER BY f.fold, f.c_mktsegment
+""",
+   engine_sql="""
+WITH f AS (SELECT c_custkey, c_mktsegment,
+                  CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)), 1, 8),
+                            16, 10) % 5 AS BIGINT) AS fold
+           FROM customer),
+     g AS (SELECT c_mktsegment,
+                  CAST(COUNT(*) AS DOUBLE) AS n_seg FROM f
+           GROUP BY c_mktsegment),
+     t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)
+SELECT f.fold, f.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY f.fold)
+                             AS DOUBLE), 3) AS fold_share,
+       ROUND(MAX(g.n_seg) / MAX(t.n), 3) AS global_share
+FROM f JOIN g ON g.c_mktsegment = f.c_mktsegment CROSS JOIN t
+GROUP BY f.fold, f.c_mktsegment ORDER BY f.fold, f.c_mktsegment
+""")
+
+# Count-min sketch, fully relational and portable: d=4 md5-salted
+# rows × w=64 columns built by one explode + keyed agg (mergeable by
+# construction — union + re-agg), probed for 5 terms with the
+# min-over-rows estimate next to the true count.
+_q("q383_count_min_sketch",
+   oracle="""
+WITH tok AS (SELECT tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     cell AS (SELECT r.r,
+                     CAST(CAST('0x' || SUBSTR(MD5(CAST(r.r AS VARCHAR)
+                                              || ':' || tok), 1, 8)
+                               AS BIGINT) % 64 AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM tok CROSS JOIN
+                   (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) r
+              GROUP BY r.r, c),
+     probe AS (SELECT UNNEST(['spark','query','the','vector','scan'])
+                 AS term),
+     est AS (SELECT p.term,
+                    MIN(cell.n) AS cms_est
+             FROM probe p CROSS JOIN
+                  (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) pr
+             JOIN cell ON cell.r = pr.r
+              AND cell.c = CAST(CAST('0x' || SUBSTR(MD5(CAST(pr.r AS VARCHAR)
+                                                    || ':' || p.term), 1, 8)
+                                    AS BIGINT) % 64 AS BIGINT)
+             GROUP BY p.term),
+     truth AS (SELECT tok AS term, COUNT(*) AS n FROM tok GROUP BY tok)
+SELECT e.term, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count
+FROM est e LEFT JOIN truth t ON t.term = e.term
+ORDER BY e.term
+""",
+   engine_sql="""
+WITH tok AS (SELECT tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) x AS tok),
+     cell AS (SELECT r.r,
+                     CAST(CONV(SUBSTR(MD5(CAST(r.r AS STRING)
+                                          || ':' || tok), 1, 8),
+                               16, 10) % 64 AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM tok CROSS JOIN
+                   (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) r
+              GROUP BY r.r, c),
+     probe AS (SELECT EXPLODE(ARRAY('spark','query','the','vector','scan'))
+                 AS term),
+     est AS (SELECT p.term,
+                    MIN(cell.n) AS cms_est
+             FROM probe p CROSS JOIN
+                  (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) pr
+             JOIN cell ON cell.r = pr.r
+              AND cell.c = CAST(CONV(SUBSTR(MD5(CAST(pr.r AS STRING)
+                                                || ':' || p.term), 1, 8),
+                                     16, 10) % 64 AS BIGINT)
+             GROUP BY p.term),
+     truth AS (SELECT tok AS term, COUNT(*) AS n FROM tok GROUP BY tok)
+SELECT e.term, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count
+FROM est e LEFT JOIN truth t ON t.term = e.term
+ORDER BY e.term
+""")
+
+# Robust scaling (median/IQR) of order values within each priority —
+# the outlier-insensitive feature-prep cousin of z-scoring.
+_q("q384_robust_scaling", """
+WITH s AS (SELECT o_orderpriority,
+                  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS med,
+                  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                  - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS iqr
+           FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND((o.o_totalprice - s.med) / s.iqr, 4) AS robust_z
+FROM orders o JOIN s ON s.o_orderpriority = o.o_orderpriority
+WHERE o.o_orderkey < 500
+ORDER BY o.o_orderkey
+""")
+
+# Inter-event gap distribution per event type: LEAD gap seconds per
+# user (partitioned), then per-type percentiles.
+_q("q385_interevent_gaps",
+   oracle="""
+WITH g AS (SELECT event_type,
+                  EPOCH_US(LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                  - EPOCH_US(ts) AS gap_us
+           FROM events)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us)
+             / 1000000.0, 1) AS p50,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us)
+             / 1000000.0, 1) AS p90
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+   engine_sql="""
+WITH g AS (SELECT event_type,
+                  UNIX_MICROS(CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                                   AS TIMESTAMP))
+                  - UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS gap_us
+           FROM events)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us)
+             / 1000000.0, 1) AS p50,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us)
+             / 1000000.0, 1) AS p90
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""")
+
+# Bounce rate from 30-min-gap sessionization (same island logic as
+# the session-window tier): single-event sessions / sessions, per
+# user-cohort decile of activity kept simple as per event-type of the
+# session's first event.
+_q("q386_bounce_rate",
+   oracle="""
+WITH d AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN EPOCH(ts)
+                            - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                            > 1800 OR LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                            IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+     s AS (SELECT user_id, event_id, event_type, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sid
+           FROM d),
+     agg AS (SELECT user_id, sid,
+                    MIN_BY(event_type, ts) AS first_type,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
+FROM agg GROUP BY first_type ORDER BY first_type
+""",
+   engine_sql="""
+WITH d AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN UNIX_TIMESTAMP(ts)
+                            - UNIX_TIMESTAMP(LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            > 1800 OR LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                            IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+     s AS (SELECT user_id, event_id, event_type, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sid
+           FROM d),
+     agg AS (SELECT user_id, sid,
+                    MIN_BY(event_type, ts) AS first_type,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
+FROM agg GROUP BY first_type ORDER BY first_type
+""")
