@@ -7238,7 +7238,7 @@ SELECT a.c_custkey AS i, b.c_custkey AS j,
        ROUND(b.c_acctbal - a.c_acctbal, 2) AS bal_gap
 FROM r a JOIN r b
   ON a.c_mktsegment = b.c_mktsegment AND b.rn - a.rn BETWEEN 1 AND 2
-WHERE b.c_acctbal - a.c_acctbal <= 1.0
+WHERE b.c_acctbal - a.c_acctbal <= 50.0
 ORDER BY i, j
 """)
 
@@ -7893,4 +7893,260 @@ SELECT first_type,
        ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
 FROM agg GROUP BY first_type ORDER BY first_type
+""")
+
+
+# ------------------------------------------------------- batch r4.3:
+# lang-ID audit, CCNet-style boilerplate, template self-similarity,
+# safety stock, seasonal anomalies, Brier decomposition, char bigrams,
+# IVF distribution, ECDF evaluation.
+
+def _q387_builder(spark: SparkSession) -> DataFrame:
+    # Declared-vs-detected language audit: disagreement rate per
+    # declared lang (the mislabeled-document detector that gates
+    # language-filtered training mixes).
+    from shredder_spark.functions.text import with_lang_id
+
+    docs = spark.table("documents")
+    d = with_lang_id(docs).select("doc_id", "lang", "lid")
+    return (d.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.when(F.col("lid") != F.col("lang"), 1)
+                        .otherwise(0)).cast("long").alias("n_disagree"),
+                 F.round(F.avg(F.when(F.col("lid") != F.col("lang"), 1.0)
+                                .otherwise(0.0)), 4).alias("disagree_rate"))
+            .orderBy("lang"))
+
+
+_q("q387_langid_audit",
+   oracle="""
+WITH s AS (SELECT doc_id, lang,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['the','and','of','to','is','in','that','it'])) AS s_en,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['el','la','los','y','es','una','que','no'])) AS s_es,
+  LEN(LIST_INTERSECT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),'\\s+'),
+      ['le','la','les','et','est','une','que','pas'])) AS s_fr
+  FROM documents),
+     lid AS (SELECT doc_id, lang,
+       CASE WHEN s_de = g AND g >= 1 THEN 'de'
+            WHEN s_en = g AND g >= 1 THEN 'en'
+            WHEN s_es = g AND g >= 1 THEN 'es'
+            WHEN s_fr = g AND g >= 1 THEN 'fr'
+            ELSE 'und' END AS lid
+       FROM (SELECT *, GREATEST(s_de, s_en, s_es, s_fr) AS g FROM s))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lid <> lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       ROUND(AVG(CASE WHEN lid <> lang THEN 1.0 ELSE 0.0 END), 4)
+         AS disagree_rate
+FROM lid GROUP BY lang ORDER BY lang
+""",
+   builder=_q387_builder)
+
+# CCNet-style boilerplate removal, chunk tier: fixed 8-token chunks
+# hashed (md5), a chunk appearing in >= 3 distinct docs is
+# boilerplate; per-doc boilerplate chunk fraction.
+_q("q388_boilerplate_chunks",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS toks FROM documents),
+     ch AS (SELECT doc_id,
+                   MD5(ARRAY_TO_STRING(
+                     toks[i * 8 + 1 : LEAST(i * 8 + 8, LEN(toks))], ' '))
+                     AS h
+            FROM t, UNNEST(GENERATE_SERIES(
+                    0, CAST(CEIL(LEN(toks) / 8.0) AS BIGINT) - 1)) AS g(i)),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       ROUND(SUM(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_frac
+FROM ch JOIN freq ON freq.h = ch.h
+GROUP BY ch.doc_id ORDER BY ch.doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text,' ') AS toks FROM documents),
+     ch AS (SELECT doc_id,
+                   MD5(ARRAY_JOIN(SLICE(toks, i * 8 + 1,
+                     LEAST(i * 8 + 8, SIZE(toks)) - i * 8), ' ')) AS h
+            FROM t LATERAL VIEW EXPLODE(SEQUENCE(
+                   0, CAST(CEIL(SIZE(toks) / 8.0) AS INT) - 1)) g AS i),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       ROUND(SUM(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_frac
+FROM ch JOIN freq ON freq.h = ch.h
+GROUP BY ch.doc_id ORDER BY ch.doc_id
+""")
+
+# Template/self-repetition detector: token-set Jaccard between the
+# first and second halves of each document.
+_q("q389_half_self_jaccard",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS toks FROM documents
+           WHERE doc_id < 200),
+     h AS (SELECT doc_id,
+                  LIST_DISTINCT(toks[1 : LEN(toks) // 2]) AS a,
+                  LIST_DISTINCT(toks[LEN(toks) // 2 + 1 : LEN(toks)]) AS b
+           FROM t WHERE LEN(toks) >= 4)
+SELECT doc_id,
+       ROUND(LEN(LIST_INTERSECT(a, b))
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a, b))) AS DOUBLE), 4)
+         AS half_jac
+FROM h ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text,' ') AS toks FROM documents
+           WHERE doc_id < 200),
+     h AS (SELECT doc_id,
+                  ARRAY_DISTINCT(SLICE(toks, 1, CAST(SIZE(toks) / 2 AS INT)))
+                    AS a,
+                  ARRAY_DISTINCT(SLICE(toks, CAST(SIZE(toks) / 2 AS INT) + 1,
+                                       SIZE(toks))) AS b
+           FROM t WHERE SIZE(toks) >= 4)
+SELECT doc_id,
+       ROUND(SIZE(ARRAY_INTERSECT(a, b))
+             / CAST(SIZE(ARRAY_UNION(a, b)) AS DOUBLE), 4) AS half_jac
+FROM h ORDER BY doc_id
+""")
+
+# Safety stock / reorder point (z=1.65 service level, 7-day lead
+# time) from daily demand moments per part.
+_q("q390_safety_stock", """
+WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                  SUM(l_quantity) AS q
+           FROM lineitem WHERE l_partkey < 200 GROUP BY l_partkey, day),
+     s AS (SELECT l_partkey, AVG(q) AS mu, STDDEV_SAMP(q) AS sd,
+                  COUNT(*) AS n
+           FROM d GROUP BY l_partkey HAVING COUNT(*) >= 5)
+SELECT l_partkey,
+       ROUND(1.65 * sd * SQRT(7), 2) AS safety_stock,
+       ROUND(mu * 7 + 1.65 * sd * SQRT(7), 2) AS reorder_point
+FROM s ORDER BY l_partkey
+""")
+
+# Day-of-week-adjusted revenue anomalies: residual vs the DOW mean,
+# z-scored; |z| >= 2 flags. DOW numbering is engine-specific →
+# normalized to Monday=0 on both sides.
+_q("q391_seasonal_anomaly",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  (ISODOW(CAST(o_orderdate AS DATE)) - 1) AS dow,
+                  SUM(o_totalprice) AS rev
+           FROM orders GROUP BY day, dow),
+     m AS (SELECT dow, AVG(rev) AS mu FROM d GROUP BY dow),
+     r AS (SELECT d.day, d.dow, d.rev, d.rev - m.mu AS resid
+           FROM d JOIN m ON m.dow = d.dow),
+     z AS (SELECT AVG(resid) AS rm, STDDEV_SAMP(resid) AS rs FROM r)
+SELECT r.day, CAST(r.dow AS BIGINT) AS dow,
+       ROUND((r.resid - z.rm) / z.rs, 2) AS z
+FROM r CROSS JOIN z
+WHERE ABS((r.resid - z.rm) / z.rs) >= 2
+ORDER BY r.day
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  PMOD(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 5, 7) AS dow,
+                  SUM(o_totalprice) AS rev
+           FROM orders GROUP BY day, dow),
+     m AS (SELECT dow, AVG(rev) AS mu FROM d GROUP BY dow),
+     r AS (SELECT d.day, d.dow, d.rev, d.rev - m.mu AS resid
+           FROM d JOIN m ON m.dow = d.dow),
+     z AS (SELECT AVG(resid) AS rm, STDDEV_SAMP(resid) AS rs FROM r)
+SELECT r.day, CAST(r.dow AS BIGINT) AS dow,
+       ROUND((r.resid - z.rm) / z.rs, 2) AS z
+FROM r CROSS JOIN z
+WHERE ABS((r.resid - z.rm) / z.rs) >= 2
+ORDER BY r.day
+""")
+
+# Brier score + Murphy decomposition over 10 probability bins:
+# p_hat = user's click share, outcome = user made a purchase.
+_q("q392_brier_decomposition", """
+WITH u AS (SELECT user_id,
+                  AVG(CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS DOUBLE)) AS p,
+                  MAX(CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END AS DOUBLE)) AS y
+           FROM events GROUP BY user_id),
+     b AS (SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, p, y FROM u),
+     g AS (SELECT bin, COUNT(*) AS n, AVG(p) AS pbar, AVG(y) AS ybar
+           FROM b GROUP BY bin),
+     t AS (SELECT COUNT(*) AS n, AVG(y) AS base,
+                  AVG((p - y) * (p - y)) AS brier
+           FROM b)
+SELECT ROUND(t.brier, 4) AS brier,
+       ROUND(SUM(g.n * (g.pbar - g.ybar) * (g.pbar - g.ybar)) / MAX(t.n), 4)
+         AS reliability,
+       ROUND(SUM(g.n * (g.ybar - t.base) * (g.ybar - t.base)) / MAX(t.n), 4)
+         AS resolution,
+       ROUND(MAX(t.base) * (1 - MAX(t.base)), 4) AS uncertainty
+FROM g CROSS JOIN t GROUP BY t.brier, t.n, t.base
+""")
+
+# Character-bigram profile: top-10 char 2-grams per language
+# (positional explode over a bounded doc block, vocab-sized rank
+# window).
+_q("q393_char_bigrams",
+   oracle="""
+WITH b AS (SELECT lang, SUBSTR(text, i, 2) AS bg
+           FROM documents, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 1))
+             AS g(i)
+           WHERE doc_id < 100),
+     c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY lang, bg),
+     r AS (SELECT lang, bg, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bg) AS rk
+           FROM c)
+SELECT lang, CAST(rk AS BIGINT) AS rk, bg, CAST(n AS BIGINT) AS n
+FROM r WHERE rk <= 10 ORDER BY lang, rk
+""",
+   engine_sql="""
+WITH b AS (SELECT lang, SUBSTR(text, i, 2) AS bg
+           FROM documents
+           LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(text) - 1)) g AS i
+           WHERE doc_id < 100),
+     c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY lang, bg),
+     r AS (SELECT lang, bg, n,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bg) AS rk
+           FROM c)
+SELECT lang, CAST(rk AS BIGINT) AS rk, bg, CAST(n AS BIGINT) AS n
+FROM r WHERE rk <= 10 ORDER BY lang, rk
+""")
+
+
+def _q394_builder(spark: SparkSession) -> DataFrame:
+    # IVF cluster balance: fit on the bounded driver-side sample,
+    # Arrow-batched assignment, cluster-size distribution — the index-
+    # health check before partition-pruned probing (rows-only: k-means
+    # has no SQL oracle).
+    from shredder_spark.operators.similarity import IVFIndex
+
+    emb = spark.table("embeddings")
+    idx = IVFIndex(n_clusters=8).fit(emb)
+    assigned = idx.assign(emb)
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").cast("long").alias("n_vectors"))
+            .orderBy("cluster"))
+
+
+_q("q394_ivf_cluster_balance", oracle=None, builder=_q394_builder)
+
+# Empirical CDF evaluated at fixed thresholds per priority (the
+# P(X <= t) table; inline VALUES dimension).
+_q("q395_ecdf_eval", """
+WITH thr AS (SELECT CAST(t_val AS DOUBLE) AS t_val
+             FROM (VALUES (50000.0), (100000.0), (200000.0)) AS t(t_val))
+SELECT o_orderpriority, t_val,
+       ROUND(AVG(CAST(CASE WHEN o_totalprice <= t_val THEN 1 ELSE 0 END
+                      AS DOUBLE)), 4) AS cdf
+FROM orders CROSS JOIN thr
+GROUP BY o_orderpriority, t_val
+ORDER BY o_orderpriority, t_val
 """)
