@@ -127,31 +127,40 @@ def duplicate_substring_spans(
     tj = src.select(F.col("_id").alias("j"), F.col("_text").alias("_tj"))
     cand = pairs.join(ti, "i").join(tj, "j")
 
-    @F.pandas_udf("struct<i_start:int, j_start:int, length:int>")
-    def _extend(ti_s: pd.Series, tj_s: pd.Series,
-                pi_s: pd.Series, pj_s: pd.Series) -> pd.DataFrame:
-        out = {"i_start": [], "j_start": [], "length": []}
-        for ti_, tj_, pi, pj in zip(ti_s, tj_s, pi_s, pj_s):
-            pi, pj = int(pi), int(pj)
-            if ti_[pi:pi + k] != tj_[pj:pj + k]:  # hash collision
-                out["i_start"].append(None); out["j_start"].append(None)
-                out["length"].append(None)
+    # extension runs as mapInPandas, not a pandas UDF expression: the
+    # length filter lives INSIDE the pass, so Catalyst cannot push a
+    # filter through the projection and evaluate the UDF twice (the
+    # expression form measurably produced two ArrowEvalPython nodes —
+    # one for the filter, one for the output projection)
+    def _extend(batches):
+        for pdf in batches:
+            if pdf.empty:
                 continue
-            a, b = pi, pj
-            while a > 0 and b > 0 and ti_[a - 1] == tj_[b - 1]:
-                a -= 1; b -= 1
-            ea, eb, n, m = pi + k, pj + k, len(ti_), len(tj_)
-            while ea < n and eb < m and ti_[ea] == tj_[eb]:
-                ea += 1; eb += 1
-            out["i_start"].append(a); out["j_start"].append(b)
-            out["length"].append(ea - a)
-        return pd.DataFrame(out)
+            rows = {"i": [], "j": [], "i_start": [], "j_start": [],
+                    "length": []}
+            for i_, j_, ti_, tj_, pi, pj in zip(
+                    pdf["i"], pdf["j"], pdf["_ti"], pdf["_tj"],
+                    pdf["pi"], pdf["pj"]):
+                pi, pj = int(pi), int(pj)
+                if ti_[pi:pi + k] != tj_[pj:pj + k]:  # hash collision
+                    continue
+                a, b = pi, pj
+                while a > 0 and b > 0 and ti_[a - 1] == tj_[b - 1]:
+                    a -= 1; b -= 1
+                ea, eb, n, m = pi + k, pj + k, len(ti_), len(tj_)
+                while ea < n and eb < m and ti_[ea] == tj_[eb]:
+                    ea += 1; eb += 1
+                if ea - a < min_len:
+                    continue
+                rows["i"].append(i_); rows["j"].append(j_)
+                rows["i_start"].append(a); rows["j_start"].append(b)
+                rows["length"].append(ea - a)
+            if rows["i"]:
+                yield pd.DataFrame(rows)
 
-    spans = (cand.withColumn("_s", _extend("_ti", "_tj", "pi", "pj"))
-             .select("i", "j", F.col("_s.i_start").alias("i_start"),
-                     F.col("_s.j_start").alias("j_start"),
-                     F.col("_s.length").alias("length"))
-             .filter(F.col("length") >= min_len)
+    spans = (cand.mapInPandas(
+                 _extend,
+                 "i long, j long, i_start int, j_start int, length int")
              .distinct())
     return spans.orderBy("i", "j", "i_start", "j_start")
 

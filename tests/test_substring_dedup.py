@@ -210,3 +210,23 @@ def test_runs_on_real_documents(spark, sf_dir):
         assert texts[r.i][r.i_start:r.i_start + r.length] == \
                texts[r.j][r.j_start:r.j_start + r.length]
         assert r.length >= 60
+
+
+def test_plan_anchor_shuffle_is_ids_only(spark, docs_df):
+    """Scale posture pins: (1) the anchor bucket shuffle groups a
+    relation of (_id, _pos, _h) only — text never rides the anchor
+    exchange; (2) exactly ONE anchor UDF pass and ONE extension pass
+    exist (the pandas-UDF-expression form measurably duplicated the
+    extension into two ArrowEvalPython nodes via filter pushdown)."""
+    df = duplicate_substring_spans(docs_df, min_len=L, k=K)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg = [ln for ln in lines if "Aggregate [_h#" in ln]
+    assert len(agg) == 1, plan
+    # the aggregate's child projection (next line) defines the shuffled
+    # relation: ids and positions only, no _text column
+    child = lines[lines.index(agg[0]) + 1]
+    assert "Project [_id#" in child and "_pos#" in child and "_h#" in child
+    assert "_text" not in child, child
+    assert sum("ArrowEvalPython" in ln for ln in lines) == 1, plan
+    assert sum("MapInPandas" in ln for ln in lines) == 1, plan
