@@ -8150,3 +8150,404 @@ FROM orders CROSS JOIN thr
 GROUP BY o_orderpriority, t_val
 ORDER BY o_orderpriority, t_val
 """)
+
+
+# ------------------------------------------------------- batch r4.4:
+# trading-style signals, supply-chain cycle stats, drift (PSI),
+# credit-scoring (WOE/IV), split scoring, lexical-richness metrics.
+
+# SMA crossover signal: 5-day vs 20-day moving averages of the daily
+# price per part; emit the days where the fast average crosses the
+# slow one (both windows partitioned by part).
+_q("q396_sma_crossover", """
+WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                  AVG(l_extendedprice / l_quantity) AS px
+           FROM lineitem WHERE l_partkey < 50 GROUP BY l_partkey, day),
+     s AS (SELECT l_partkey, day,
+                  AVG(px) OVER (PARTITION BY l_partkey ORDER BY day
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS sma5,
+                  AVG(px) OVER (PARTITION BY l_partkey ORDER BY day
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                    AS sma20,
+                  ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY day)
+                    AS rn
+           FROM d),
+     x AS (SELECT l_partkey, day, sma5, sma20,
+                  LAG(sma5 - sma20) OVER (PARTITION BY l_partkey
+                                          ORDER BY day) AS prev_diff
+           FROM s WHERE rn >= 20)
+SELECT l_partkey, day,
+       CASE WHEN sma5 > sma20 THEN 'golden' ELSE 'death' END AS cross_type
+FROM x
+WHERE prev_diff IS NOT NULL
+  AND SIGN(sma5 - sma20) <> SIGN(prev_diff) AND sma5 <> sma20
+ORDER BY l_partkey, day
+""")
+
+# Order-to-ship cycle-time percentiles per priority (calendar days).
+_q("q397_cycle_time",
+   engine_sql="""
+WITH c AS (SELECT o.o_orderpriority,
+                  DATEDIFF(CAST(l.l_shipdate AS DATE),
+                           CAST(o.o_orderdate AS DATE)) AS days
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY days), 1) AS p50,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY days), 1) AS p90
+FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   oracle="""
+WITH c AS (SELECT o.o_orderpriority,
+                  DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS days
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE))
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY days), 1) AS p50,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY days), 1) AS p90
+FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+# Fill rate: share of orders whose EVERY line ships within 30 days.
+_q("q398_fill_rate",
+   oracle="""
+WITH per_order AS (SELECT o.o_orderkey, o.o_orderpriority,
+                          MAX(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)))
+                            AS worst_days
+                   FROM orders o JOIN lineitem l
+                     ON l.l_orderkey = o.o_orderkey
+                   GROUP BY o.o_orderkey, o.o_orderpriority)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(CAST(CASE WHEN worst_days <= 30 THEN 1 ELSE 0 END
+                      AS DOUBLE)), 4) AS fill_rate_30d
+FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   engine_sql="""
+WITH per_order AS (SELECT o.o_orderkey, o.o_orderpriority,
+                          MAX(DATEDIFF(CAST(l.l_shipdate AS DATE),
+                                       CAST(o.o_orderdate AS DATE)))
+                            AS worst_days
+                   FROM orders o JOIN lineitem l
+                     ON l.l_orderkey = o.o_orderkey
+                   GROUP BY o.o_orderkey, o.o_orderpriority)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(CAST(CASE WHEN worst_days <= 30 THEN 1 ELSE 0 END
+                      AS DOUBLE)), 4) AS fill_rate_30d
+FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+# Log-log demand elasticity per brand: REGR_SLOPE(ln qty, ln unit
+# price) over line items — the price-sensitivity estimate.
+_q("q399_price_elasticity", """
+WITH x AS (SELECT p.p_brand, LN(l.l_quantity) AS lq,
+                  LN(l.l_extendedprice / l.l_quantity) AS lp
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_quantity > 0)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(lq, lp), 4) AS elasticity
+FROM x GROUP BY p_brand ORDER BY p_brand
+""")
+
+# Cohort LTV curve: customers grouped by first-order month, cumulative
+# average revenue per customer at each month-age (partitioned running
+# sum over a dimension-sized rollup).
+_q("q400_cohort_ltv", """
+WITH fo AS (SELECT o_custkey,
+                   MIN((YEAR(CAST(o_orderdate AS DATE)) - 1990) * 12
+                       + MONTH(CAST(o_orderdate AS DATE))) AS cohort_m
+            FROM orders GROUP BY o_custkey),
+     rev AS (SELECT o.o_custkey, fo.cohort_m,
+                    (YEAR(CAST(o.o_orderdate AS DATE)) - 1990) * 12
+                    + MONTH(CAST(o.o_orderdate AS DATE)) - fo.cohort_m
+                      AS age_m,
+                    o.o_totalprice AS rev
+             FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey),
+     sz AS (SELECT cohort_m, COUNT(DISTINCT o_custkey) AS n_cust
+            FROM rev GROUP BY cohort_m),
+     m AS (SELECT cohort_m, age_m, SUM(rev) AS rev_m
+           FROM rev GROUP BY cohort_m, age_m)
+SELECT m.cohort_m, CAST(m.age_m AS BIGINT) AS age_m,
+       ROUND(SUM(m.rev_m) OVER (PARTITION BY m.cohort_m ORDER BY m.age_m)
+             / MAX(sz.n_cust), 2) AS cum_ltv
+FROM m JOIN sz ON sz.cohort_m = m.cohort_m
+WHERE m.cohort_m <= 72 AND m.age_m <= 24
+GROUP BY m.cohort_m, m.age_m, m.rev_m ORDER BY m.cohort_m, age_m
+""")
+
+# Decision-split scoring: information gain of candidate thresholds on
+# order value wrt the order-status target (parent entropy minus
+# weighted child entropies) — the tree-induction kernel.
+_q("q401_split_info_gain", """
+WITH thr AS (SELECT CAST(t_val AS DOUBLE) AS t_val
+             FROM (VALUES (50000.0), (100000.0), (150000.0)) AS t(t_val)),
+     lab AS (SELECT o_totalprice AS x, o_orderstatus AS y FROM orders),
+     parent AS (SELECT SUM(-pr * LN(pr)) AS h FROM (
+                  SELECT COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+                    AS pr
+                  FROM lab GROUP BY y) p),
+     child AS (SELECT thr.t_val,
+                      CASE WHEN lab.x <= thr.t_val THEN 'le' ELSE 'gt' END
+                        AS side, lab.y, COUNT(*) AS n
+               FROM lab CROSS JOIN thr GROUP BY thr.t_val, side, lab.y),
+     side_tot AS (SELECT t_val, side, SUM(n) AS ns FROM child
+                  GROUP BY t_val, side),
+     ch AS (SELECT c.t_val, c.side, st.ns,
+                   SUM(-(c.n / CAST(st.ns AS DOUBLE))
+                       * LN(c.n / CAST(st.ns AS DOUBLE))) AS h
+            FROM child c JOIN side_tot st
+              ON st.t_val = c.t_val AND st.side = c.side
+            GROUP BY c.t_val, c.side, st.ns),
+     tot AS (SELECT SUM(ns) AS n FROM side_tot
+             WHERE t_val = (SELECT MIN(t_val) FROM thr))
+SELECT ch.t_val,
+       ROUND(MAX(parent.h)
+             - SUM(ch.ns / CAST(tot.n AS DOUBLE) * ch.h), 6) AS info_gain
+FROM ch CROSS JOIN parent CROSS JOIN tot
+GROUP BY ch.t_val ORDER BY ch.t_val
+""")
+
+# Population stability index between early and late order cohorts
+# over fixed value bands — the model-drift gate metric.
+_q("q402_psi", """
+WITH lab AS (SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+                         THEN 'base' ELSE 'cur' END AS period,
+                    LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 5)
+                      AS band
+             FROM orders),
+     c AS (SELECT period, band, COUNT(*) AS n FROM lab
+           GROUP BY period, band),
+     tot AS (SELECT period, SUM(n) AS nt FROM c GROUP BY period),
+     p AS (SELECT c.band,
+                  MAX(CASE WHEN c.period = 'base'
+                           THEN c.n / CAST(tot.nt AS DOUBLE) END) AS pb,
+                  MAX(CASE WHEN c.period = 'cur'
+                           THEN c.n / CAST(tot.nt AS DOUBLE) END) AS pc
+           FROM c JOIN tot ON tot.period = c.period GROUP BY c.band)
+SELECT CAST(band AS BIGINT) AS band,
+       ROUND((pc - pb) * LN(pc / pb), 6) AS psi_term,
+       ROUND(SUM((pc - pb) * LN(pc / pb)) OVER (), 6) AS psi_total
+FROM p ORDER BY band
+""")
+
+# Lorenz curve: cumulative revenue share at each customer-spend
+# decile (the curve behind the Gini coefficient).
+# banding by PERCENTILE_CONT cutoffs, not a global NTILE — no
+# unpartitioned window touches the (unbounded) customer rollup; the
+# only windows left run over the 10-row decile relation.
+_q("q403_lorenz_curve", """
+WITH s AS (SELECT o_custkey, SUM(o_totalprice) AS spend FROM orders
+           GROUP BY o_custkey),
+     cut AS (SELECT PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY spend) AS c1,
+                    PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY spend) AS c2,
+                    PERCENTILE_CONT(0.3) WITHIN GROUP (ORDER BY spend) AS c3,
+                    PERCENTILE_CONT(0.4) WITHIN GROUP (ORDER BY spend) AS c4,
+                    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY spend) AS c5,
+                    PERCENTILE_CONT(0.6) WITHIN GROUP (ORDER BY spend) AS c6,
+                    PERCENTILE_CONT(0.7) WITHIN GROUP (ORDER BY spend) AS c7,
+                    PERCENTILE_CONT(0.8) WITHIN GROUP (ORDER BY spend) AS c8,
+                    PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY spend) AS c9
+             FROM s),
+     d AS (SELECT s.spend,
+                  1 + CASE WHEN s.spend > cut.c1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c2 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c3 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c4 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c5 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c7 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c8 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c9 THEN 1 ELSE 0 END AS dec
+           FROM s CROSS JOIN cut),
+     g AS (SELECT dec, SUM(spend) AS ds, COUNT(*) AS n FROM d GROUP BY dec),
+     t AS (SELECT SUM(ds) AS tot FROM g)
+SELECT CAST(g.dec AS BIGINT) AS decile, CAST(g.n AS BIGINT) AS n_cust,
+       ROUND(SUM(g.ds) OVER (ORDER BY g.dec) / MAX(t.tot), 4)
+         AS cum_rev_share
+FROM g CROSS JOIN t GROUP BY g.dec, g.ds, g.n ORDER BY decile
+""")
+
+# Weight-of-evidence / information value over value deciles, target =
+# URGENT priority (the credit-scoring binning diagnostic). Laplace-
+# smoothed so empty cells can't produce LN(0).
+_q("q404_woe_iv", """
+WITH lab AS (SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS INT), 9)
+               AS band,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+             FROM orders),
+     c AS (SELECT band, SUM(y) AS pos, SUM(1 - y) AS neg FROM lab
+           GROUP BY band),
+     t AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM c),
+     w AS (SELECT c.band,
+                  (c.pos + 0.5) / (t.tp + 0.5) AS pr,
+                  (c.neg + 0.5) / (t.tn + 0.5) AS nr
+           FROM c CROSS JOIN t)
+SELECT CAST(band AS BIGINT) AS band,
+       ROUND(LN(pr / nr), 4) AS woe,
+       ROUND(SUM((pr - nr) * LN(pr / nr)) OVER (), 4) AS iv_total
+FROM w ORDER BY band
+""")
+
+# Run-rate attainment: YTD revenue annualized by day-of-year vs the
+# year's actual total.
+_q("q405_run_rate",
+   oracle="""
+WITH d AS (SELECT YEAR(CAST(o_orderdate AS DATE)) AS yr,
+                  DAYOFYEAR(CAST(o_orderdate AS DATE)) AS doy,
+                  SUM(o_totalprice) AS rev
+           FROM orders GROUP BY yr, doy),
+     mid AS (SELECT yr, SUM(CASE WHEN doy <= 181 THEN rev ELSE 0 END)
+               AS h1_rev, SUM(rev) AS full_rev
+             FROM d GROUP BY yr)
+SELECT CAST(yr AS BIGINT) AS yr,
+       ROUND(h1_rev * 365.0 / 181, 2) AS run_rate,
+       ROUND(full_rev, 2) AS actual,
+       ROUND(h1_rev * 365.0 / 181 / full_rev, 4) AS attainment
+FROM mid ORDER BY yr
+""",
+   engine_sql="""
+WITH d AS (SELECT YEAR(CAST(o_orderdate AS DATE)) AS yr,
+                  DAYOFYEAR(CAST(o_orderdate AS DATE)) AS doy,
+                  SUM(o_totalprice) AS rev
+           FROM orders GROUP BY yr, doy),
+     mid AS (SELECT yr, SUM(CASE WHEN doy <= 181 THEN rev ELSE 0 END)
+               AS h1_rev, SUM(rev) AS full_rev
+             FROM d GROUP BY yr)
+SELECT CAST(yr AS BIGINT) AS yr,
+       ROUND(h1_rev * 365.0 / 181, 2) AS run_rate,
+       ROUND(full_rev, 2) AS actual,
+       ROUND(h1_rev * 365.0 / 181 / full_rev, 4) AS attainment
+FROM mid ORDER BY yr
+""")
+
+# Conditional transition entropy: H(next event | current event) per
+# current type — how predictable the next step is (sequence-model
+# feasibility check; builds on the B221 transition counts).
+_q("q406_transition_entropy", """
+WITH seq AS (SELECT event_type AS cur,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+             FROM events),
+     c AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+           WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+     t AS (SELECT cur, SUM(n) AS nt FROM c GROUP BY cur)
+SELECT c.cur,
+       CAST(MAX(t.nt) AS BIGINT) AS n_transitions,
+       ROUND(SUM(-(c.n / CAST(t.nt AS DOUBLE))
+                 * LN(c.n / CAST(t.nt AS DOUBLE))), 4) AS h_next
+FROM c JOIN t ON t.cur = c.cur GROUP BY c.cur ORDER BY c.cur
+""")
+
+# Dispersion index (variance-to-mean ratio) of per-user event counts
+# by type: >1 flags overdispersion (negative-binomial territory).
+_q("q407_dispersion_index", """
+WITH u AS (SELECT event_type, user_id, COUNT(*) AS n FROM events
+           GROUP BY event_type, user_id)
+SELECT event_type,
+       ROUND(AVG(CAST(n AS DOUBLE)), 4) AS mean_n,
+       ROUND(VAR_SAMP(CAST(n AS DOUBLE)), 4) AS var_n,
+       ROUND(VAR_SAMP(CAST(n AS DOUBLE)) / AVG(CAST(n AS DOUBLE)), 4)
+         AS dispersion,
+       CASE WHEN VAR_SAMP(CAST(n AS DOUBLE)) / AVG(CAST(n AS DOUBLE)) > 1
+            THEN 'over' ELSE 'under' END AS regime
+FROM u GROUP BY event_type ORDER BY event_type
+""")
+
+# Term burstiness (Fano factor of per-doc counts): bursty terms
+# concentrate in few docs — a content-word vs function-word signal.
+_q("q408_term_burstiness",
+   oracle="""
+WITH tok AS (SELECT doc_id, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     per_doc AS (SELECT tok, doc_id, COUNT(*) AS n FROM tok
+                 GROUP BY tok, doc_id),
+     tot AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),
+     s AS (SELECT per_doc.tok, SUM(per_doc.n) AS cnt,
+                  SUM(per_doc.n * per_doc.n) AS sq,
+                  COUNT(*) AS present, MAX(tot.nd) AS nd
+           FROM per_doc CROSS JOIN tot GROUP BY per_doc.tok)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       ROUND((CAST(sq AS DOUBLE) / nd
+              - POWER(CAST(cnt AS DOUBLE) / nd, 2))
+             / (CAST(cnt AS DOUBLE) / nd), 4) AS fano
+FROM s WHERE cnt >= 200 ORDER BY tok
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     per_doc AS (SELECT tok, doc_id, COUNT(*) AS n FROM tok
+                 GROUP BY tok, doc_id),
+     tot AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),
+     s AS (SELECT per_doc.tok, SUM(per_doc.n) AS cnt,
+                  SUM(per_doc.n * per_doc.n) AS sq,
+                  COUNT(*) AS present, MAX(tot.nd) AS nd
+           FROM per_doc CROSS JOIN tot GROUP BY per_doc.tok)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       ROUND((CAST(sq AS DOUBLE) / nd
+              - POWER(CAST(cnt AS DOUBLE) / nd, 2))
+             / (CAST(cnt AS DOUBLE) / nd), 4) AS fano
+FROM s WHERE cnt >= 200 ORDER BY tok
+""")
+
+# Yule's K vocabulary-richness statistic per language (from the
+# frequency-of-frequencies profile).
+_q("q409_yules_k",
+   oracle="""
+WITH tok AS (SELECT lang, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     f AS (SELECT lang, tok, COUNT(*) AS m FROM tok GROUP BY lang, tok),
+     ff AS (SELECT lang, m, COUNT(*) AS vm FROM f GROUP BY lang, m),
+     s AS (SELECT lang, SUM(m * vm) AS n, SUM(m * m * vm) AS smm
+           FROM ff GROUP BY lang)
+SELECT lang,
+       ROUND(10000.0 * (smm - n) / (CAST(n AS DOUBLE) * n), 4) AS yules_k
+FROM s ORDER BY lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     f AS (SELECT lang, tok, COUNT(*) AS m FROM tok GROUP BY lang, tok),
+     ff AS (SELECT lang, m, COUNT(*) AS vm FROM f GROUP BY lang, m),
+     s AS (SELECT lang, SUM(m * vm) AS n, SUM(m * m * vm) AS smm
+           FROM ff GROUP BY lang)
+SELECT lang,
+       ROUND(10000.0 * (smm - n) / (CAST(n AS DOUBLE) * n), 4) AS yules_k
+FROM s ORDER BY lang
+""")
+
+# Good-Turing unseen-mass estimate per language: N1/N (share of
+# probability the LM should reserve for unseen words) plus the
+# singleton and doubleton counts that drive it.
+_q("q410_good_turing",
+   oracle="""
+WITH tok AS (SELECT lang, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     f AS (SELECT lang, tok, COUNT(*) AS m FROM tok GROUP BY lang, tok),
+     s AS (SELECT lang,
+                  SUM(m) AS n,
+                  SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS n1,
+                  SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS n2
+           FROM f GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n1 AS BIGINT) AS singletons, CAST(n2 AS BIGINT) AS doubletons,
+       ROUND(n1 / CAST(n AS DOUBLE), 6) AS unseen_mass
+FROM s ORDER BY lang
+""",
+   engine_sql="""
+WITH tok AS (SELECT lang, tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     f AS (SELECT lang, tok, COUNT(*) AS m FROM tok GROUP BY lang, tok),
+     s AS (SELECT lang,
+                  SUM(m) AS n,
+                  SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS n1,
+                  SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS n2
+           FROM f GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n1 AS BIGINT) AS singletons, CAST(n2 AS BIGINT) AS doubletons,
+       ROUND(n1 / CAST(n AS DOUBLE), 6) AS unseen_mass
+FROM s ORDER BY lang
+""")
