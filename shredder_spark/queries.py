@@ -8551,3 +8551,362 @@ SELECT lang, CAST(n AS BIGINT) AS n_tokens,
        ROUND(n1 / CAST(n AS DOUBLE), 6) AS unseen_mass
 FROM s ORDER BY lang
 """)
+
+
+# ------------------------------------------------------- batch r4.5:
+# sequence mining, bounded-graph centrality, portable relational
+# sketches (AMS F2, Flajolet-Martin, Bloom), embedding-quality screens.
+
+# Sequential pattern support: ordered (A -> B) adjacent event-type
+# transitions, support = sharing users / total users.
+_q("q411_sequence_support", """
+WITH seq AS (SELECT user_id, event_type AS a,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS b
+             FROM events),
+     pat AS (SELECT a, b, COUNT(DISTINCT user_id) AS u FROM seq
+             WHERE b IS NOT NULL GROUP BY a, b),
+     t AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events)
+SELECT pat.a, pat.b, CAST(pat.u AS BIGINT) AS n_users,
+       ROUND(pat.u / CAST(t.nu AS DOUBLE), 4) AS support
+FROM pat CROSS JOIN t
+WHERE pat.u / CAST(t.nu AS DOUBLE) >= 0.2
+ORDER BY support DESC, pat.a, pat.b
+""")
+
+# Harmonic centrality truncated at 2 hops on the bounded co-purchase
+# block: C(u) = |N1(u)| + |N2(u)|/2 (exact within radius 2).
+_q("q412_harmonic_centrality", engine_sql="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 3000),
+     e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+     n2 AS (SELECT DISTINCT a.u, b.v FROM e a JOIN e b ON b.u = a.v
+            WHERE b.v <> a.u),
+     d1 AS (SELECT u, COUNT(*) AS n1 FROM e GROUP BY u),
+     d2 AS (SELECT n2.u, COUNT(*) AS n2c FROM n2
+            LEFT ANTI JOIN e ON e.u = n2.u AND e.v = n2.v
+            GROUP BY n2.u)
+SELECT d1.u AS node, CAST(d1.n1 AS BIGINT) AS deg,
+       ROUND(d1.n1 + COALESCE(d2.n2c, 0) / 2.0, 1) AS harmonic_2hop
+FROM d1 LEFT JOIN d2 ON d2.u = d1.u
+ORDER BY harmonic_2hop DESC, node LIMIT 30
+""",
+   oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 3000),
+     e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+     n2 AS (SELECT DISTINCT a.u, b.v FROM e a JOIN e b ON b.u = a.v
+            WHERE b.v <> a.u),
+     d1 AS (SELECT u, COUNT(*) AS n1 FROM e GROUP BY u),
+     n2x AS (SELECT n2.u, n2.v FROM n2
+             WHERE NOT EXISTS (SELECT 1 FROM e
+                               WHERE e.u = n2.u AND e.v = n2.v)),
+     d2 AS (SELECT u, COUNT(*) AS n2c FROM n2x GROUP BY u)
+SELECT d1.u AS node, CAST(d1.n1 AS BIGINT) AS deg,
+       ROUND(d1.n1 + COALESCE(d2.n2c, 0) / 2.0, 1) AS harmonic_2hop
+FROM d1 LEFT JOIN d2 ON d2.u = d1.u
+ORDER BY harmonic_2hop DESC, node LIMIT 30
+""")
+
+# Neighborhood-Jaccard link prediction (companion to Adamic-Adar):
+# |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over candidate pairs.
+_q("q413_neighborhood_jaccard", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 3000),
+     e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+     deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+     cn AS (SELECT a.u AS i, b.u AS j, COUNT(*) AS c
+            FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+            GROUP BY a.u, b.u)
+SELECT cn.i, cn.j,
+       ROUND(cn.c / CAST(da.d + db.d - cn.c AS DOUBLE), 4) AS nbr_jaccard
+FROM cn JOIN deg da ON da.u = cn.i JOIN deg db ON db.u = cn.j
+WHERE cn.c >= 3
+ORDER BY nbr_jaccard DESC, cn.i, cn.j LIMIT 25
+""")
+
+# Revenue mix: new vs returning customers per year (first-order year
+# join — the growth-accounting rollup).
+_q("q414_new_vs_returning", """
+WITH fy AS (SELECT o_custkey, MIN(YEAR(CAST(o_orderdate AS DATE))) AS y0
+            FROM orders GROUP BY o_custkey),
+     r AS (SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+                  CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = fy.y0
+                       THEN 'new' ELSE 'returning' END AS kind,
+                  o.o_totalprice AS rev
+           FROM orders o JOIN fy ON fy.o_custkey = o.o_custkey)
+SELECT CAST(yr AS BIGINT) AS yr, kind,
+       ROUND(SUM(rev), 2) AS revenue,
+       ROUND(SUM(rev) / SUM(SUM(rev)) OVER (PARTITION BY yr), 4) AS share
+FROM r GROUP BY yr, kind ORDER BY yr, kind
+""")
+
+# AMS F2 sketch: four ±1 md5-sign estimators of the second frequency
+# moment, reported next to the exact F2 — portable sketch arithmetic,
+# no engine-native hashing.
+_q("q415_ams_f2_sketch",
+   oracle="""
+WITH tok AS (SELECT tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     f AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+     hx AS (SELECT r.r, f.n,
+                   CAST('0x' || SUBSTR(MD5(CAST(r.r AS VARCHAR) || ':' ||
+                        f.tok), 1, 8) AS BIGINT) AS hv
+            FROM f CROSS JOIN
+                 (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) r),
+     est AS (SELECT r, SUM((1 - 2 * (hv % 2)) * n) AS proj
+             FROM hx GROUP BY r),
+     ex AS (SELECT SUM(n * n) AS f2 FROM f)
+SELECT CAST(ROUND(AVG(CAST(est.proj AS DOUBLE)
+                      * CAST(est.proj AS DOUBLE))) AS BIGINT) AS f2_est,
+       CAST(MAX(ex.f2) AS BIGINT) AS f2_exact
+FROM est CROSS JOIN ex
+""",
+   engine_sql="""
+WITH tok AS (SELECT tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     f AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+     hx AS (SELECT r.r, f.n,
+                   CAST(CONV(SUBSTR(MD5(CAST(r.r AS STRING) || ':' ||
+                        f.tok), 1, 8), 16, 10) AS BIGINT) AS hv
+            FROM f CROSS JOIN
+                 (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) r),
+     est AS (SELECT r, SUM((1 - 2 * (hv % 2)) * n) AS proj
+             FROM hx GROUP BY r),
+     ex AS (SELECT SUM(n * n) AS f2 FROM f)
+SELECT CAST(ROUND(AVG(CAST(est.proj AS DOUBLE)
+                      * CAST(est.proj AS DOUBLE))) AS BIGINT) AS f2_est,
+       CAST(MAX(ex.f2) AS BIGINT) AS f2_exact
+FROM est CROSS JOIN ex
+""")
+
+# Flajolet-Martin distinct-count sketch, relational: 64 registers,
+# rho = leading-zero rank of the md5-derived 32-bit hash; the raw
+# 2^avg(R) register estimate next to the exact distinct count.
+_q("q416_fm_sketch",
+   oracle="""
+WITH tok AS (SELECT DISTINCT tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     h AS (SELECT tok,
+                  CAST(CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT)
+                       AS BIGINT) AS hv
+           FROM tok),
+     reg AS (SELECT hv % 64 AS r,
+                    MAX(CASE WHEN hv < 64 THEN 26
+                         ELSE 31 - CAST(FLOOR(LOG2(CAST(hv // 64 AS DOUBLE)))
+                                        AS INT) END) AS rho
+             FROM h GROUP BY hv % 64),
+     ex AS (SELECT COUNT(*) AS d FROM tok)
+SELECT CAST(ROUND(64 * POWER(2, AVG(CAST(reg.rho AS DOUBLE))) / 0.77351)
+            AS BIGINT) AS fm_est,
+       CAST(MAX(ex.d) AS BIGINT) AS exact_distinct
+FROM reg CROSS JOIN ex
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) t AS tok),
+     h AS (SELECT tok,
+                  CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) AS BIGINT) AS hv
+           FROM tok),
+     reg AS (SELECT hv % 64 AS r,
+                    MAX(CASE WHEN hv < 64 THEN 26
+                         ELSE 31 - CAST(FLOOR(LOG2(CAST(hv DIV 64 AS DOUBLE)))
+                                        AS INT) END) AS rho
+             FROM h GROUP BY hv % 64),
+     ex AS (SELECT COUNT(*) AS d FROM tok)
+SELECT CAST(ROUND(64 * POWER(2, AVG(CAST(reg.rho AS DOUBLE))) / 0.77351)
+            AS BIGINT) AS fm_est,
+       CAST(MAX(ex.d) AS BIGINT) AS exact_distinct
+FROM reg CROSS JOIN ex
+""")
+
+# Relational Bloom filter: m=1024 bits, k=3 md5 hashes over BUILDING-
+# segment customer keys; probed with every customer, reporting the
+# measured false-positive rate against exact membership.
+_q("q417_bloom_filter",
+   oracle="""
+WITH build AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+     bits AS (SELECT DISTINCT
+                CAST(CAST('0x' || SUBSTR(MD5(CAST(k.i AS VARCHAR) || ':' ||
+                     CAST(build.c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 1024 AS BIGINT) AS bit
+              FROM build CROSS JOIN
+                   (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS i) k),
+     probe AS (SELECT c.c_custkey,
+                      CAST(CAST('0x' || SUBSTR(MD5(CAST(k.i AS VARCHAR)
+                           || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 1024 AS BIGINT) AS bit,
+                      CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                        END AS is_member
+               FROM customer c CROSS JOIN
+                    (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS i) k),
+     hit AS (SELECT probe.c_custkey, MAX(probe.is_member) AS is_member,
+                    MIN(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)
+                      AS maybe
+             FROM probe LEFT JOIN bits ON bits.bit = probe.bit
+             GROUP BY probe.c_custkey)
+SELECT CAST(SUM(is_member) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives,
+       ROUND(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+             / CAST(SUM(1 - is_member) AS DOUBLE), 4) AS fpr
+FROM hit
+""",
+   engine_sql="""
+WITH build AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+     bits AS (SELECT DISTINCT
+                CAST(CONV(SUBSTR(MD5(CAST(k.i AS STRING) || ':' ||
+                     CAST(build.c_custkey AS STRING)), 1, 8), 16, 10)
+                     % 1024 AS BIGINT) AS bit
+              FROM build CROSS JOIN
+                   (SELECT EXPLODE(SEQUENCE(0, 2)) AS i) k),
+     probe AS (SELECT c.c_custkey,
+                      CAST(CONV(SUBSTR(MD5(CAST(k.i AS STRING)
+                           || ':' || CAST(c.c_custkey AS STRING)), 1, 8),
+                           16, 10) % 1024 AS BIGINT) AS bit,
+                      CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                        END AS is_member
+               FROM customer c CROSS JOIN
+                    (SELECT EXPLODE(SEQUENCE(0, 2)) AS i) k),
+     hit AS (SELECT probe.c_custkey, MAX(probe.is_member) AS is_member,
+                    MIN(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)
+                      AS maybe
+             FROM probe LEFT JOIN bits ON bits.bit = probe.bit
+             GROUP BY probe.c_custkey)
+SELECT CAST(SUM(is_member) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives,
+       ROUND(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+             / CAST(SUM(1 - is_member) AS DOUBLE), 4) AS fpr
+FROM hit
+""")
+
+# k-NN label disagreement (label-noise screen): 5 nearest neighbors
+# by cosine on a bounded embedding block; vectors whose neighborhood
+# majority label differs from their own, per label.
+_q("q418_knn_label_noise",
+   oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings WHERE vec_id < 300),
+     p AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                  LIST_COSINE_SIMILARITY(a.v, b.v) AS sim,
+                  b.vec_id AS j
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+     r AS (SELECT i, li, lj,
+                  ROW_NUMBER() OVER (PARTITION BY i
+                                     ORDER BY sim DESC, j) AS rk
+           FROM p),
+     maj AS (SELECT i, li, lj, COUNT(*) AS c FROM r WHERE rk <= 5
+             GROUP BY i, li, lj),
+     top AS (SELECT i, li, lj, c,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                                       ORDER BY c DESC, lj) AS r2
+             FROM maj)
+SELECT CAST(li AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lj <> li THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       ROUND(AVG(CAST(CASE WHEN lj <> li THEN 1 ELSE 0 END AS DOUBLE)), 4)
+         AS noise_rate
+FROM top WHERE r2 = 1 GROUP BY li ORDER BY label
+""",
+   engine_sql="""
+WITH e AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  label
+           FROM embeddings WHERE vec_id < 300),
+     p AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                  AGGREGATE(ZIP_WITH(a.v, b.v, (x,y) -> x*y), 0D,
+                            (s,x) -> s+x)
+                  / (SQRT(AGGREGATE(a.v, 0D, (s,x) -> s+x*x))
+                     * SQRT(AGGREGATE(b.v, 0D, (s,x) -> s+x*x))) AS sim,
+                  b.vec_id AS j
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+     r AS (SELECT i, li, lj,
+                  ROW_NUMBER() OVER (PARTITION BY i
+                                     ORDER BY sim DESC, j) AS rk
+           FROM p),
+     maj AS (SELECT i, li, lj, COUNT(*) AS c FROM r WHERE rk <= 5
+             GROUP BY i, li, lj),
+     top AS (SELECT i, li, lj, c,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                                       ORDER BY c DESC, lj) AS r2
+             FROM maj)
+SELECT CAST(li AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lj <> li THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       ROUND(AVG(CAST(CASE WHEN lj <> li THEN 1 ELSE 0 END AS DOUBLE)), 4)
+         AS noise_rate
+FROM top WHERE r2 = 1 GROUP BY li ORDER BY label
+""")
+
+# Per-dimension embedding variance screen: near-constant dimensions
+# carry no signal and should be dropped before indexing.
+_q("q419_dim_variance_screen",
+   oracle="""
+WITH d AS (SELECT CAST(g.i - 1 AS INT) AS dim,
+                  CAST(embedding[g.i] AS DOUBLE) AS val
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i))
+SELECT dim, ROUND(AVG(val), 4) AS mean_v,
+       ROUND(VAR_SAMP(val), 6) AS var_v,
+       CASE WHEN VAR_SAMP(val) < 0.001 THEN 1 ELSE 0 END AS low_var
+FROM d GROUP BY dim ORDER BY dim
+""",
+   engine_sql="""
+WITH d AS (SELECT pos AS dim, CAST(val AS DOUBLE) AS val
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val)
+SELECT dim, ROUND(AVG(val), 4) AS mean_v,
+       ROUND(VAR_SAMP(val), 6) AS var_v,
+       CASE WHEN VAR_SAMP(val) < 0.001 THEN 1 ELSE 0 END AS low_var
+FROM d GROUP BY dim ORDER BY dim
+""")
+
+# Orthographic quality profile per source: uppercase / digit / symbol
+# character shares (crawl-source health signals).
+_q("q420_ortho_profile", """
+WITH c AS (SELECT source,
+                  CAST(LENGTH(text) AS DOUBLE) AS n,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) AS nu,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                       AS DOUBLE) AS nd,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g'))
+                       AS DOUBLE) AS ns
+           FROM documents)
+SELECT source,
+       ROUND(SUM(nu) / SUM(n), 6) AS upper_ratio,
+       ROUND(SUM(nd) / SUM(n), 6) AS digit_ratio,
+       ROUND(SUM(ns) / SUM(n), 6) AS symbol_ratio
+FROM c GROUP BY source ORDER BY source
+""",
+   engine_sql="""
+WITH c AS (SELECT source,
+                  CAST(LENGTH(text) AS DOUBLE) AS n,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '')) AS DOUBLE)
+                    AS nu,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '')) AS DOUBLE)
+                    AS nd,
+                  CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', ''))
+                       AS DOUBLE) AS ns
+           FROM documents)
+SELECT source,
+       ROUND(SUM(nu) / SUM(n), 6) AS upper_ratio,
+       ROUND(SUM(nd) / SUM(n), 6) AS digit_ratio,
+       ROUND(SUM(ns) / SUM(n), 6) AS symbol_ratio
+FROM c GROUP BY source ORDER BY source
+""")

@@ -1,0 +1,66 @@
+"""Full-registry oracle sweep: EVERY oracle-paired query vs DuckDB at
+an arbitrary sf (default sf0.1 — 10x the driver's correctness gate).
+Rows-only queries are executed for shape/stability but not compared.
+
+    python tools/oracle_sweep_full.py [sf_dir] > SWEEP.json
+
+Prints one JSON line: counts + per-query failures (empty list = all
+green). Uses the same vanilla-session + canonicalization conventions
+as the driver (tests/oracle_utils.compare_query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from shredder_spark import queries as queries_mod
+from tests.oracle_utils import compare_query, duckdb_connect  # noqa: F401
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = queries_mod.registry()
+    t0 = time.time()
+    failures: dict[str, list[str]] = {}
+    n_paired = n_rows_only = 0
+    for name in sorted(reg):
+        q = reg[name]
+        try:
+            if q.oracle is None:
+                n_rows_only += 1
+                assert q.run(spark, SF_DIR).count() >= 0
+                continue
+            n_paired += 1
+            problems = compare_query(spark, SF_DIR, q)
+            if problems:
+                failures[name] = problems
+        except Exception as e:  # noqa: BLE001
+            failures[name] = [f"exception: {str(e)[:200]}"]
+        print(f"{name} {'FAIL' if name in failures else 'ok'}",
+              file=sys.stderr)
+    out = {
+        "metric": "oracle_sweep_full",
+        "sf_dir": SF_DIR,
+        "paired": n_paired,
+        "rows_only": n_rows_only,
+        "failures": failures,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
