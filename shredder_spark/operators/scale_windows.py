@@ -187,6 +187,163 @@ def with_global_ntile(df: DataFrame, order: OrderSpec, n: int, *,
             .drop("_sw_b", "_sw_local"))
 
 
+def _group_key(groups: Sequence[str], with_bucket: bool) -> Column:
+    """String composite key for the literal-map lookups: group values
+    (cast to string) + optionally the bucket id, unit-separator joined.
+    concat_ws skips NULLs, so a NULL group value would collide with the
+    absent-column spelling — the operator contract requires non-null
+    group keys (true of every declared consumer)."""
+    parts = [F.col(g).cast("string") for g in groups]
+    if with_bucket:
+        parts.append(F.col("_sw_b").cast("string"))
+    return F.concat_ws("\x1f", *parts)
+
+
+def _str_lookup(mapping: dict, key: Column, dtype: str, default) -> Column:
+    if not mapping:
+        return F.lit(default).cast(dtype)
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v).cast(dtype)]
+    return F.coalesce(F.element_at(F.create_map(*pairs), key),
+                      F.lit(default).cast(dtype))
+
+
+def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
+                       *, row_number_col: Optional[str] = None,
+                       rank_col: Optional[str] = None,
+                       dense_rank_col: Optional[str] = None,
+                       ntile: Optional[Tuple[int, str]] = None,
+                       buckets: int = 32,
+                       bucket_by: Optional[Column] = None) -> DataFrame:
+    """Exact ROW_NUMBER / RANK / DENSE_RANK / NTILE over
+    ``PARTITION BY <groups> ORDER BY <order>`` when the group key is
+    LOW-CARDINALITY (the q21 shape: 3 distinct l_returnflag values →
+    three single-task sorts of a third of the fact table each at any
+    scale). Same two-phase trick as the global tier, keyed by
+    (group, range-bucket):
+
+    - one GLOBAL boundary aggregate on the leading order expression
+      range-buckets every group's rows simultaneously (cell (g, b) is a
+      subset of bucket b, so cells stay ≈ n/buckets regardless of how
+      skewed the groups are);
+    - one window pass partitioned by (groups..., bucket) computes
+      bucket-local row_number / rank / dense_rank — every task sorts
+      only a cell;
+    - a ≤ groups×buckets-row aggregate is collected and folded into
+      per-(group, bucket) prefix offsets driver-side (count offsets for
+      row_number/rank, distinct-tuple offsets = max local dense_rank for
+      dense_rank), applied as literal-map lookups.
+
+    Order-tuple ties never span buckets (equal tuples share the leading
+    value, and bucket id is a function of the leading value), so
+    ``local + prefix-offset`` is exact for all three rank flavors.
+    NTILE(n) follows from the exact per-group row_number and the group
+    totals by the SQL-standard first-``cnt%n``-tiles-are-bigger split.
+
+    ``ntile`` is ``(n, out_col)``. The collected offset relation is
+    bounded by ``len(groups-domain) × buckets`` — this operator is for
+    few-valued group keys; for high-cardinality groups an ordinary
+    partitioned window is already scale-correct and should be used
+    instead. Leading order expression must be non-null.
+    """
+    bucket = _bucket_col(df, order, buckets, bucket_by)
+    tagged = df.withColumn("_sw_b", bucket)
+    w = Window.partitionBy(*groups, "_sw_b").orderBy(*_ordering(order))
+    tagged = tagged.withColumn("_sw_rn", F.row_number().over(w))
+    need_rank = rank_col is not None
+    need_dense = dense_rank_col is not None
+    if need_rank:
+        tagged = tagged.withColumn("_sw_rk", F.rank().over(w))
+    if need_dense:
+        tagged = tagged.withColumn("_sw_drk", F.dense_rank().over(w))
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if need_dense:
+        aggs.append(F.max("_sw_drk").alias("d"))
+    rows = tagged.groupBy(*groups, "_sw_b").agg(*aggs).collect()
+    sep = "\x1f"
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        gk = tuple(str(r[g]) for g in groups)
+        by_group.setdefault(gk, []).append(r)
+    n_off: dict[str, int] = {}
+    d_off: dict[str, int] = {}
+    g_cnt: dict[str, int] = {}
+    for gk, cells in by_group.items():
+        cum_n = cum_d = 0
+        for r in sorted(cells, key=lambda row: row._sw_b):
+            key = sep.join(gk + (str(r._sw_b),))
+            n_off[key] = cum_n
+            cum_n += r.n
+            if need_dense:
+                d_off[key] = cum_d
+                cum_d += r.d
+        g_cnt[sep.join(gk)] = cum_n
+
+    cell_key = _group_key(groups, with_bucket=True)
+    out = tagged
+    base = _str_lookup(n_off, cell_key, "long", 0)
+    grn = (base + F.col("_sw_rn")).cast("long")
+    if row_number_col is not None:
+        out = out.withColumn(row_number_col, grn)
+    if need_rank:
+        out = out.withColumn(rank_col,
+                             (base + F.col("_sw_rk")).cast("long"))
+    if need_dense:
+        out = out.withColumn(
+            dense_rank_col,
+            (_str_lookup(d_off, cell_key, "long", 0)
+             + F.col("_sw_drk")).cast("long"))
+    if ntile is not None:
+        n_tiles, tile_col = ntile
+        cnt = _str_lookup(g_cnt, _group_key(groups, with_bucket=False),
+                          "long", 0)
+        q = F.floor(cnt / n_tiles)
+        r = cnt % n_tiles
+        big = r * (q + 1)
+        tile = (F.when(q == 0, grn)
+                .when(grn <= big, F.floor((grn - 1) / (q + 1)) + 1)
+                .otherwise(r + F.floor((grn - big - 1) / q) + 1))
+        out = out.withColumn(tile_col, tile.cast("long"))
+    drop = [c for c in ("_sw_b", "_sw_rn", "_sw_rk", "_sw_drk")
+            if c in out.columns]
+    return out.drop(*drop)
+
+
+def assert_no_low_cardinality_window(df: DataFrame) -> None:
+    """Raise if the OPTIMIZED plan has a Window whose partitionSpec
+    does NOT include the range-bucket column `_sw_b` — i.e. a window
+    keyed only by the (low-cardinality) group columns, the few-task
+    sort shape `with_grouped_ranks` exists to avoid."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for raw in plan.splitlines():
+        line = raw.strip().lstrip("+-: ").strip()
+        if line.startswith("Window ") and "windowspecdefinition(" in line:
+            groups = _top_level_groups(line[len("Window "):])
+            part = groups[1] if len(groups) >= 3 else ""
+            if "_sw_b" not in part:
+                raise AssertionError(
+                    "window not bucket-partitioned in plan:\n" + raw)
+
+
+def q21_scale(spark, sf_dir: str) -> DataFrame:
+    """Scale tier of q21 (ranking windows over the 3-value
+    l_returnflag partition): identical output, no window partitioned
+    by fewer than (group, bucket) keys anywhere in the plan."""
+    from shredder_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    r = with_grouped_ranks(
+        li, ["l_returnflag"],
+        [("l_extendedprice", "desc"), ("l_orderkey", "asc"),
+         ("l_linenumber", "asc")],
+        row_number_col="rn", rank_col="rk", dense_rank_col="drk",
+        ntile=(4, "nt"))
+    return (r.select("l_orderkey", "l_linenumber", "rn", "rk", "drk", "nt")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
 def _top_level_groups(s: str) -> list[str]:
     """Top-level ``[...]`` group contents of a plan node's argument
     list (nested brackets/parens stay inside their group)."""

@@ -8910,3 +8910,32 @@ SELECT source,
        ROUND(SUM(ns) / SUM(n), 6) AS symbol_ratio
 FROM c GROUP BY source ORDER BY source
 """)
+
+
+# ---------------------------------------------------------------- B462
+# Scale tier of q21's ranking windows. The declared q21 partitions by
+# the 3-value l_returnflag: correct, but three single-task sorts of a
+# third of the fact table each at any scale. with_grouped_ranks
+# (operators/scale_windows.py) computes the IDENTICAL four rank
+# columns with every window partitioned by (group, range-bucket) —
+# ~n/buckets rows per sort task regardless of group skew. Oracle is
+# q21's own window text, so the driver hash-gates the equivalence.
+def _q421_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark import catalog
+    from shredder_spark.operators.scale_windows import q21_scale
+    return q21_scale(spark, catalog.CURRENT_SF_DIR)
+
+
+_q("q421_grouped_rank_scale",
+   oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK() OVER w AS BIGINT) AS rk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS nt
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+ORDER BY l_orderkey, l_linenumber
+""",
+   builder=_q421_builder)

@@ -111,3 +111,59 @@ def test_scale_tier_equals_declared_query(spark, name):
 @pytest.mark.parametrize("name", sorted(SCALE_TIERS))
 def test_scale_tier_plan_has_no_unpartitioned_window(spark, name):
     sw.assert_no_unpartitioned_window(SCALE_TIERS[name](spark, SF_DIR))
+
+
+def _grouped_ties_df(spark, n=3000):
+    # 3-value group key (the q21 shape) + heavy order-key ties so
+    # rank/dense_rank genuinely diverge from row_number, and ties
+    # straddle would-be bucket boundaries.
+    return (spark.range(n)
+            .withColumn("g", (F.col("id") % 3).cast("string"))
+            .withColumn("v", (F.col("id") * 7919 % 41).cast("double")))
+
+
+def test_grouped_ranks_match_window(spark):
+    df = _grouped_ties_df(spark)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = (df.withColumn("rn", F.row_number().over(w))
+            .withColumn("rk", F.rank().over(w))
+            .withColumn("drk", F.dense_rank().over(w))
+            .withColumn("nt", F.ntile(7).over(w)))
+    got = sw.with_grouped_ranks(
+        df, ["g"], [("v", "desc"), ("id", "asc")],
+        row_number_col="rn", rank_col="rk", dense_rank_col="drk",
+        ntile=(7, "nt"), buckets=8)
+    assert ({(r.id, r.rn, r.rk, r.drk, r.nt) for r in got.collect()}
+            == {(r.id, r.rn, r.rk, r.drk, r.nt) for r in want.collect()})
+    sw.assert_no_low_cardinality_window(got)
+
+
+def test_grouped_ranks_tiny_groups(spark):
+    # groups smaller than the tile count (q == 0 branch) and a group
+    # with a single row
+    df = (spark.range(9)
+          .withColumn("g", F.when(F.col("id") < 1, "solo")
+                      .otherwise((F.col("id") % 2).cast("string")))
+          .withColumn("v", F.col("id").cast("double")))
+    w = Window.partitionBy("g").orderBy("v")
+    want = df.withColumn("nt", F.ntile(5).over(w))
+    got = sw.with_grouped_ranks(df, ["g"], [("v", "asc")],
+                                ntile=(5, "nt"), buckets=4)
+    assert ({(r.id, r.nt) for r in got.collect()}
+            == {(r.id, r.nt) for r in want.collect()})
+
+
+def test_low_cardinality_guard_trips_on_declared_q21(spark):
+    df = _grouped_ties_df(spark)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    plain = df.withColumn("rn", F.row_number().over(w))
+    with pytest.raises(AssertionError):
+        sw.assert_no_low_cardinality_window(plain)
+
+
+def test_q421_scale_tier_matches_q21(spark):
+    from tests.oracle_utils import compare_query
+    query = q.registry()["q421_grouped_rank_scale"]
+    problems = compare_query(spark, SF_DIR, query)
+    assert not problems, "; ".join(problems)
+    sw.assert_no_low_cardinality_window(query.run(spark, SF_DIR))
