@@ -8939,3 +8939,162 @@ WINDOW w AS (PARTITION BY l_returnflag
 ORDER BY l_orderkey, l_linenumber
 """,
    builder=_q421_builder)
+
+
+# ---------------------------------------------------------------- B463
+# Spearman rank correlation per year (price vs order width). Fractional
+# (average) tie ranks via RANK + (tie-group size - 1)/2 — the textbook
+# definition — then Pearson CORR of the ranks. Windows are partitioned
+# by year (the partitioned-window tier; the grouped-rank scale tier
+# q421 covers the low-cardinality escalation).
+_q("q422_spearman_rho", """
+WITH base AS (SELECT o.o_orderkey,
+                     CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+                     CAST(o.o_totalprice AS DOUBLE) AS x,
+                     CAST(COUNT(*) AS DOUBLE) AS y
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice),
+     r AS (SELECT yr,
+                  RANK() OVER (PARTITION BY yr ORDER BY x)
+                    + (COUNT(*) OVER (PARTITION BY yr, x) - 1) / 2.0 AS rx,
+                  RANK() OVER (PARTITION BY yr ORDER BY y)
+                    + (COUNT(*) OVER (PARTITION BY yr, y) - 1) / 2.0 AS ry
+           FROM base)
+SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(rx, ry), 4) AS spearman_rho
+FROM r GROUP BY yr ORDER BY yr
+""")
+
+# ---------------------------------------------------------------- B464
+# Kendall tau-a over a BOUNDED point set (per-nation customer
+# aggregates, ≤ 25 points → ≤ 300 ordered pairs): mean sign of
+# concordance over distinct pairs. The pairwise self-join is bounded by
+# the dimension's cardinality, never the fact table.
+_q("q423_kendall_tau", """
+WITH pts AS (SELECT c_nationkey AS k,
+                    CAST(AVG(c_acctbal) AS DOUBLE) AS x,
+                    CAST(COUNT(*) AS DOUBLE) AS y
+             FROM customer GROUP BY c_nationkey),
+     pairs AS (SELECT SIGN((a.x - b.x) * (a.y - b.y)) AS s
+               FROM pts a JOIN pts b ON a.k < b.k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(s) / COUNT(*), 4) AS kendall_tau
+FROM pairs
+""")
+
+# ---------------------------------------------------------------- B465
+# Welch's unequal-variance t-test (two market segments' balances):
+# t statistic plus Welch–Satterthwaite degrees of freedom. One
+# conditional-aggregate pass, no join.
+_q("q424_welch_ttest", """
+WITH s AS (SELECT
+             AVG(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS m1,
+             VAR_SAMP(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS v1,
+             CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS DOUBLE) AS n1,
+             AVG(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS m2,
+             VAR_SAMP(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS v2,
+             CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS DOUBLE) AS n2
+           FROM customer)
+SELECT CAST(n1 AS BIGINT) AS n_building, CAST(n2 AS BIGINT) AS n_machinery,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+       ROUND(POWER(v1 / n1 + v2 / n2, 2)
+             / (POWER(v1 / n1, 2) / (n1 - 1)
+                + POWER(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
+FROM s
+""")
+
+# ---------------------------------------------------------------- B466
+# One-way ANOVA F across order priorities: between/within mean squares
+# from one grouped pass + one global fold (no per-row second scan —
+# SSW folds the per-group sample variances).
+_q("q425_anova_f", """
+WITH g AS (SELECT o_orderpriority AS grp,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(CAST(o_totalprice AS DOUBLE)) AS m,
+                  VAR_SAMP(CAST(o_totalprice AS DOUBLE)) AS v
+           FROM orders GROUP BY o_orderpriority),
+     tot AS (SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm,
+                    CAST(COUNT(*) AS DOUBLE) AS k
+             FROM g)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(nt AS BIGINT) AS n_rows,
+       ROUND((SELECT SUM(n * POWER(m - gm, 2)) FROM g, tot) / (k - 1)
+             / ((SELECT SUM((n - 1) * v) FROM g) / (nt - k)), 4) AS f_stat
+FROM tot
+""")
+
+# ---------------------------------------------------------------- B467
+# Cramér's V effect size (segment × priority): chi-square over the
+# FULL cross grid (absent cells contribute their expected count), then
+# V = sqrt(chi2 / (n · (min(r,c) − 1))).
+_q("q426_cramers_v", """
+WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
+             FROM j GROUP BY a, b),
+     ra  AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS na FROM j GROUP BY a),
+     cb  AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nb FROM j GROUP BY b),
+     n   AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM j),
+     grid AS (SELECT ra.a, cb.b, ra.na * cb.nb / n.nt AS e,
+                     COALESCE(obs.o, 0) AS o
+              FROM ra CROSS JOIN cb CROSS JOIN n
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+     chi AS (SELECT SUM(POWER(o - e, 2) / e) AS chi2,
+                    CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+                    CAST(COUNT(DISTINCT b) AS DOUBLE) AS c
+             FROM grid)
+SELECT ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / ((SELECT nt FROM n)
+                          * (LEAST(r, c) - 1))), 4) AS cramers_v
+FROM chi
+""")
+
+# ---------------------------------------------------------------- B468
+# Herfindahl–Hirschman concentration of customer spend within each
+# market segment (0–10000 scale): share² fold over a two-level keyed
+# aggregate — the antitrust-style concentration audit.
+_q("q427_hhi_concentration", """
+WITH spend AS (SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+                      SUM(CAST(o.o_totalprice AS DOUBLE)) AS s
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+               GROUP BY c.c_mktsegment, o.o_custkey),
+     tot AS (SELECT seg, SUM(s) AS st FROM spend GROUP BY seg)
+SELECT spend.seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(POWER(100.0 * s / st, 2)), 2) AS hhi
+FROM spend JOIN tot ON tot.seg = spend.seg
+GROUP BY spend.seg ORDER BY spend.seg
+""")
+
+# ---------------------------------------------------------------- B469
+# Mutual information I(brand; returnflag) in nats: joint and marginal
+# cell probabilities from keyed aggregates, Σ p(x,y)·ln(p(x,y)/p(x)p(y))
+# — the categorical-dependence screen (feature-selection building
+# block; only observed cells contribute, 0·ln0 = 0).
+_q("q428_mutual_information", """
+WITH j AS (SELECT p.p_brand AS x, l.l_returnflag AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+     joint AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS nxy
+               FROM j GROUP BY x, y),
+     mx AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS nx FROM j GROUP BY x),
+     my AS (SELECT y, CAST(COUNT(*) AS DOUBLE) AS ny FROM j GROUP BY y),
+     n  AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM j)
+SELECT ROUND(SUM((nxy / nt) * LN(nxy * nt / (nx * ny))), 6) AS mi_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM joint JOIN mx ON mx.x = joint.x
+           JOIN my ON my.y = joint.y
+           CROSS JOIN n
+""")
+
+# ---------------------------------------------------------------- B470
+# Class-weight computation over the embeddings labels: inverse-
+# frequency weights n/(k·n_c) and effective-number weights
+# (1−β)/(1−β^n_c), β=0.999 (Cui et al. 2019, class-balanced loss) —
+# the standard imbalanced-training prep step.
+_q("q429_class_weights", """
+WITH c AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS nc
+           FROM embeddings GROUP BY label),
+     t AS (SELECT SUM(nc) AS nt, CAST(COUNT(*) AS DOUBLE) AS k FROM c)
+SELECT CAST(label AS BIGINT) AS label, CAST(nc AS BIGINT) AS n,
+       ROUND(nt / (k * nc), 4) AS inv_freq_w,
+       ROUND((1 - 0.999) / (1 - POWER(0.999, nc)), 6) AS eff_num_w
+FROM c CROSS JOIN t ORDER BY label
+""")
