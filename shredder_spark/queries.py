@@ -9098,3 +9098,298 @@ SELECT CAST(label AS BIGINT) AS label, CAST(nc AS BIGINT) AS n,
        ROUND((1 - 0.999) / (1 - POWER(0.999, nc)), 6) AS eff_num_w
 FROM c CROSS JOIN t ORDER BY label
 """)
+
+
+# ---------------------------------------------------------------- B471
+# Bollinger bands on the per-flag daily revenue series: 20-day rolling
+# mean ± 2σ (ROWS frame, partitioned by flag — the series length is
+# bounded by the calendar, and the window never crosses partitions).
+# Only full windows emit (rn ≥ 20), so edge frames can't disagree.
+# Exactness: daily revenue is summed as integer CENTS; the rolling
+# moments use exact integer window sums of the WHOLE-DOLLAR value
+# (Σk, Σk², n = 20 fixed — k² stays far from BIGINT range at any SF),
+# so every float op downstream sees identical inputs on both engines —
+# no accumulation-order rounding jitter.
+_q("q430_bollinger_bands", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100) AS BIGINT) AS k
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     w AS (SELECT flag, day, c,
+                  SUM(k) OVER w20 AS s1,
+                  SUM(k * k) OVER w20 AS s2,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day) AS rn
+           FROM d
+           WINDOW w20 AS (PARTITION BY flag ORDER BY day
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+     m AS (SELECT flag, day, c / 100.0 AS rev,
+                  s1 / 20.0 AS mid,
+                  SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / 20) / 19) AS sd
+           FROM w WHERE rn >= 20)
+SELECT flag, day, ROUND(rev, 2) AS rev, ROUND(mid, 2) AS mid,
+       ROUND(mid + 2 * sd, 2) AS upper_band,
+       ROUND(mid - 2 * sd, 2) AS lower_band,
+       CAST(CASE WHEN rev > mid + 2 * sd THEN 1
+                 WHEN rev < mid - 2 * sd THEN -1 ELSE 0 END AS BIGINT)
+         AS breakout
+FROM m ORDER BY flag, day
+""")
+
+# ---------------------------------------------------------------- B472
+# Stochastic oscillator %K / %D on the same daily series: 14-day
+# hi/lo range position, 3-day smoothed — flat-range days emit NULL
+# rather than a divide-by-zero.
+_q("q431_stochastic_oscillator", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(l_extendedprice AS DOUBLE)) AS rev
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     k AS (SELECT flag, day,
+                  CASE WHEN MAX(rev) OVER w14 = MIN(rev) OVER w14 THEN NULL
+                       ELSE 100.0 * (rev - MIN(rev) OVER w14)
+                            / (MAX(rev) OVER w14 - MIN(rev) OVER w14) END
+                    AS pct_k,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day) AS rn
+           FROM d
+           WINDOW w14 AS (PARTITION BY flag ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT flag, day, ROUND(pct_k, 4) AS pct_k,
+       ROUND(AVG(pct_k) OVER (PARTITION BY flag ORDER BY day
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS pct_d
+FROM k WHERE rn >= 16 ORDER BY flag, day
+""")
+
+# ---------------------------------------------------------------- B473
+# On-balance volume: cumulative signed quantity where the sign follows
+# the day-over-day revenue direction — LAG + partitioned running sum.
+_q("q432_on_balance_volume", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(l_extendedprice AS DOUBLE)) AS rev,
+                  SUM(CAST(l_quantity AS DOUBLE)) AS vol
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     s AS (SELECT flag, day, vol,
+                  SIGN(rev - LAG(rev) OVER (PARTITION BY flag ORDER BY day))
+                    AS dir
+           FROM d)
+SELECT flag, day,
+       ROUND(SUM(COALESCE(dir, 0) * vol)
+               OVER (PARTITION BY flag ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS obv
+FROM s ORDER BY flag, day
+""")
+
+# ---------------------------------------------------------------- B474
+# VWAP per brand-month plus its 3-month rolling tier: the
+# volume-weighted price is a ratio of two keyed sums, and the rolling
+# variant re-weights across the frame (ratio of rolling sums, not a
+# rolling ratio). Price·qty accumulates as exact integer cents (the
+# quantities are integral), so the single closing division is the only
+# float op — deterministic across engines.
+_q("q433_vwap", """
+WITH m AS (SELECT p.p_brand AS brand,
+                  CAST(DATE_TRUNC('month', l.l_shipdate) AS DATE) AS mon,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l.l_quantity) AS BIGINT)) AS pv,
+                  SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS v
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY p.p_brand, DATE_TRUNC('month', l.l_shipdate))
+SELECT brand, mon,
+       FLOOR(pv * 100.0 / v) / 10000.0 AS vwap,
+       FLOOR(SUM(pv) OVER w3 * 100.0 / SUM(v) OVER w3) / 10000.0
+         AS vwap_3m
+FROM m
+WINDOW w3 AS (PARTITION BY brand ORDER BY mon
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY brand, mon
+""")
+
+# ---------------------------------------------------------------- B475
+# LOCF resample: the irregular per-type event series re-sampled onto a
+# daily calendar grid, missing days carrying the last observed daily
+# mean forward (IGNORE NULLS navigation over the gap-filled grid —
+# the forward-fill companion to q312's interpolation tier).
+_q("q434_locf_resample",
+   oracle="""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+           FROM events),
+cal AS (SELECT CAST(UNNEST(GENERATE_SERIES(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                 FLOOR(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+                       * 1.0 / COUNT(*)) / 10000.0 AS v
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+grid AS (SELECT ty.event_type, cal.d, daily.v
+         FROM ty CROSS JOIN cal
+         LEFT JOIN daily ON daily.event_type = ty.event_type
+                        AND daily.d = cal.d)
+SELECT event_type, d,
+       LAST_VALUE(v IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY d) AS v_locf
+FROM grid ORDER BY event_type, d
+""",
+   engine_sql="""
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+           FROM events),
+cal AS (SELECT EXPLODE(SEQUENCE(lo, hi, INTERVAL 1 DAY)) AS d FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                 FLOOR(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+                       * 1.0 / COUNT(*)) / 10000.0 AS v
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+grid AS (SELECT ty.event_type, cal.d, daily.v
+         FROM ty CROSS JOIN cal
+         LEFT JOIN daily ON daily.event_type = ty.event_type
+                        AND daily.d = cal.d)
+SELECT event_type, d,
+       LAST_VALUE(v) IGNORE NULLS
+         OVER (PARTITION BY event_type ORDER BY d) AS v_locf
+FROM grid ORDER BY event_type, d
+""")
+
+# ---------------------------------------------------------------- B476
+# Mean segmental TTR (MSTTR-25): lexical diversity that, unlike raw
+# TTR (q368), is comparable across documents of different lengths —
+# type/token ratio averaged over consecutive complete 25-token
+# segments.
+_q("q435_msttr",
+   oracle="""
+WITH tok AS (SELECT d.doc_id, CAST((g.i - 1) // 25 AS BIGINT) AS seg,
+                    t.tok[g.i] AS w
+             FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS tok
+                   FROM documents) t
+             JOIN documents d ON d.doc_id = t.doc_id,
+             UNNEST(GENERATE_SERIES(1, LEN(t.tok))) AS g(i)),
+     seg AS (SELECT doc_id, seg,
+                    CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS ttr,
+                    COUNT(*) AS n
+             FROM tok GROUP BY doc_id, seg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       ROUND(AVG(ttr), 4) AS msttr
+FROM seg WHERE n = 25 GROUP BY doc_id
+HAVING COUNT(*) >= 2 ORDER BY doc_id
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, CAST(FLOOR(pos / 25) AS BIGINT) AS seg, w
+             FROM documents
+             LATERAL VIEW POSEXPLODE(SPLIT(LOWER(text), ' ')) t AS pos, w),
+     seg AS (SELECT doc_id, seg,
+                    CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS ttr,
+                    COUNT(*) AS n
+             FROM tok GROUP BY doc_id, seg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       ROUND(AVG(ttr), 4) AS msttr
+FROM seg WHERE n = 25 GROUP BY doc_id
+HAVING COUNT(*) >= 2 ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B477
+# RAKE-lite keyword extraction (Rose et al. 2010): candidate phrases
+# are maximal stopword-free token runs; word score = deg/freq where
+# deg sums the lengths of phrases containing the word; phrase score
+# sums its word scores; top-2 phrases per doc. Phrase splitting is a
+# stopword→delimiter regexp + split, all set-based.
+_q("q436_rake_keywords",
+   oracle="""
+WITH ph AS (SELECT doc_id, TRIM(p) AS phrase
+            FROM (SELECT doc_id,
+                         UNNEST(STRING_SPLIT(
+                           REGEXP_REPLACE(LOWER(text),
+                                          '\\b(a|the|and|of|to|in|is)\\b',
+                                          '|', 'g'), '|')) AS p
+                  FROM documents)
+            WHERE TRIM(p) <> ''),
+     pw AS (SELECT doc_id, phrase,
+                   LEN(STRING_SPLIT(phrase, ' ')) AS plen,
+                   UNNEST(STRING_SPLIT(phrase, ' ')) AS w
+            FROM ph),
+     ws AS (SELECT w, SUM(CAST(plen AS DOUBLE)) / COUNT(*) AS score
+            FROM pw WHERE w <> '' GROUP BY w),
+     ps AS (SELECT pw.doc_id, pw.phrase,
+                   ROUND(SUM(ws.score), 4) AS score
+            FROM pw JOIN ws ON ws.w = pw.w WHERE pw.w <> ''
+            GROUP BY pw.doc_id, pw.phrase),
+     top AS (SELECT doc_id, phrase, score,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, phrase) AS rk
+             FROM ps)
+SELECT doc_id, phrase, score FROM top WHERE rk <= 2
+ORDER BY doc_id, phrase
+""",
+   engine_sql="""
+WITH ph AS (SELECT doc_id, TRIM(p) AS phrase
+            FROM (SELECT doc_id,
+                         EXPLODE(SPLIT(
+                           REGEXP_REPLACE(LOWER(text),
+                                          '\\\\b(a|the|and|of|to|in|is)\\\\b',
+                                          '|'), '\\\\|')) AS p
+                  FROM documents)
+            WHERE TRIM(p) <> ''),
+     pw AS (SELECT doc_id, phrase,
+                   SIZE(SPLIT(phrase, ' ')) AS plen,
+                   EXPLODE(SPLIT(phrase, ' ')) AS w
+            FROM ph),
+     ws AS (SELECT w, SUM(CAST(plen AS DOUBLE)) / COUNT(*) AS score
+            FROM pw WHERE w <> '' GROUP BY w),
+     ps AS (SELECT pw.doc_id, pw.phrase,
+                   ROUND(SUM(ws.score), 4) AS score
+            FROM pw JOIN ws ON ws.w = pw.w WHERE pw.w <> ''
+            GROUP BY pw.doc_id, pw.phrase),
+     top AS (SELECT doc_id, phrase, score,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, phrase) AS rk
+             FROM ps)
+SELECT doc_id, phrase, score FROM top WHERE rk <= 2
+ORDER BY doc_id, phrase
+""")
+
+# ---------------------------------------------------------------- B478
+# Hard-negative mining for contrastive training: each anchor's nearest
+# OTHER-label neighbor by cosine (the hardest negative), over an
+# id-bounded block — the deliberate complement of q326's random
+# negative sampling. At scale the block becomes the ANN candidate set.
+_q("q437_hard_negatives",
+   oracle="""
+WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
+           WHERE vec_id < 300),
+     p AS (SELECT a.vec_id AS i, a.label AS la, b.vec_id AS j,
+                  b.label AS lb,
+                  LIST_DOT_PRODUCT(a.v, b.v)
+                  / (SQRT(LIST_DOT_PRODUCT(a.v, a.v))
+                     * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS sim
+           FROM e a JOIN e b
+             ON a.vec_id <> b.vec_id AND a.label <> b.label),
+     r AS (SELECT i, j, la, lb, sim,
+                  ROW_NUMBER() OVER (PARTITION BY i
+                                     ORDER BY sim DESC, j) AS rk
+           FROM p)
+SELECT i AS anchor_id, CAST(la AS BIGINT) AS anchor_label,
+       j AS negative_id, CAST(lb AS BIGINT) AS negative_label,
+       ROUND(sim, 4) AS sim
+FROM r WHERE rk = 1 ORDER BY anchor_id
+""",
+   engine_sql="""
+WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
+           WHERE vec_id < 300),
+     p AS (SELECT a.vec_id AS i, a.label AS la, b.vec_id AS j,
+                  b.label AS lb,
+                  AGGREGATE(ZIP_WITH(a.v, b.v, (x, y) -> x * y), 0D,
+                            (s, x) -> s + x)
+                  / (SQRT(AGGREGATE(a.v, 0D, (s, x) -> s + x * x))
+                     * SQRT(AGGREGATE(b.v, 0D, (s, x) -> s + x * x))) AS sim
+           FROM e a JOIN e b
+             ON a.vec_id <> b.vec_id AND a.label <> b.label),
+     r AS (SELECT i, j, la, lb, sim,
+                  ROW_NUMBER() OVER (PARTITION BY i
+                                     ORDER BY sim DESC, j) AS rk
+           FROM p)
+SELECT i AS anchor_id, CAST(la AS BIGINT) AS anchor_label,
+       j AS negative_id, CAST(lb AS BIGINT) AS negative_label,
+       ROUND(sim, 4) AS sim
+FROM r WHERE rk = 1 ORDER BY anchor_id
+""")
