@@ -9393,3 +9393,299 @@ SELECT i AS anchor_id, CAST(la AS BIGINT) AS anchor_label,
        ROUND(sim, 4) AS sim
 FROM r WHERE rk = 1 ORDER BY anchor_id
 """)
+
+
+# ---------------------------------------------------------------- B479
+# Local clustering coefficient per node (co-purchase graph, bounded
+# block like q284): triangles at v over deg(v)·(deg(v)−1)/2 possible
+# wedges. FLOOR-scaled presentation — a ratio of small ints can land
+# exactly on a ROUND half-boundary, where the engines' rounding rules
+# diverge.
+_q("q438_clustering_coefficient", """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey <= 500),
+     e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+     sym AS (SELECT s AS u, d AS v FROM e
+             UNION ALL SELECT d AS u, s AS v FROM e),
+     deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u),
+     tri AS (SELECT w1.u, CAST(COUNT(*) AS BIGINT) AS t
+             FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+             JOIN e t ON t.s = w1.v AND t.d = w2.v
+             GROUP BY w1.u)
+SELECT deg.u AS node, deg.dg AS degree, COALESCE(tri.t, 0) AS triangles,
+       FLOOR(COALESCE(tri.t, 0) * 20000.0
+             / (deg.dg * (deg.dg - 1))) / 10000.0 AS coeff
+FROM deg LEFT JOIN tri ON tri.u = deg.u
+WHERE deg.dg >= 2 ORDER BY node
+""")
+
+# ---------------------------------------------------------------- B480
+# Bounded-round k-core peel (k = 3, three rounds): each round drops
+# nodes of degree < k and every edge touching them — three chained
+# relational rounds approximate the fixpoint (the full decomposition
+# is the operator's iterative tier; the declared text pins the
+# per-round semantics).
+_q("q439_kcore_peel", """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey <= 500),
+     e0 AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+     s0 AS (SELECT s AS u, d AS v FROM e0
+            UNION ALL SELECT d AS u, s AS v FROM e0),
+     k1 AS (SELECT u FROM s0 GROUP BY u HAVING COUNT(*) >= 3),
+     s1 AS (SELECT s0.u, s0.v FROM s0
+            JOIN k1 a ON a.u = s0.u JOIN k1 b ON b.u = s0.v),
+     k2 AS (SELECT u FROM s1 GROUP BY u HAVING COUNT(*) >= 3),
+     s2 AS (SELECT s1.u, s1.v FROM s1
+            JOIN k2 a ON a.u = s1.u JOIN k2 b ON b.u = s1.v),
+     k3 AS (SELECT u FROM s2 GROUP BY u HAVING COUNT(*) >= 3),
+     s3 AS (SELECT s2.u, s2.v FROM s2
+            JOIN k3 a ON a.u = s2.u JOIN k3 b ON b.u = s2.v)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree_r3
+FROM s3 GROUP BY u ORDER BY node
+""")
+
+# ---------------------------------------------------------------- B481
+# Classical decomposition of the daily revenue series: trend = centered
+# 7-day MA, seasonal = per-DOW mean of the detrended series, remainder.
+# Exactness: cents in, and the detrended value is carried ×7
+# (d7 = 7c − Σ7) so every aggregate sums exact BIGINTs; the only float
+# ops are final divisions of identical integers. The unpartitioned
+# window runs over the DAILY ROLLUP — bounded by the calendar, not the
+# fact table (same posture as q353/q391).
+_q("q440_seasonal_decomposition",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  (ISODOW(CAST(o_orderdate AS DATE)) - 1) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, c,
+                  SUM(c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, c, s7, 7 * c - s7 AS d7
+           FROM w WHERE n7 = 7),
+     seas AS (SELECT dow, SUM(d7) AS sd7,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+              FROM f GROUP BY dow)
+SELECT f.day, CAST(f.dow AS BIGINT) AS dow,
+       FLOOR(f.s7 / 7.0) / 100.0 AS trend,
+       FLOOR(seas.sd7 * 1.0 / (7 * seas.nd)) / 100.0 AS seasonal,
+       FLOOR(f.d7 / 7.0 - seas.sd7 * 1.0 / (7 * seas.nd)) / 100.0
+         AS remainder
+FROM f JOIN seas ON seas.dow = f.dow ORDER BY f.day
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  PMOD(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 5, 7) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, c,
+                  SUM(c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, c, s7, 7 * c - s7 AS d7
+           FROM w WHERE n7 = 7),
+     seas AS (SELECT dow, SUM(d7) AS sd7,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+              FROM f GROUP BY dow)
+SELECT f.day, CAST(f.dow AS BIGINT) AS dow,
+       FLOOR(f.s7 / 7.0) / 100.0 AS trend,
+       FLOOR(seas.sd7 * 1.0 / (7 * seas.nd)) / 100.0 AS seasonal,
+       FLOOR(f.d7 / 7.0 - seas.sd7 * 1.0 / (7 * seas.nd)) / 100.0
+         AS remainder
+FROM f JOIN seas ON seas.dow = f.dow ORDER BY f.day
+""")
+
+# ---------------------------------------------------------------- B482
+# Small-file compaction planning: per source directory, documents
+# (stand-ins for files, sized by n_chars) are packed into ~4000-byte
+# merge groups by bucketing the exact running byte count — the
+# greedy-prefix plan a table-maintenance job executes.
+_q("q441_compaction_plan", """
+WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+                  SUM(CAST(n_chars AS BIGINT))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS run
+           FROM documents),
+     g AS (SELECT source, doc_id, bytes,
+                  CAST(FLOOR((run - bytes) / 4000.0) AS BIGINT) AS grp
+           FROM f)
+SELECT source, grp, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM g GROUP BY source, grp ORDER BY source, grp
+""")
+
+# ---------------------------------------------------------------- B483
+# Join-key skew report (the pre-flight check before a big equi-join):
+# distinct-key count, heaviest key's share, and the p99/p50 multiplier
+# from exact integer per-key counts.
+_q("q442_skew_report", """
+WITH k AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_cnt,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p50_cnt,
+       CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p99_cnt,
+       FLOOR(MAX(c) * 1000000.0 / SUM(c)) / 1000000.0 AS max_share
+FROM k
+""")
+
+# ---------------------------------------------------------------- B484
+# Join fan-out audit: predicted output cardinality of an equi-join
+# from the two sides' per-key histograms (Σ nₐ·n_b — what a CBO
+# estimates from stats), plus the heaviest fan-out keys. The predicted
+# total provably equals the executed inner-join count; the audit's
+# value is that it needs only the two cheap histograms.
+_q("q443_join_fanout_audit", """
+WITH a AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+           FROM lineitem GROUP BY l_suppkey),
+     b AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey),
+     j AS (SELECT a.k, a.na, b.nb, a.na * b.nb AS pairs
+           FROM a JOIN b ON b.k = a.k)
+SELECT k AS key, na, nb, CAST(pairs AS BIGINT) AS pairs
+FROM j ORDER BY pairs DESC, k LIMIT 5
+""")
+
+# ---------------------------------------------------------------- B485
+# Referential-integrity audit over the star schema's three FK edges:
+# child row counts, orphan counts (anti-join), and the orphan ratio —
+# one UNION ALL report, each leg a broadcast-able anti-join.
+_q("q444_fk_audit", """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS orphans
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS orphans
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY fk
+""")
+
+
+# ---------------------------------------------------------------- B486
+# Average precision per segment. ENGINE SIDE runs the grouped-rank
+# scale operator twice (all rows, relevant rows) — every window is
+# (group, bucket)-partitioned — exploiting AP = mean over relevant
+# rows of rel_rank/rank; the oracle is the textbook running-precision
+# window text. Deterministic pseudo-scores from md5.
+def _q445_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark import catalog
+    from shredder_spark.operators.scale_windows import with_grouped_ranks
+    cust = catalog.load_table(spark, catalog.CURRENT_SF_DIR, "customer")
+    scored = cust.select(
+        F.col("c_mktsegment").alias("seg"), "c_custkey",
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+               16, 10).cast("long").alias("score"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("rel"))
+    order = [("score", "desc"), ("c_custkey", "asc")]
+    ranked = with_grouped_ranks(scored, ["seg"], order, row_number_col="rk")
+    rel = ranked.filter(F.col("rel") == 1)
+    rel_ranked = with_grouped_ranks(rel, ["seg"], order,
+                                    row_number_col="rel_rk")
+    return (rel_ranked.groupBy("seg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rel"),
+                 (F.floor(F.avg(F.col("rel_rk")
+                                / F.col("rk")) * 10000) / 10000.0)
+                 .alias("ap"))
+            .orderBy("seg"))
+
+
+_q("q445_average_precision",
+   oracle="""
+WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
+                  CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS score,
+                  CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS rel
+           FROM customer),
+     r AS (SELECT seg, rel,
+                  ROW_NUMBER() OVER w AS rk,
+                  SUM(rel) OVER (PARTITION BY seg
+                                 ORDER BY score DESC, c_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS cumrel
+           FROM s
+           WINDOW w AS (PARTITION BY seg ORDER BY score DESC, c_custkey))
+SELECT seg, CAST(SUM(rel) AS BIGINT) AS n_rel,
+       FLOOR(AVG(CASE WHEN rel = 1
+                      THEN CAST(cumrel AS DOUBLE) / rk END) * 10000)
+         / 10000.0 AS ap
+FROM r GROUP BY seg ORDER BY seg
+""",
+   builder=_q445_builder)
+
+# ---------------------------------------------------------------- B487
+# nDCG@10 per segment: graded relevance from balance bands, DCG over
+# the hash-score ranking vs the ideal (relevance-sorted) ranking.
+_q("q446_ndcg",
+   oracle="""
+WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
+                  CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS score,
+                  CASE WHEN c_acctbal > 7500 THEN 3
+                       WHEN c_acctbal > 5000 THEN 2
+                       WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS rel
+           FROM customer),
+     r AS (SELECT seg, rel,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY score DESC, c_custkey) AS rk,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY rel DESC, c_custkey) AS irk
+           FROM s),
+     dcg AS (SELECT seg,
+                    SUM(CASE WHEN rk <= 10
+                             THEN (POWER(2, rel) - 1) / LOG2(rk + 1) END)
+                      AS dcg,
+                    SUM(CASE WHEN irk <= 10
+                             THEN (POWER(2, rel) - 1) / LOG2(irk + 1) END)
+                      AS idcg
+             FROM r GROUP BY seg)
+SELECT seg, FLOOR(dcg * 10000.0 / idcg) / 10000.0 AS ndcg
+FROM dcg ORDER BY seg
+""",
+   engine_sql="""
+WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
+                  CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)), 1, 8),
+                            16, 10) AS BIGINT) AS score,
+                  CASE WHEN c_acctbal > 7500 THEN 3
+                       WHEN c_acctbal > 5000 THEN 2
+                       WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS rel
+           FROM customer),
+     r AS (SELECT seg, rel,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY score DESC, c_custkey) AS rk,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY rel DESC, c_custkey) AS irk
+           FROM s),
+     dcg AS (SELECT seg,
+                    SUM(CASE WHEN rk <= 10
+                             THEN (POWER(2, rel) - 1) / LOG2(rk + 1) END)
+                      AS dcg,
+                    SUM(CASE WHEN irk <= 10
+                             THEN (POWER(2, rel) - 1) / LOG2(irk + 1) END)
+                      AS idcg
+             FROM r GROUP BY seg)
+SELECT seg, FLOOR(dcg * 10000.0 / idcg) / 10000.0 AS ndcg
+FROM dcg ORDER BY seg
+""")
