@@ -9689,3 +9689,269 @@ WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
 SELECT seg, FLOOR(dcg * 10000.0 / idcg) / 10000.0 AS ndcg
 FROM dcg ORDER BY seg
 """)
+
+
+# ---------------------------------------------------------------- B488
+# ROC curve points at 9 fixed score thresholds: TPR/FPR from one
+# conditional-aggregate pass per threshold (inline threshold dim ×
+# scored rows — no global sort; the md5 pseudo-score makes the curve
+# deterministic).
+_q("q447_roc_points",
+   oracle="""
+WITH s AS (SELECT CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS score,
+                  CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS y
+           FROM customer),
+     t AS (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS i),
+     g AS (SELECT t.i, CAST(t.i AS BIGINT) * 429496729 AS thr,
+                  SUM(CASE WHEN s.score > CAST(t.i AS BIGINT) * 429496729 AND s.y = 1
+                           THEN 1 ELSE 0 END) AS tp,
+                  SUM(CASE WHEN s.score > CAST(t.i AS BIGINT) * 429496729 AND s.y = 0
+                           THEN 1 ELSE 0 END) AS fp,
+                  SUM(s.y) AS pos, SUM(1 - s.y) AS neg
+           FROM t CROSS JOIN s GROUP BY t.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(thr AS BIGINT) AS thr,
+       FLOOR(tp * 1000000.0 / pos) / 1000000.0 AS tpr,
+       FLOOR(fp * 1000000.0 / neg) / 1000000.0 AS fpr
+FROM g ORDER BY i
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)), 1, 8),
+                            16, 10) AS BIGINT) AS score,
+                  CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS y
+           FROM customer),
+     t AS (SELECT EXPLODE(SEQUENCE(1, 9)) AS i),
+     g AS (SELECT t.i, CAST(t.i AS BIGINT) * 429496729 AS thr,
+                  SUM(CASE WHEN s.score > CAST(t.i AS BIGINT) * 429496729 AND s.y = 1
+                           THEN 1 ELSE 0 END) AS tp,
+                  SUM(CASE WHEN s.score > CAST(t.i AS BIGINT) * 429496729 AND s.y = 0
+                           THEN 1 ELSE 0 END) AS fp,
+                  SUM(s.y) AS pos, SUM(1 - s.y) AS neg
+           FROM t CROSS JOIN s GROUP BY t.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(thr AS BIGINT) AS thr,
+       FLOOR(tp * 1000000.0 / pos) / 1000000.0 AS tpr,
+       FLOOR(fp * 1000000.0 / neg) / 1000000.0 AS fpr
+FROM g ORDER BY i
+""")
+
+# ---------------------------------------------------------------- B489
+# Position-based (U-shaped 40/20/40) multi-touch attribution: touches
+# strictly before each user's first purchase earn 0.4 at the ends and
+# 0.2/(n−2) in the middle. Credits quantize to exact integer
+# MICRO-credits per touch before the cross-user sum, so the rollup is
+# integer-exact (float summation order never enters).
+_q("q448_position_attribution", """
+WITH conv AS (SELECT user_id, MIN(ts) AS t_conv FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id),
+     touch AS (SELECT e.user_id, e.event_type, e.ts,
+                      ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                         ORDER BY e.ts, e.event_id) AS pos,
+                      COUNT(*) OVER (PARTITION BY e.user_id) AS n
+               FROM events e JOIN conv c ON c.user_id = e.user_id
+               WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'),
+     cr AS (SELECT event_type,
+                   CAST(CASE
+                     WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN pos = 1 OR pos = n THEN 400000
+                     ELSE FLOOR(200000.0 / (n - 2))
+                   END AS BIGINT) AS microcredit
+            FROM touch)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(microcredit) AS BIGINT) AS microcredits
+FROM cr GROUP BY event_type ORDER BY event_type
+""")
+
+# ---------------------------------------------------------------- B490
+# Time-decay attribution (half-life 7 days): per-user weights
+# 0.5^(Δdays/7) normalized within the journey, then quantized to
+# micro-credits before the cross-user rollup (same exactness rule as
+# q448 — floats only inside one user's bounded journey).
+_q("q449_time_decay_attribution",
+   oracle="""
+WITH conv AS (SELECT user_id, MIN(ts) AS t_conv FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id),
+     touch AS (SELECT e.user_id, e.event_type,
+                      POWER(0.5, (EPOCH(c.t_conv) - EPOCH(e.ts))
+                                 / 604800.0) AS w
+               FROM events e JOIN conv c ON c.user_id = e.user_id
+               WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'),
+     norm AS (SELECT event_type,
+                     CAST(FLOOR(w * 1000000.0 /
+                                SUM(w) OVER (PARTITION BY user_id))
+                          AS BIGINT) AS microcredit
+              FROM touch)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(microcredit) AS BIGINT) AS microcredits
+FROM norm GROUP BY event_type ORDER BY event_type
+""",
+   engine_sql="""
+WITH conv AS (SELECT user_id, MIN(ts) AS t_conv FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id),
+     touch AS (SELECT e.user_id, e.event_type,
+                      POWER(0.5, (UNIX_MICROS(CAST(c.t_conv AS TIMESTAMP))
+                                  - UNIX_MICROS(CAST(e.ts AS TIMESTAMP)))
+                                 / 604800000000.0) AS w
+               FROM events e JOIN conv c ON c.user_id = e.user_id
+               WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'),
+     norm AS (SELECT event_type,
+                     CAST(FLOOR(w * 1000000.0 /
+                                SUM(w) OVER (PARTITION BY user_id))
+                          AS BIGINT) AS microcredit
+              FROM touch)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(microcredit) AS BIGINT) AS microcredits
+FROM norm GROUP BY event_type ORDER BY event_type
+""")
+
+# ---------------------------------------------------------------- B491
+# Quantile-quantile shift report between two periods: the 1995 vs 1996
+# order-value deciles side by side with their deltas — the
+# distribution-drift view a migration/repricing review reads.
+_q("q450_qq_shift",
+   oracle="""
+WITH a AS (SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE),
+                                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+     b AS (SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE),
+                                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+     u AS (SELECT g.i AS i, a.q[g.i] AS qa, b.q[g.i] AS qb
+           FROM a, b, UNNEST(GENERATE_SERIES(1, 9)) AS g(i))
+SELECT CAST(i AS BIGINT) AS decile,
+       FLOOR(qa * 100) / 100.0 AS q_1995,
+       FLOOR(qb * 100) / 100.0 AS q_1996,
+       FLOOR((qb - qa) * 100) / 100.0 AS shift
+FROM u ORDER BY decile
+""",
+   engine_sql="""
+WITH a AS (SELECT PERCENTILE(CAST(o_totalprice AS DOUBLE),
+             ARRAY(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)) AS q
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+     b AS (SELECT PERCENTILE(CAST(o_totalprice AS DOUBLE),
+             ARRAY(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)) AS q
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+     u AS (SELECT pos + 1 AS i, ELEMENT_AT(a.q, pos + 1) AS qa,
+                  ELEMENT_AT(b.q, pos + 1) AS qb
+           FROM a CROSS JOIN b
+           LATERAL VIEW POSEXPLODE(SEQUENCE(1, 9)) t AS pos, _x)
+SELECT CAST(i AS BIGINT) AS decile,
+       FLOOR(qa * 100) / 100.0 AS q_1995,
+       FLOOR(qb * 100) / 100.0 AS q_1996,
+       FLOOR((qb - qa) * 100) / 100.0 AS shift
+FROM u ORDER BY decile
+""")
+
+# ---------------------------------------------------------------- B492
+# Nelson–Aalen cumulative hazard (companion to q337's Kaplan–Meier,
+# same right-censored lifetimes): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the ordered
+# running sum is over the BOUNDED distinct-duration rollup, and both
+# engines fold it in the same ascending frame order.
+_q("q451_nelson_aalen",
+   oracle="""
+WITH life AS (SELECT user_id, MIN(ts) AS t0,
+                     MIN(CASE WHEN event_type = 'error' THEN ts END)
+                       AS t_err,
+                     MAX(ts) AS t_last
+              FROM events GROUP BY user_id),
+     obs AS (SELECT CAST(CEIL((EPOCH(COALESCE(t_err, t_last))
+                               - EPOCH(t0)) / 86400.0) AS BIGINT) AS t_days,
+                    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM life),
+     by_t AS (SELECT t_days, CAST(SUM(ev) AS DOUBLE) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS c
+              FROM obs GROUP BY t_days),
+     risk AS (SELECT t_days, d,
+                     SUM(c) OVER (ORDER BY t_days DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_at_risk
+              FROM by_t)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       FLOOR(SUM(d / n_at_risk) OVER (ORDER BY t_days
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) * 10000) / 10000.0
+         AS cum_hazard
+FROM risk WHERE d > 0 ORDER BY t_days
+""",
+   engine_sql="""
+WITH life AS (SELECT user_id, MIN(ts) AS t0,
+                     MIN(CASE WHEN event_type = 'error' THEN ts END)
+                       AS t_err,
+                     MAX(ts) AS t_last
+              FROM events GROUP BY user_id),
+     obs AS (SELECT CAST(CEIL((UNIX_MICROS(CAST(COALESCE(t_err, t_last)
+                                           AS TIMESTAMP))
+                               - UNIX_MICROS(CAST(t0 AS TIMESTAMP)))
+                              / 86400000000.0) AS BIGINT)
+                      AS t_days,
+                    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+             FROM life),
+     by_t AS (SELECT t_days, CAST(SUM(ev) AS DOUBLE) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS c
+              FROM obs GROUP BY t_days),
+     risk AS (SELECT t_days, d,
+                     SUM(c) OVER (ORDER BY t_days DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_at_risk
+              FROM by_t)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       FLOOR(SUM(d / n_at_risk) OVER (ORDER BY t_days
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) * 10000) / 10000.0
+         AS cum_hazard
+FROM risk WHERE d > 0 ORDER BY t_days
+""")
+
+# ---------------------------------------------------------------- B493
+# Rolling 30-day correlation between the A and R daily revenue series
+# (co-movement monitor): conditional-agg pivot to two aligned series,
+# CORR over a ROWS frame on exact integer cents.
+_q("q452_rolling_correlation", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS ca,
+                  SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS cr
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     w AS (SELECT day,
+                  CORR(CAST(ca AS DOUBLE), CAST(cr AS DOUBLE)) OVER w30
+                    AS rho,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d
+           WINDOW w30 AS (ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT day, FLOOR(rho * 10000) / 10000.0 AS rho30
+FROM w WHERE rn >= 30 ORDER BY day
+""")
+
+# ---------------------------------------------------------------- B494
+# Burst detection on per-type daily event counts: a day flags when its
+# count exceeds μ + 2σ of the trailing 28 days (current day excluded;
+# ≥7 prior days required, so the gate fires on the small fixtures too).
+# Moments come from exact integer Σc/Σc² window sums.
+_q("q453_burst_detection", """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+     w AS (SELECT event_type, day, c,
+                  SUM(c) OVER w28 AS s1, SUM(c * c) OVER w28 AS s2,
+                  COUNT(*) OVER w28 AS n
+           FROM d
+           WINDOW w28 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+     z AS (SELECT event_type, day, c, n,
+                  s1 * 1.0 / n AS mu,
+                  SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+           FROM w WHERE n >= 7)
+SELECT event_type, day, c,
+       FLOOR(mu * 100) / 100.0 AS mu28,
+       FLOOR(sd * 100) / 100.0 AS sd28
+FROM z WHERE c > mu + 2 * sd ORDER BY event_type, day
+""")
