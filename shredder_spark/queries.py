@@ -9955,3 +9955,362 @@ SELECT event_type, day, c,
        FLOOR(sd * 100) / 100.0 AS sd28
 FROM z WHERE c > mu + 2 * sd ORDER BY event_type, day
 """)
+
+
+# ---------------------------------------------------------------- B495
+# Decomposition-residual anomaly report: q440's exact detrended series
+# scored against the MAD of its remainders (|rem−med| > 3·MAD flags).
+# Report-style output (every day + flag) so the gate logic is
+# verifiable regardless of how many days actually flag.
+_q("q454_stl_anomaly",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  (ISODOW(CAST(o_orderdate AS DATE)) - 1) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, c,
+                  SUM(c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, 7 * c - s7 AS d7 FROM w WHERE n7 = 7),
+     seas AS (SELECT dow, SUM(d7) AS sd7,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+              FROM f GROUP BY dow),
+     r AS (SELECT f.day,
+                  f.d7 / 7.0 - seas.sd7 * 1.0 / (7 * seas.nd) AS rem
+           FROM f JOIN seas ON seas.dow = f.dow),
+     med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY rem)
+               AS m FROM r),
+     mad AS (SELECT PERCENTILE_DISC(0.5)
+               WITHIN GROUP (ORDER BY ABS(rem - med.m)) AS v
+             FROM r, med)
+SELECT r.day, FLOOR(r.rem / 100.0) / 100.0 AS remainder,
+       CAST(CASE WHEN ABS(r.rem - med.m) > 3 * mad.v
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM r, med, mad ORDER BY r.day
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  PMOD(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 5, 7) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, c,
+                  SUM(c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, 7 * c - s7 AS d7 FROM w WHERE n7 = 7),
+     seas AS (SELECT dow, SUM(d7) AS sd7,
+                     CAST(COUNT(*) AS BIGINT) AS nd
+              FROM f GROUP BY dow),
+     r AS (SELECT f.day,
+                  f.d7 / 7.0 - seas.sd7 * 1.0 / (7 * seas.nd) AS rem
+           FROM f JOIN seas ON seas.dow = f.dow),
+     med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY rem)
+               AS m FROM r),
+     mad AS (SELECT PERCENTILE_DISC(0.5)
+               WITHIN GROUP (ORDER BY ABS(rem - med.m)) AS v
+             FROM r CROSS JOIN med)
+SELECT r.day, FLOOR(r.rem / 100.0) / 100.0 AS remainder,
+       CAST(CASE WHEN ABS(r.rem - med.m) > 3 * mad.v
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM r CROSS JOIN med CROSS JOIN mad ORDER BY r.day
+""")
+
+# ---------------------------------------------------------------- B496
+# Boilerplate byte-savings report per source: tokens living in 8-token
+# chunks shared by ≥3 docs (q388's CCNet-style chunk hash) rolled up
+# to the per-source dedup-savings view an ingestion pipeline reports.
+_q("q455_boilerplate_savings",
+   oracle="""
+WITH t AS (SELECT doc_id, source, STRING_SPLIT(text,' ') AS toks
+           FROM documents),
+     ch AS (SELECT doc_id, source,
+                   LEAST(i * 8 + 8, LEN(toks)) - i * 8 AS clen,
+                   MD5(ARRAY_TO_STRING(
+                     toks[i * 8 + 1 : LEAST(i * 8 + 8, LEN(toks))], ' '))
+                     AS h
+            FROM t, UNNEST(GENERATE_SERIES(
+                    0, CAST(CEIL(LEN(toks) / 8.0) AS BIGINT) - 1)) AS g(i)),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(ch.clen) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN freq.nd >= 3 THEN ch.clen ELSE 0 END) AS BIGINT)
+         AS boiler_tokens,
+       FLOOR(SUM(CASE WHEN freq.nd >= 3 THEN ch.clen ELSE 0 END)
+             * 1000000.0 / SUM(ch.clen)) / 1000000.0 AS boiler_share
+FROM ch JOIN freq ON freq.h = ch.h
+GROUP BY ch.source ORDER BY ch.source
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, source, SPLIT(text,' ') AS toks FROM documents),
+     ch AS (SELECT doc_id, source,
+                   LEAST(i * 8 + 8, SIZE(toks)) - i * 8 AS clen,
+                   MD5(ARRAY_JOIN(SLICE(toks, i * 8 + 1,
+                     LEAST(i * 8 + 8, SIZE(toks)) - i * 8), ' ')) AS h
+            FROM t LATERAL VIEW EXPLODE(SEQUENCE(
+                   0, CAST(CEIL(SIZE(toks) / 8.0) AS INT) - 1)) g AS i),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT ch.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(ch.clen) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN freq.nd >= 3 THEN ch.clen ELSE 0 END) AS BIGINT)
+         AS boiler_tokens,
+       FLOOR(SUM(CASE WHEN freq.nd >= 3 THEN ch.clen ELSE 0 END)
+             * 1000000.0 / SUM(ch.clen)) / 1000000.0 AS boiler_share
+FROM ch JOIN freq ON freq.h = ch.h
+GROUP BY ch.source ORDER BY ch.source
+""")
+
+# ---------------------------------------------------------------- B497
+# Cross-lingual near-duplicate screen (translation/copy mining shape):
+# doc pairs in DIFFERENT languages with token-set Jaccard ≥ 0.5,
+# aggregated per language pair. Bounded block here; the LSH tiers are
+# the scale path for the pair generation.
+_q("q456_cross_lang_overlap",
+   oracle="""
+WITH t AS (SELECT doc_id, lang,
+                  LIST_DISTINCT(STRING_SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 200),
+     p AS (SELECT a.lang AS la, b.lang AS lb,
+                  LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+                  / LEN(LIST_DISTINCT(a.s || b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang < b.lang)
+SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup
+FROM p GROUP BY la, lb ORDER BY la, lb
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, lang,
+                  ARRAY_DISTINCT(SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 200),
+     p AS (SELECT a.lang AS la, b.lang AS lb,
+                  SIZE(ARRAY_INTERSECT(a.s, b.s)) * 1.0
+                  / SIZE(ARRAY_UNION(a.s, b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang < b.lang)
+SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup
+FROM p GROUP BY la, lb ORDER BY la, lb
+""")
+
+# ---------------------------------------------------------------- B498
+# Template-head detection: docs sharing an identical 2-token opening
+# (the "same boilerplate header" heuristic) grouped into template
+# families with member stats.
+_q("q457_prefix_templates",
+   oracle="""
+WITH p AS (SELECT doc_id,
+                  ARRAY_TO_STRING(STRING_SPLIT(text,' ')[1:2],' ') AS pre
+           FROM documents)
+SELECT pre AS prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM p GROUP BY pre HAVING COUNT(*) >= 2 ORDER BY prefix
+""",
+   engine_sql="""
+WITH p AS (SELECT doc_id,
+                  ARRAY_JOIN(SLICE(SPLIT(text,' '), 1, 2),' ') AS pre
+           FROM documents)
+SELECT pre AS prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM p GROUP BY pre HAVING COUNT(*) >= 2 ORDER BY prefix
+""")
+
+# ---------------------------------------------------------------- B499
+# Vocabulary Venn between two sources: distinct-token counts, overlap,
+# and vocabulary Jaccard — the corpus-comparison summary before a
+# domain-mixing decision.
+_q("q458_vocab_venn", engine_sql="""
+WITH a AS (SELECT DISTINCT w FROM (
+             SELECT EXPLODE(SPLIT(text, ' ')) AS w FROM documents
+             WHERE source = 'src0') x),
+     b AS (SELECT DISTINCT w FROM (
+             SELECT EXPLODE(SPLIT(text, ' ')) AS w FROM documents
+             WHERE source = 'src1') x),
+     i AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni
+           FROM a JOIN b ON b.w = a.w),
+     ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM a),
+     cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b)
+SELECT na, nb, ni,
+       FLOOR(ni * 1000000.0 / (na + nb - ni)) / 1000000.0 AS vocab_jaccard
+FROM ca CROSS JOIN cb CROSS JOIN i
+""",
+   oracle="""
+WITH a AS (SELECT DISTINCT tok AS w FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+           WHERE source = 'src0'),
+     b AS (SELECT DISTINCT tok AS w FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+           WHERE source = 'src1'),
+     i AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni
+           FROM a JOIN b ON b.w = a.w),
+     ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM a),
+     cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b)
+SELECT na, nb, ni,
+       FLOOR(ni * 1000000.0 / (na + nb - ni)) / 1000000.0 AS vocab_jaccard
+FROM ca CROSS JOIN cb CROSS JOIN i
+""")
+
+# ---------------------------------------------------------------- B500
+# Per-document character-level Shannon entropy (compressibility
+# proxy; the char-level companion of q277's per-language token
+# entropy). Positional substring explode; exact integer char counts.
+_q("q459_char_entropy",
+   oracle="""
+WITH c AS (SELECT doc_id, SUBSTR(text, g.i, 1) AS ch
+           FROM documents,
+                UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS g(i)),
+     f AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM c GROUP BY doc_id, ch),
+     t AS (SELECT doc_id, SUM(n) AS nt FROM f GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       FLOOR(-SUM((f.n / t.nt) * LN(f.n / t.nt)) * 10000) / 10000.0
+         AS char_entropy
+FROM f JOIN t ON t.doc_id = f.doc_id
+GROUP BY f.doc_id ORDER BY f.doc_id
+""",
+   engine_sql="""
+WITH c AS (SELECT doc_id, SUBSTR(text, i, 1) AS ch
+           FROM documents
+           LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(text))) g AS i),
+     f AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM c GROUP BY doc_id, ch),
+     t AS (SELECT doc_id, SUM(n) AS nt FROM f GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       FLOOR(-SUM((f.n / t.nt) * LN(f.n / t.nt)) * 10000) / 10000.0
+         AS char_entropy
+FROM f JOIN t ON t.doc_id = f.doc_id
+GROUP BY f.doc_id ORDER BY f.doc_id
+""")
+
+# ---------------------------------------------------------------- B501
+# Simpson diversity (1 − Σp²) of the token distribution per source —
+# the evenness companion to Shannon entropy, exact integer counts in.
+_q("q460_simpson_diversity",
+   oracle="""
+WITH t AS (SELECT source, tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t GROUP BY source, tok),
+     s AS (SELECT source, SUM(n) AS nt, SUM(n * n) AS n2,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM f GROUP BY source)
+SELECT source, v AS vocab,
+       FLOOR((1 - CAST(n2 AS DOUBLE) / (CAST(nt AS DOUBLE)
+              * CAST(nt AS DOUBLE))) * 1000000) / 1000000.0 AS simpson
+FROM s ORDER BY source
+""",
+   engine_sql="""
+WITH t AS (SELECT source, EXPLODE(SPLIT(text, ' ')) AS tok
+           FROM documents),
+     f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t GROUP BY source, tok),
+     s AS (SELECT source, SUM(n) AS nt, SUM(n * n) AS n2,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM f GROUP BY source)
+SELECT source, v AS vocab,
+       FLOOR((1 - CAST(n2 AS DOUBLE) / (CAST(nt AS DOUBLE)
+              * CAST(nt AS DOUBLE))) * 1000000) / 1000000.0 AS simpson
+FROM s ORDER BY source
+""")
+
+# ---------------------------------------------------------------- B502
+# Incremental-ingest contamination screen: each incoming (src1) doc's
+# 4-token chunks probed against the existing corpus's distinct chunk
+# set (all other sources) — the per-doc hit report an incremental
+# dedup gate reads. Report-style (every incoming doc emits).
+_q("q461_incremental_chunk_screen",
+   oracle="""
+WITH t AS (SELECT doc_id, source, STRING_SPLIT(text,' ') AS toks
+           FROM documents),
+     ch AS (SELECT doc_id, source,
+                   MD5(ARRAY_TO_STRING(
+                     toks[i * 4 + 1 : LEAST(i * 4 + 4, LEN(toks))], ' '))
+                     AS h
+            FROM t, UNNEST(GENERATE_SERIES(
+                    0, CAST(CEIL(LEN(toks) / 4.0) AS BIGINT) - 1)) AS g(i)),
+     corpus AS (SELECT DISTINCT h FROM ch WHERE source <> 'src1'),
+     inc AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                    CAST(SUM(CASE WHEN corpus.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM ch LEFT JOIN corpus ON corpus.h = ch.h
+             WHERE ch.source = 'src1' GROUP BY ch.doc_id)
+SELECT doc_id, n_chunks, hits,
+       CAST(CASE WHEN hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM inc ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, source, SPLIT(text,' ') AS toks FROM documents),
+     ch AS (SELECT doc_id, source,
+                   MD5(ARRAY_JOIN(SLICE(toks, i * 4 + 1,
+                     LEAST(i * 4 + 4, SIZE(toks)) - i * 4), ' ')) AS h
+            FROM t LATERAL VIEW EXPLODE(SEQUENCE(
+                   0, CAST(CEIL(SIZE(toks) / 4.0) AS INT) - 1)) g AS i),
+     corpus AS (SELECT DISTINCT h FROM ch WHERE source <> 'src1'),
+     inc AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                    CAST(SUM(CASE WHEN corpus.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM ch LEFT JOIN corpus ON corpus.h = ch.h
+             WHERE ch.source = 'src1' GROUP BY ch.doc_id)
+SELECT doc_id, n_chunks, hits,
+       CAST(CASE WHEN hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM inc ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B503
+# Quality-gate funnel: survivors after each successive curation gate
+# (length band → language allowlist → stopword-ratio cap) — the
+# one-pass conditional-flag rollup a pipeline dashboard shows.
+_q("q462_quality_gate_funnel",
+   oracle="""
+WITH sw AS (SELECT doc_id,
+                   AVG(CASE WHEN tok IN ('a','the') THEN 1.0 ELSE 0 END)
+                     AS swr
+            FROM documents, UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            GROUP BY doc_id),
+     g AS (SELECT d.doc_id,
+                  CASE WHEN d.n_chars BETWEEN 60 AND 500
+                       THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN d.lang IN ('en','de','fr')
+                       THEN 1 ELSE 0 END AS g2,
+                  CASE WHEN sw.swr < 0.15 THEN 1 ELSE 0 END AS g3
+           FROM documents d JOIN sw ON sw.doc_id = d.doc_id)
+SELECT 'stage0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage1_length' AS stage, CAST(SUM(g1) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage2_lang' AS stage, CAST(SUM(g1 * g2) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage3_stopword' AS stage, CAST(SUM(g1 * g2 * g3) AS BIGINT) AS n
+FROM g
+ORDER BY stage
+""",
+   engine_sql="""
+WITH sw AS (SELECT doc_id,
+                   AVG(CASE WHEN tok IN ('a','the') THEN 1.0 ELSE 0 END)
+                     AS swr
+            FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM documents) x
+            GROUP BY doc_id),
+     g AS (SELECT d.doc_id,
+                  CASE WHEN d.n_chars BETWEEN 60 AND 500
+                       THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN d.lang IN ('en','de','fr')
+                       THEN 1 ELSE 0 END AS g2,
+                  CASE WHEN sw.swr < 0.15 THEN 1 ELSE 0 END AS g3
+           FROM documents d JOIN sw ON sw.doc_id = d.doc_id)
+SELECT 'stage0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage1_length' AS stage, CAST(SUM(g1) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage2_lang' AS stage, CAST(SUM(g1 * g2) AS BIGINT) AS n FROM g
+UNION ALL
+SELECT 'stage3_stopword' AS stage, CAST(SUM(g1 * g2 * g3) AS BIGINT) AS n
+FROM g
+ORDER BY stage
+""")
