@@ -10314,3 +10314,262 @@ SELECT 'stage3_stopword' AS stage, CAST(SUM(g1 * g2 * g3) AS BIGINT) AS n
 FROM g
 ORDER BY stage
 """)
+
+
+# ---------------------------------------------------------------- B504
+# Random ±1 projection (Johnson–Lindenstrauss sketch) of embeddings to
+# 8 dims with a deterministic md5 sign matrix. Components quantize to
+# exact 1e-4 ints BEFORE the signed fold, so the projection sums are
+# integer-exact on both engines.
+_q("q463_random_projection",
+   oracle="""
+WITH v AS (SELECT vec_id, g.i - 1 AS dim,
+                  CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+           WHERE vec_id < 300),
+     m AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS j),
+     p AS (SELECT v.vec_id, m.j,
+                  SUM(v.q * (1 - 2 * (CAST('0x' || SUBSTR(MD5(
+                        CAST(v.dim AS VARCHAR) || ':' ||
+                        CAST(m.j AS VARCHAR)), 1, 2) AS BIGINT) % 2)))
+                    AS s
+           FROM v CROSS JOIN m GROUP BY v.vec_id, m.j)
+SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+       s / 10000.0 AS component
+FROM p ORDER BY vec_id, out_dim
+""",
+   engine_sql="""
+WITH v AS (SELECT vec_id, pos AS dim,
+                  CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
+           WHERE vec_id < 300),
+     m AS (SELECT EXPLODE(SEQUENCE(0, 7)) AS j),
+     p AS (SELECT v.vec_id, m.j,
+                  SUM(v.q * (1 - 2 * (CAST(CONV(SUBSTR(MD5(
+                        CAST(v.dim AS STRING) || ':' ||
+                        CAST(m.j AS STRING)), 1, 2), 16, 10)
+                        AS BIGINT) % 2)))
+                    AS s
+           FROM v CROSS JOIN m GROUP BY v.vec_id, m.j)
+SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+       s / 10000.0 AS component
+FROM p ORDER BY vec_id, out_dim
+""")
+
+# ---------------------------------------------------------------- B505
+# Pairwise distance-matrix export for a pinned working set (the
+# clustering-input format): L2 distances among 6 vectors from exact
+# quantized integer sums — every float op sees identical operands.
+_q("q464_distance_matrix",
+   oracle="""
+WITH v AS (SELECT vec_id, g.i AS i,
+                  CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+           WHERE vec_id IN (1, 2, 3, 5, 8, 13)),
+     p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                  SUM((a.q - b.q) * (a.q - b.q)) AS d2
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id)
+SELECT i, j, FLOOR(SQRT(CAST(d2 AS DOUBLE)) / 10000.0 * 10000) / 10000.0
+         AS l2_dist
+FROM p ORDER BY i, j
+""",
+   engine_sql="""
+WITH v AS (SELECT vec_id, pos AS i,
+                  CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
+           WHERE vec_id IN (1, 2, 3, 5, 8, 13)),
+     p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                  SUM((a.q - b.q) * (a.q - b.q)) AS d2
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id)
+SELECT i, j, FLOOR(SQRT(CAST(d2 AS DOUBLE)) / 10000.0 * 10000) / 10000.0
+         AS l2_dist
+FROM p ORDER BY i, j
+""")
+
+# ---------------------------------------------------------------- B506
+# Batched ANN evaluation: 5 query vectors × top-3 cosine neighbors in
+# one plan (partitioned rank per query) — the multi-probe shape a
+# retrieval-eval harness runs, on exact quantized dot products.
+_q("q465_batch_ann_topk",
+   oracle="""
+WITH v AS (SELECT vec_id, g.i AS i,
+                  CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+           WHERE vec_id < 500),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+           WHERE a.vec_id IN (0, 1, 2, 3, 4)
+           GROUP BY a.vec_id, b.vec_id),
+     s AS (SELECT d.qi, d.ni,
+                  d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                           * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY d.qi
+                    ORDER BY d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                             * SQRT(CAST(nb.n2 AS DOUBLE))) DESC, d.ni)
+                    AS rk
+           FROM d JOIN n na ON na.vec_id = d.qi
+                  JOIN n nb ON nb.vec_id = d.ni)
+SELECT qi AS query_id, CAST(rk AS BIGINT) AS rank, ni AS neighbor_id,
+       FLOOR(cos * 10000) / 10000.0 AS cos_sim
+FROM s WHERE rk <= 3 ORDER BY query_id, rank
+""",
+   engine_sql="""
+WITH v AS (SELECT vec_id, pos AS i,
+                  CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
+           WHERE vec_id < 500),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+           WHERE a.vec_id IN (0, 1, 2, 3, 4)
+           GROUP BY a.vec_id, b.vec_id),
+     s AS (SELECT d.qi, d.ni,
+                  d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                           * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY d.qi
+                    ORDER BY d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                             * SQRT(CAST(nb.n2 AS DOUBLE))) DESC, d.ni)
+                    AS rk
+           FROM d JOIN n na ON na.vec_id = d.qi
+                  JOIN n nb ON nb.vec_id = d.ni)
+SELECT qi AS query_id, CAST(rk AS BIGINT) AS rank, ni AS neighbor_id,
+       FLOOR(cos * 10000) / 10000.0 AS cos_sim
+FROM s WHERE rk <= 3 ORDER BY query_id, rank
+""")
+
+# ---------------------------------------------------------------- B507
+# Peak session concurrency per day (interval sweep): 30-minute-gap
+# sessions → ±1 endpoint deltas → running max of the ordered sweep,
+# with session ends ordered before coincident starts so back-to-back
+# sessions don't count as overlap. All-integer arithmetic.
+_q("q466_peak_concurrency", """
+WITH s AS (SELECT user_id, ts,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                         OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+     g AS (SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+           FROM s),
+     iv AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+            FROM g GROUP BY user_id, sid),
+     ev AS (SELECT CAST(t0 AS DATE) AS day, t0 AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT CAST(t0 AS DATE) AS day, t1 AS t, -1 AS delta FROM iv),
+     sweep AS (SELECT day,
+                      SUM(delta) OVER (PARTITION BY day
+                                       ORDER BY t, delta
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS conc
+               FROM ev)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM sweep GROUP BY day ORDER BY day
+""")
+
+# ---------------------------------------------------------------- B508
+# Historical VaR / CVaR at 95% on day-over-day revenue changes: the
+# 5th-percentile change (PERCENTILE_DISC on exact cents — an actual
+# observed value) and the mean of the tail at or below it.
+_q("q467_var_cvar", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     ch AS (SELECT c - LAG(c) OVER (ORDER BY day) AS chg FROM d),
+     v AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY chg)
+             AS var95
+           FROM ch WHERE chg IS NOT NULL)
+SELECT FLOOR(v.var95 / 100.0) / 100.0 AS var_95,
+       FLOOR((SELECT SUM(chg) * 1.0 / COUNT(*) FROM ch
+              WHERE chg IS NOT NULL AND chg <= v.var95) / 100.0) / 100.0
+         AS cvar_95,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ch
+        WHERE chg IS NOT NULL AND chg <= v.var95) AS tail_days
+FROM v
+""")
+
+# ---------------------------------------------------------------- B509
+# Market beta per brand: OLS slope of brand daily revenue on total
+# market daily revenue, computed from exact integer k$ aggregates
+# (Σx, Σy, Σxy, Σx², n) — immune to the summation-order and
+# cancellation jitter a built-in REGR over 1e20-scale cents would hit.
+_q("q468_brand_beta", """
+WITH d AS (SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS yk
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)),
+     mkt AS (SELECT day, SUM(yk) AS xk FROM d GROUP BY day),
+     j AS (SELECT d.brand, d.yk, mkt.xk
+           FROM d JOIN mkt ON mkt.day = d.day),
+     agg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(xk) AS sx, SUM(yk) AS sy,
+                    SUM(xk * yk) AS sxy, SUM(xk * xk) AS sxx
+             FROM j GROUP BY brand)
+SELECT brand, n,
+       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000) / 1000000.0 AS beta
+FROM agg WHERE n * sxx > sx * sx ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B510
+# Banker's rounding surface (HALF_EVEN): engine BROUND vs DuckDB
+# ROUND_EVEN over exactly-representable eighth-step values, where the
+# two half-up/half-even regimes genuinely diverge.
+_q("q469_bankers_rounding",
+   oracle="""
+WITH v AS (SELECT l_orderkey, l_linenumber,
+                  l_quantity + 0.125 * (l_linenumber % 8) AS x
+           FROM lineitem WHERE l_orderkey < 200)
+SELECT l_orderkey, l_linenumber,
+       x AS raw_x,
+       ROUND_EVEN(x, 2) AS bankers_2,
+       ROUND_EVEN(x, 1) AS bankers_1
+FROM v ORDER BY l_orderkey, l_linenumber
+""",
+   engine_sql="""
+WITH v AS (SELECT l_orderkey, l_linenumber,
+                  l_quantity + 0.125 * (l_linenumber % 8) AS x
+           FROM lineitem WHERE l_orderkey < 200)
+SELECT l_orderkey, l_linenumber,
+       x AS raw_x,
+       BROUND(x, 2) AS bankers_2,
+       BROUND(x, 1) AS bankers_1
+FROM v ORDER BY l_orderkey, l_linenumber
+""")
+
+# ---------------------------------------------------------------- B511
+# REGEXP_COUNT surface: digit-run and key-occurrence counts inside the
+# JSON props strings (Spark 4 built-in; DuckDB counts the extract-all
+# list).
+_q("q470_regexp_count",
+   oracle="""
+SELECT event_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+')) AS BIGINT)
+         AS digit_runs,
+       CAST(LEN(REGEXP_EXTRACT_ALL(props, '"[a-z]+":')) AS BIGINT)
+         AS json_keys
+FROM events WHERE event_id < 500 ORDER BY event_id
+""",
+   engine_sql="""
+SELECT event_id,
+       CAST(REGEXP_COUNT(props, '[0-9]+') AS BIGINT) AS digit_runs,
+       CAST(REGEXP_COUNT(props, '"[a-z]+":') AS BIGINT) AS json_keys
+FROM events WHERE event_id < 500 ORDER BY event_id
+""")
