@@ -1,0 +1,189 @@
+"""Incremental near-duplicate dedup over arriving document batches.
+
+The batch tier (``operators/dedup.py``: ``minhash_lsh_pairs`` /
+``dedupe_keepers``) answers "dedup this corpus at rest"; ingestion
+pipelines instead watch documents ARRIVE and must decide admit/drop
+per micro-batch against everything seen before. This module keeps the
+LSH index as parquet state (object-store friendly, restart-safe — a
+new instance over the same ``state_dir`` resumes exactly) and applies
+the same banding + exact-verify semantics as the batch tier:
+
+- ``state/bands``:  (band, bh, id)  — the seen-corpus LSH index
+- ``state/hashes``: (id, tok, n)    — xxhash64 token sets for verify
+
+A new doc is DROPPED iff it has a verified near-dup pair
+(jaccard ≥ threshold on distinct token hashes) with any EARLIER-SEEN
+doc — earlier batch, or lower id within the same batch. That is the
+batch ``dedupe_keepers`` drop-higher-id policy with arrival order as
+the total order, so replaying a corpus in id order through ANY batch
+partitioning reproduces the batch keeper set exactly (pinned in
+``tests/test_incremental_neardup.py``). Two caveats, documented not
+hidden: the batch tier's ``max_bucket_size`` skew cap is not applied
+to the state join (uncapped state buckets can only DROP more, never
+admit a near-dup), and ids must be globally unique.
+
+Scale shape: each batch runs one (batch-bands × state-bands)
+equi-join on (band, bh) — ids only, token arrays never ride the
+banding shuffle — and verification joins only the candidate ids.
+State is append-only parquet; compact/sort it by ``bh`` with the
+layout operators when small files accumulate. Dropped docs' bands
+stay in state ON PURPOSE: the drop policy is "near-dup of anything
+seen", matching the batch tier (see test for the A~B, B~C, A≁C
+chain: B and C both drop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from shredder_spark.operators.dedup import (
+    minhash_from_hashes,
+    token_hashes,
+    tokens_col,
+)
+
+_BANDS_SCHEMA = "band int, bh bigint, id bigint"
+_HASHES_SCHEMA = "id bigint, tok array<bigint>, n int"
+
+
+class IncrementalNearDup:
+    """Parquet-state incremental MinHash-LSH dedup (see module doc)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 num_perm: int = 64, bands: int = 16,
+                 threshold: float = 0.8, seed: int = 1) -> None:
+        assert num_perm % bands == 0
+        self.spark = spark
+        self.state_dir = state_dir
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.threshold = threshold
+        self.seed = seed
+        self._bands_path = os.path.join(state_dir, "bands")
+        self._hashes_path = os.path.join(state_dir, "hashes")
+
+    # -- state ----------------------------------------------------------
+    def _read(self, path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def state_bands(self) -> DataFrame:
+        return self._read(self._bands_path, _BANDS_SCHEMA)
+
+    def state_hashes(self) -> DataFrame:
+        return self._read(self._hashes_path, _HASHES_SCHEMA)
+
+    # -- per-batch ------------------------------------------------------
+    def _banded(self, sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("band"),
+                    F.xxhash64(F.slice("_sig", i * self.rows + 1,
+                                       self.rows)).alias("bh"))
+                for i in range(self.bands)
+            ])).alias("b"),
+        ).select("b.band", "b.bh", "id")
+
+    def _verified(self, cand: DataFrame, left_hashes: DataFrame,
+                  right_hashes: DataFrame) -> DataFrame:
+        """cand (i, j) → verified pairs at ≥ threshold. i comes from
+        ``left_hashes``, j from ``right_hashes`` (may be the same)."""
+        c = (cand
+             .join(left_hashes.select(F.col("id").alias("i"),
+                                      F.col("tok").alias("ti"),
+                                      F.col("n").alias("ni")), "i")
+             .join(right_hashes.select(F.col("id").alias("j"),
+                                       F.col("tok").alias("tj"),
+                                       F.col("n").alias("nj")), "j"))
+        inter = F.size(F.array_intersect("ti", "tj"))
+        union = (F.col("ni") + F.col("nj") - inter).cast("double")
+        return (c.select("i", "j", (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= self.threshold))
+
+    def process_batch(self, batch: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+        """Admit/drop one micro-batch; returns the admitted rows of
+        ``batch`` (all original columns). Appends the WHOLE batch to
+        state afterwards (drop policy is vs seen, not vs admitted)."""
+        src = batch.select(F.col(id_col).cast("long").alias("id"),
+                           F.col(text_col).alias("_text"))
+        hashes = src.select(
+            "id",
+            F.transform(tokens_col(F.col("_text")),
+                        lambda x: F.xxhash64(x)).alias("tok"),
+        ).select("id", "tok", F.size("tok").cast("int").alias("n"))
+        sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
+               .select("id", minhash_from_hashes(
+                   F.col("_hs"), self.num_perm, self.seed).alias("_sig")))
+        new_bands = self._banded(sig).localCheckpoint(eager=True)
+        hashes = hashes.localCheckpoint(eager=True)
+
+        # 1) vs the seen corpus: equi-join on (band, bh), ids only.
+        st_bands = self.state_bands()
+        vs_state = (new_bands.alias("n")
+                    .join(st_bands.alias("s"), ["band", "bh"])
+                    .select(F.col("n.id").alias("i"),
+                            F.col("s.id").alias("j"))
+                    .dropDuplicates(["i", "j"]))
+        dropped_state = (self._verified(vs_state, hashes,
+                                        self.state_hashes())
+                         .select(F.col("i").alias("id")))
+
+        # 2) within the batch: lower id wins, same bucket pairing as
+        # the batch tier (sorted member array → i<j pairs in-array).
+        buckets = (new_bands.groupBy("band", "bh")
+                   .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+                   .filter(F.size("_ids") >= 2))
+        pair_expr = F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), "
+            "y -> named_struct('i', x, 'j', y))))")
+        in_batch = (buckets.select(F.explode(pair_expr).alias("p"))
+                    .select("p.i", "p.j").dropDuplicates(["i", "j"]))
+        dropped_batch = (self._verified(in_batch, hashes, hashes)
+                         .select(F.col("j").alias("id")))
+
+        drop = dropped_state.union(dropped_batch).distinct()
+        admitted = (src.select("id").join(drop, "id", "left_anti")
+                    .withColumnRenamed("id", id_col))
+
+        # 3) append the whole batch to state (restart-safe: parquet).
+        new_bands.write.mode("append").parquet(self._bands_path)
+        hashes.write.mode("append").parquet(self._hashes_path)
+        return batch.join(admitted.select(F.col(id_col).cast("long")
+                                          .alias(id_col)),
+                          id_col, "left_semi")
+
+
+def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
+                          output_dir: str, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          checkpoint_dir: Optional[str] = None,
+                          num_perm: int = 64, bands: int = 16,
+                          threshold: float = 0.8, seed: int = 1):
+    """Structured-Streaming wrapper: admitted docs land in
+    ``output_dir`` parquet via foreachBatch (micro-batches are
+    processed serially by the engine, which is exactly the ordering
+    the state contract needs). Returns the started query."""
+    state = {}
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        if "op" not in state:
+            state["op"] = IncrementalNearDup(
+                bdf.sparkSession, state_dir, num_perm=num_perm,
+                bands=bands, threshold=threshold, seed=seed)
+        admitted = state["op"].process_batch(bdf, id_col, text_col)
+        admitted.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(_sink).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

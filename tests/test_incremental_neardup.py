@@ -1,0 +1,119 @@
+"""Incremental near-dup dedup (streaming/neardup.py).
+
+Pins:
+1. BATCH EQUIVALENCE — replaying a corpus in id order through any
+   batch partitioning reproduces `dedupe_keepers`' keeper set exactly
+   (same LSH params, uncapped buckets).
+2. CHAIN SEMANTICS — A~B, B~C, A~̸C drops both B and C (drop-vs-seen,
+   the batch tier's policy), not the greedy-vs-admitted variant.
+3. RESTART SAFETY — a fresh operator instance over the same state dir
+   continues where the old one stopped.
+4. STREAMING INVARIANT — after a foreachBatch run over a file stream
+   (arbitrary file order), no verified near-dup pair survives among
+   the admitted set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from shredder_spark.operators.dedup import dedupe_keepers, minhash_lsh_pairs
+from shredder_spark.streaming.neardup import (
+    IncrementalNearDup,
+    near_dup_dedup_stream,
+)
+
+SF_DIR = os.environ.get("SHREDDER_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+LSH = dict(num_perm=64, bands=16, threshold=0.5, seed=1)
+
+
+@pytest.fixture()
+def docs(spark):
+    return (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "text").filter(F.col("doc_id") < 200))
+
+
+def _batches(df, n):
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    cuts = [ids[len(ids) * k // n] for k in range(1, n)] + [ids[-1] + 1]
+    lo = min(ids)
+    out = []
+    for hi in cuts:
+        out.append(df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+        lo = hi
+    return out
+
+
+def test_batch_equivalence(spark, docs, tmp_path):
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    op = IncrementalNearDup(spark, str(tmp_path / "state"), **LSH)
+    admitted = set()
+    for b in _batches(docs, 4):
+        admitted |= {r.doc_id for r in op.process_batch(b).collect()}
+    assert admitted == keepers
+    assert len(admitted) < 200  # fixture really contains near-dups
+
+
+def test_chain_semantics(spark, tmp_path):
+    # sliding 8-token windows over a 12-token stream:
+    # j(A,B) = j(B,C) = 6/10 = 0.6, j(A,C) = 4/12 = 0.33
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+            "eta", "theta", "iota", "kappa", "lambda", "mu"]
+    rows = [
+        (1, " ".join(toks[0:8])),   # A
+        (2, " ".join(toks[2:10])),  # B ~ A
+        (3, " ".join(toks[4:12])),  # C ~ B, not ~ A
+    ]
+    lsh = dict(LSH, threshold=0.45)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", **lsh)
+    got = {(r.i, r.j) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    op = IncrementalNearDup(spark, str(tmp_path / "state"), **lsh)
+    admitted = []
+    for b in _batches(df, 3):
+        admitted += [r.doc_id for r in op.process_batch(b).collect()]
+    assert admitted == [1]  # B drops vs A; C drops vs seen B
+
+
+def test_restart_resumes_state(spark, docs, tmp_path):
+    state = str(tmp_path / "state")
+    b1, b2 = _batches(docs, 2)
+    a1 = {r.doc_id for r in IncrementalNearDup(spark, state, **LSH)
+          .process_batch(b1).collect()}
+    # fresh instance — only parquet state carries over
+    a2 = {r.doc_id for r in IncrementalNearDup(spark, state, **LSH)
+          .process_batch(b2).collect()}
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert (a1 | a2) == keepers
+
+
+def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
+    root = tempfile.mkdtemp(prefix="neardup_stream_")
+    try:
+        src = os.path.join(root, "src")
+        docs.repartition(5).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = near_dup_dedup_stream(
+            stream, os.path.join(root, "state"),
+            os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ckpt"), **LSH)
+        q.awaitTermination(120)
+        out = spark.read.parquet(os.path.join(root, "out"))
+        n_admitted = out.count()
+        assert 0 < n_admitted < 200
+        surviving = minhash_lsh_pairs(out, "doc_id", "text", **LSH)
+        assert surviving.count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
