@@ -10573,3 +10573,385 @@ SELECT event_id,
        CAST(REGEXP_COUNT(props, '"[a-z]+":') AS BIGINT) AS json_keys
 FROM events WHERE event_id < 500 ORDER BY event_id
 """)
+
+
+# ---------------------------------------------------------------- B513
+# Grubbs outlier statistic per segment: G = max|x−μ|/s from exact
+# integer cent moments (Σc, Σc², extremes) — the single-outlier test
+# a data-quality monitor runs per stratum.
+_q("q471_grubbs_statistic", """
+WITH g AS (SELECT c_mktsegment AS seg,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sx,
+                  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                      * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sxx,
+                  MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mx,
+                  MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mn
+           FROM customer GROUP BY c_mktsegment),
+     m AS (SELECT seg, n, CAST(sx AS DOUBLE) / n AS mu,
+                  SQRT((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                       / (n - 1)) AS s,
+                  mx, mn
+           FROM g)
+SELECT seg, n,
+       FLOOR(GREATEST(mx - mu, mu - mn) / s * 10000) / 10000.0
+         AS grubbs_g
+FROM m ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B514
+# Wald–Wolfowitz runs test on the daily revenue series per flag:
+# above/below-median signs, run count vs its null mean/variance —
+# closed-form z from exact integer counts.
+_q("q472_runs_test", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100) AS BIGINT) AS k
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     med AS (SELECT flag, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY k)
+               AS m
+             FROM d GROUP BY flag),
+     s AS (SELECT d.flag, d.day,
+                  CASE WHEN d.k > med.m THEN 1 ELSE 0 END AS sgn
+           FROM d JOIN med ON med.flag = d.flag WHERE d.k <> med.m),
+     r AS (SELECT flag, sgn,
+                  CASE WHEN LAG(sgn) OVER (PARTITION BY flag
+                                           ORDER BY day) IS NULL
+                         OR sgn <> LAG(sgn) OVER (PARTITION BY flag
+                                                  ORDER BY day)
+                       THEN 1 ELSE 0 END AS new_run
+           FROM s),
+     agg AS (SELECT flag, CAST(SUM(new_run) AS DOUBLE) AS runs,
+                    CAST(SUM(sgn) AS DOUBLE) AS n1,
+                    CAST(SUM(1 - sgn) AS DOUBLE) AS n2
+             FROM r GROUP BY flag)
+SELECT flag, CAST(runs AS BIGINT) AS runs,
+       CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       FLOOR((runs - (2 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+             * 10000) / 10000.0 AS z
+FROM agg ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B515
+# Durbin–Watson autocorrelation diagnostic on trailing-mean residuals:
+# residuals carried ×7 as exact k$ integers (the 7s cancel in the
+# ratio), DW = Σ(Δe)²/Σe².
+_q("q473_durbin_watson", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     w AS (SELECT flag, day, k,
+                  SUM(k) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (PARTITION BY flag ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+     e AS (SELECT flag, day, 7 * k - s7 AS e7 FROM w WHERE n7 = 7),
+     l AS (SELECT flag, e7,
+                  LAG(e7) OVER (PARTITION BY flag ORDER BY day) AS pe7
+           FROM e)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(SUM(CASE WHEN pe7 IS NOT NULL
+                      THEN CAST((e7 - pe7) * (e7 - pe7) AS DOUBLE)
+                      ELSE 0 END)
+             / SUM(CAST(e7 * e7 AS DOUBLE)) * 10000) / 10000.0 AS dw
+FROM l GROUP BY flag ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B516
+# Decomposition diagnostics (Hyndman-style strength measures):
+# seasonal strength 1 − Var(remainder)/Var(detrended) on q440's exact
+# ×7 detrended series, with an integer-floored per-DOW seasonal so
+# every variance folds exact k$ integers.
+_q("q474_decomposition_strength",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  (ISODOW(CAST(o_orderdate AS DATE)) - 1) AS dow,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, k,
+                  SUM(k) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, 7 * k - s7 AS d7 FROM w WHERE n7 = 7),
+     seas AS (SELECT dow,
+                     CAST(FLOOR(SUM(d7) * 1.0 / COUNT(*)) AS BIGINT)
+                       AS si
+              FROM f GROUP BY dow),
+     r AS (SELECT f.d7, f.d7 - seas.si AS rem
+           FROM f JOIN seas ON seas.dow = f.dow),
+     v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(d7) AS sd, SUM(d7 * d7) AS sdd,
+                  SUM(rem) AS sr, SUM(rem * rem) AS srr
+           FROM r)
+SELECT n,
+       FLOOR(GREATEST(0.0, 1 -
+         ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+          / (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)))
+         * 10000) / 10000.0 AS seasonal_strength
+FROM v
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  PMOD(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 5, 7) AS dow,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY 1, 2),
+     w AS (SELECT day, dow, k,
+                  SUM(k) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+     f AS (SELECT day, dow, 7 * k - s7 AS d7 FROM w WHERE n7 = 7),
+     seas AS (SELECT dow,
+                     CAST(FLOOR(SUM(d7) * 1.0 / COUNT(*)) AS BIGINT)
+                       AS si
+              FROM f GROUP BY dow),
+     r AS (SELECT f.d7, f.d7 - seas.si AS rem
+           FROM f JOIN seas ON seas.dow = f.dow),
+     v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(d7) AS sd, SUM(d7 * d7) AS sdd,
+                  SUM(rem) AS sr, SUM(rem * rem) AS srr
+           FROM r)
+SELECT n,
+       FLOOR(GREATEST(0.0, 1 -
+         ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+          / (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)))
+         * 10000) / 10000.0 AS seasonal_strength
+FROM v
+""")
+
+# ---------------------------------------------------------------- B517
+# Covariance matrix export (long form, i ≤ j) over three integer-
+# quantized lineitem measures — manual (Σxy − ΣxΣy/n)/(n−1) from exact
+# BIGINT sums, the clustering/PCA input format.
+_q("q476_covariance_matrix", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x2,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS x3
+           FROM lineitem),
+     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+                  SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                  SUM(x1 * x3) AS s13, SUM(x2 * x2) AS s22,
+                  SUM(x2 * x3) AS s23, SUM(x3 * x3) AS s33
+           FROM v)
+SELECT 'qty' AS vi, 'qty' AS vj,
+       FLOOR((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+UNION ALL
+SELECT 'qty' AS vi, 'price' AS vj,
+       FLOOR((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+UNION ALL
+SELECT 'qty' AS vi, 'disc' AS vj,
+       FLOOR((CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+UNION ALL
+SELECT 'price' AS vi, 'price' AS vj,
+       FLOOR((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+UNION ALL
+SELECT 'price' AS vi, 'disc' AS vj,
+       FLOOR((CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+UNION ALL
+SELECT 'disc' AS vi, 'disc' AS vj,
+       FLOOR((CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)
+             / (n - 1) * 10000) / 10000.0 AS cov FROM a
+ORDER BY vi, vj
+""")
+
+# ---------------------------------------------------------------- B518
+# Closed-form 2-D PCA of (quantity, price): eigenvalues of the 2×2
+# covariance matrix, principal-axis angle (ATAN2), explained-variance
+# share — all from the same exact integer moments as q476.
+_q("q477_pca_2d", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             / 10000) AS BIGINT) AS y
+           FROM lineitem),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                  SUM(y * y) AS syy
+           FROM v),
+     c AS (SELECT n,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    / (n - 1) AS a,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (n - 1) AS b,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                    / (n - 1) AS cc
+           FROM m)
+SELECT FLOOR(((a + cc) + SQRT((a - cc) * (a - cc) + 4 * b * b)) / 2
+             * 10000) / 10000.0 AS lambda1,
+       FLOOR(((a + cc) - SQRT((a - cc) * (a - cc) + 4 * b * b)) / 2
+             * 10000) / 10000.0 AS lambda2,
+       FLOOR(ATAN2(2 * b, a - cc) / 2 * 10000) / 10000.0 AS axis_angle,
+       FLOOR(((a + cc) + SQRT((a - cc) * (a - cc) + 4 * b * b))
+             / (2 * (a + cc)) * 10000) / 10000.0 AS explained_share
+FROM c
+""")
+
+# ---------------------------------------------------------------- B519
+# 2-D Mahalanobis outliers of (quantity, price): closed-form inverse
+# covariance (same exact moments), top-5 distances with id tiebreak —
+# the correlated-outlier upgrade over per-axis z-scores (q150).
+_q("q478_mahalanobis_2d", """
+WITH v AS (SELECT l_orderkey, l_linenumber,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             / 10000) AS BIGINT) AS y
+           FROM lineitem),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                  SUM(y * y) AS syy
+           FROM v),
+     c AS (SELECT CAST(sx AS DOUBLE) / n AS mx,
+                  CAST(sy AS DOUBLE) / n AS my,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    / (n - 1) AS a,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (n - 1) AS b,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                    / (n - 1) AS cc
+           FROM m),
+     d AS (SELECT v.l_orderkey, v.l_linenumber,
+                  ((v.x - c.mx) * (v.x - c.mx) * c.cc
+                   - 2 * (v.x - c.mx) * (v.y - c.my) * c.b
+                   + (v.y - c.my) * (v.y - c.my) * c.a)
+                  / (c.a * c.cc - c.b * c.b) AS d2
+           FROM v CROSS JOIN c)
+SELECT l_orderkey, l_linenumber,
+       FLOOR(d2 * 10000) / 10000.0 AS mahalanobis_sq
+FROM d ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 5
+""")
+
+# ---------------------------------------------------------------- B520
+# Latest-order-per-customer via DuckDB's DISTINCT ON — the engine maps
+# the same semantics to a partitioned top-1 window (the Spark-first
+# translation of a Postgres-family idiom).
+_q("q479_distinct_on",
+   oracle="""
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, o_orderdate
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+""",
+   engine_sql="""
+WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC,
+                                              o_orderkey DESC) AS rk
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM r WHERE rk = 1 ORDER BY o_custkey
+""")
+
+# ---------------------------------------------------------------- B521
+# NATURAL JOIN + JOIN USING surface: shared-name equi-joins over
+# renamed dims (both engines coalesce the join column once).
+_q("q480_natural_using_join", """
+WITH n AS (SELECT n_nationkey AS nationkey, n_name,
+                  n_regionkey AS regionkey FROM nation),
+     r AS (SELECT r_regionkey AS regionkey, r_name FROM region),
+     c AS (SELECT c_custkey, c_nationkey AS nationkey FROM customer)
+SELECT r_name, n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+FROM n NATURAL JOIN r
+JOIN c USING (nationkey)
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+""")
+
+
+# ---------------------------------------------------------------- B522
+# Binary segmentation, depth 2: q353's variance-reduction split
+# re-applied inside each side of the best split — per-(user, side)
+# prefix-SSE windows, all exact integer sums. Emits the root split and
+# each side's best sub-split (sides too short to split emit none).
+def _q475_series(epoch_expr: str) -> str:
+    return f"""
+WITH s AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY {epoch_expr}, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+     pre AS (SELECT *,
+                    SUM(c) OVER (PARTITION BY user_id ORDER BY rn) AS sx,
+                    SUM(c * c) OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS sxx,
+                    SUM(c) OVER (PARTITION BY user_id) AS tx,
+                    SUM(c * c) OVER (PARTITION BY user_id) AS txx
+             FROM s),
+     scored AS (SELECT user_id, rn AS k, n,
+                       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * sx / rn)
+                       + (CAST(txx - sxx AS DOUBLE)
+                          - CAST(tx - sx AS DOUBLE) * (tx - sx)
+                            / (n - rn)) AS split_sse,
+                       CAST(txx AS DOUBLE)
+                         - CAST(tx AS DOUBLE) * tx / n AS total_sse
+                FROM pre WHERE rn < n AND rn >= 2 AND n - rn >= 2),
+     best AS (SELECT user_id, k,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY total_sse - split_sse
+                                          DESC, k) AS r
+              FROM scored),
+     root AS (SELECT user_id, k AS k1 FROM best WHERE r = 1),
+     sided AS (SELECT s.user_id,
+                      CASE WHEN s.rn <= root.k1 THEN 0 ELSE 1 END AS side,
+                      s.c, s.rn
+               FROM s JOIN root ON root.user_id = s.user_id),
+     spre AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, side
+                                        ORDER BY rn) AS srn,
+                     COUNT(*) OVER (PARTITION BY user_id, side) AS sn,
+                     SUM(c) OVER (PARTITION BY user_id, side
+                                  ORDER BY rn) AS sx,
+                     SUM(c * c) OVER (PARTITION BY user_id, side
+                                      ORDER BY rn) AS sxx,
+                     SUM(c) OVER (PARTITION BY user_id, side) AS tx,
+                     SUM(c * c) OVER (PARTITION BY user_id, side) AS txx
+              FROM sided),
+     sscored AS (SELECT user_id, side, rn AS k,
+                        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * sx / srn)
+                        + (CAST(txx - sxx AS DOUBLE)
+                           - CAST(tx - sx AS DOUBLE) * (tx - sx)
+                             / (sn - srn)) AS split_sse,
+                        CAST(txx AS DOUBLE)
+                          - CAST(tx AS DOUBLE) * tx / sn AS total_sse
+                 FROM spre
+                 WHERE srn < sn AND srn >= 2 AND sn - srn >= 2),
+     sbest AS (SELECT user_id, side, k,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, side
+                                         ORDER BY total_sse - split_sse
+                                           DESC, k) AS r
+               FROM sscored)
+SELECT root.user_id, CAST(root.k1 AS BIGINT) AS split_root,
+       CAST(l.k AS BIGINT) AS split_left,
+       CAST(rt.k AS BIGINT) AS split_right
+FROM root
+LEFT JOIN (SELECT user_id, k FROM sbest WHERE side = 0 AND r = 1) l
+       ON l.user_id = root.user_id
+LEFT JOIN (SELECT user_id, k FROM sbest WHERE side = 1 AND r = 1) rt
+       ON rt.user_id = root.user_id
+ORDER BY root.user_id
+"""
+
+
+_q("q475_binary_segmentation",
+   oracle=_q475_series("EPOCH(ts)"),
+   engine_sql=_q475_series("UNIX_MICROS(CAST(ts AS TIMESTAMP))"))
