@@ -10955,3 +10955,276 @@ ORDER BY root.user_id
 _q("q475_binary_segmentation",
    oracle=_q475_series("EPOCH(ts)"),
    engine_sql=_q475_series("UNIX_MICROS(CAST(ts AS TIMESTAMP))"))
+
+
+# ---------------------------------------------------------------- B523
+# NULL-semantics string surface: CONCAT_WS null-skipping, NULLIF
+# empty-string collapse, null-vs-empty length, null-safe display
+# fallbacks — the cross-engine-identical nuances a migration relies on.
+_q("q481_string_null_semantics", """
+SELECT c_custkey,
+       CONCAT_WS('-', c_name, NULLIF(c_mktsegment, 'MACHINERY'),
+                 CAST(c_nationkey AS STRING)) AS tag,
+       COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'UNKNOWN') AS seg_norm,
+       CAST(LENGTH(NULLIF(c_mktsegment, c_mktsegment)) AS BIGINT)
+         AS len_of_null,
+       CAST(LENGTH('') AS BIGINT) AS len_of_empty
+FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+""")
+
+# ---------------------------------------------------------------- B524
+# Struct-array aggregation: best revenue day per flag via a sorted
+# array of (rev, day) structs on the engine (the collect-sort-head
+# idiom); the oracle states the same top-1 as a window.
+_q("q482_struct_array_agg",
+   oracle="""
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+           FROM lineitem GROUP BY 1, 2),
+     r AS (SELECT flag, day, c,
+                  ROW_NUMBER() OVER (PARTITION BY flag
+                                     ORDER BY c DESC, day DESC) AS rk,
+                  COUNT(*) OVER (PARTITION BY flag) AS nd
+           FROM d)
+SELECT flag, day AS best_day, CAST(c AS BIGINT) AS best_cents,
+       CAST(nd AS BIGINT) AS n_days
+FROM r WHERE rk = 1 ORDER BY flag
+""",
+   engine_sql="""
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+           FROM lineitem GROUP BY 1, 2),
+     a AS (SELECT flag,
+                  SORT_ARRAY(COLLECT_LIST(STRUCT(c, day)), false) AS arr,
+                  CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM d GROUP BY flag)
+SELECT flag, arr[0].day AS best_day,
+       CAST(arr[0].c AS BIGINT) AS best_cents, n_days
+FROM a ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B525
+# Largest-remainder (Hamilton) apportionment: 1000 units allocated to
+# segments by exact revenue share — integer floors + remainder-ranked
+# top-ups, the deterministic way to make shares sum exactly.
+_q("q483_largest_remainder", """
+WITH s AS (SELECT c.c_mktsegment AS seg,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment),
+     t AS (SELECT SUM(rc) AS tc, CAST(COUNT(*) AS BIGINT) AS k FROM s),
+     b AS (SELECT s.seg, s.rc, t.tc,
+                  CAST(FLOOR(1000.0 * s.rc / t.tc) AS BIGINT) AS base,
+                  (1000 * s.rc) % t.tc AS frac
+           FROM s CROSS JOIN t),
+     lo AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+     r AS (SELECT b.seg, b.base, b.frac,
+                  ROW_NUMBER() OVER (ORDER BY b.frac DESC, b.seg) AS rk
+           FROM b)
+SELECT r.seg,
+       CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS units
+FROM r CROSS JOIN lo ORDER BY r.seg
+""")
+
+# ---------------------------------------------------------------- B526
+# D'Hondt divisor apportionment: 10 seats across brands by revenue —
+# quotient table (rev/1..rev/10), global top-10 by quotient, seats =
+# won quotients per brand. Ties break on (brand, divisor), stated.
+_q("q484_dhondt_seats",
+   oracle="""
+WITH s AS (SELECT p.p_brand AS brand,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rc
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY p.p_brand),
+     q AS (SELECT s.brand, g.d,
+                  CAST(s.rc AS DOUBLE) / g.d AS quot
+           FROM s, (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS d) g),
+     r AS (SELECT brand, d, quot,
+                  ROW_NUMBER() OVER (ORDER BY quot DESC, brand, d) AS rk
+           FROM q)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS seats
+FROM r WHERE rk <= 10 GROUP BY brand ORDER BY brand
+""",
+   engine_sql="""
+WITH s AS (SELECT p.p_brand AS brand,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rc
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY p.p_brand),
+     q AS (SELECT s.brand, g.d,
+                  CAST(s.rc AS DOUBLE) / g.d AS quot
+           FROM s CROSS JOIN (SELECT EXPLODE(SEQUENCE(1, 10)) AS d) g),
+     r AS (SELECT brand, d, quot,
+                  ROW_NUMBER() OVER (ORDER BY quot DESC, brand, d) AS rk
+           FROM q)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS seats
+FROM r WHERE rk <= 10 GROUP BY brand ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B527
+# Interval-overlap join with Allen-lite classification: overlapping
+# session pairs across users on the same start day, classified as
+# equal / contains / contained / overlaps — the temporal-join shape
+# with a bounded user block.
+_q("q485_interval_overlap_join", """
+WITH s AS (SELECT user_id, ts, event_id,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                         OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE user_id < 50),
+     g AS (SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+           FROM s),
+     iv AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+            FROM g GROUP BY user_id, sid),
+     p AS (SELECT CAST(a.t0 AS DATE) AS day,
+                  CASE
+                    WHEN a.t0 = b.t0 AND a.t1 = b.t1 THEN 'equal'
+                    WHEN a.t0 <= b.t0 AND a.t1 >= b.t1 THEN 'contains'
+                    WHEN b.t0 <= a.t0 AND b.t1 >= a.t1 THEN 'contained'
+                    ELSE 'overlaps'
+                  END AS rel
+           FROM iv a JOIN iv b
+             ON CAST(a.t0 AS DATE) = CAST(b.t0 AS DATE)
+            AND (a.user_id < b.user_id
+                 OR (a.user_id = b.user_id AND a.sid < b.sid))
+            AND a.t0 <= b.t1 AND b.t0 <= a.t1)
+SELECT day, rel, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY day, rel ORDER BY day, rel
+""")
+
+# ---------------------------------------------------------------- B528
+# LISTAGG DISTINCT WITHIN GROUP — the ANSI ordered distinct string
+# aggregation (engine) vs DuckDB's STRING_AGG(DISTINCT … ORDER BY).
+# Engine caveat (found & pinned here): Spark 4.1's distinct-aggregate
+# rewrite throws ClassCastException when LISTAGG DISTINCT WITHIN GROUP
+# shares a SELECT with another DISTINCT aggregate — so the distinct
+# count derives from the aggregated string instead.
+_q("q486_listagg_distinct",
+   oracle="""
+SELECT o_orderpriority,
+       STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+   engine_sql="""
+WITH a AS (SELECT o_orderpriority,
+                  LISTAGG(DISTINCT o_orderstatus, ',')
+                    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+           FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, statuses,
+       CAST(SIZE(SPLIT(statuses, ',')) AS BIGINT) AS n_statuses
+FROM a ORDER BY o_orderpriority
+""")
+
+# ---------------------------------------------------------------- B529
+# Recency-decayed engagement score per user: Σ 0.97^(days since
+# event), quantized to micro-units per event before the exact integer
+# rollup (same no-float-accumulation rule as the attribution tier).
+_q("q487_decayed_engagement",
+   oracle="""
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS d0 FROM events),
+     e AS (SELECT user_id,
+                  CAST(FLOOR(POWER(0.97,
+                    DATEDIFF('day', CAST(ts AS DATE), mx.d0)) * 1000000)
+                    AS BIGINT) AS micro
+           FROM events CROSS JOIN mx)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(micro) AS BIGINT) AS engagement_micro
+FROM e GROUP BY user_id ORDER BY user_id
+""",
+   engine_sql="""
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS d0 FROM events),
+     e AS (SELECT user_id,
+                  CAST(FLOOR(POWER(0.97,
+                    DATEDIFF(mx.d0, CAST(ts AS DATE))) * 1000000)
+                    AS BIGINT) AS micro
+           FROM events CROSS JOIN mx)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(micro) AS BIGINT) AS engagement_micro
+FROM e GROUP BY user_id ORDER BY user_id
+""")
+
+# ---------------------------------------------------------------- B530
+# Upper-tail dependence of the A/R revenue series: joint p90
+# exceedance vs marginal — the "do extremes co-occur" copula
+# diagnostic, on exact integer series and DISC thresholds.
+_q("q488_tail_dependence", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS ca,
+                  SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS cr
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY ca) AS pa,
+                  PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY cr) AS pr
+           FROM d),
+     f AS (SELECT CASE WHEN d.ca > t.pa THEN 1 ELSE 0 END AS ea,
+                  CASE WHEN d.cr > t.pr THEN 1 ELSE 0 END AS er
+           FROM d CROSS JOIN t)
+SELECT CAST(SUM(ea) AS BIGINT) AS n_a_exceed,
+       CAST(SUM(er) AS BIGINT) AS n_r_exceed,
+       CAST(SUM(ea * er) AS BIGINT) AS n_joint,
+       FLOOR(SUM(ea * er) * 1000000.0 / SUM(ea)) / 1000000.0
+         AS tail_dependence
+FROM f
+""")
+
+# ---------------------------------------------------------------- B531
+# Standardized chi-square cell residuals (o−e)/√e over the full
+# segment × priority grid — which cells DRIVE the q426 dependence,
+# top-10 by |residual|.
+_q("q489_chi_residuals", """
+WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
+             FROM j GROUP BY a, b),
+     ra  AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS na FROM j GROUP BY a),
+     cb  AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nb FROM j GROUP BY b),
+     n   AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM j),
+     grid AS (SELECT ra.a, cb.b, ra.na * cb.nb / n.nt AS e,
+                     COALESCE(obs.o, 0) AS o
+              FROM ra CROSS JOIN cb CROSS JOIN n
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b)
+SELECT a AS segment, b AS priority,
+       CAST(o AS BIGINT) AS observed,
+       FLOOR(e * 100) / 100.0 AS expected,
+       FLOOR((o - e) / SQRT(e) * 10000) / 10000.0 AS std_residual
+FROM grid
+ORDER BY ABS((o - e) / SQRT(e)) DESC, a, b LIMIT 10
+""")
+
+# ---------------------------------------------------------------- B532
+# SQL pipe syntax (Spark 4 `|>` operator chains) — the engine states
+# the pricing rollup as a pipeline; the oracle is the classic
+# SELECT equivalent. Same result, hash-gated.
+_q("q490_pipe_syntax",
+   oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem
+WHERE l_quantity < 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+   engine_sql="""
+FROM lineitem
+|> WHERE l_quantity < 30
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n, cents
+|> ORDER BY l_returnflag
+""")
