@@ -11228,3 +11228,368 @@ FROM lineitem
 |> SELECT l_returnflag, n, cents
 |> ORDER BY l_returnflag
 """)
+
+
+# ---------------------------------------------------------------- B533
+# Forecast-method bake-off on the last 14 days: rolling naive (t−1),
+# seasonal naive (t−7), and train-mean forecasts scored by MAE — all
+# exact integer k$ arithmetic, one verdict table.
+_q("q491_forecast_bakeoff", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     mx AS (SELECT MAX(day) AS d1 FROM d),
+     s AS (SELECT d.day, d.k,
+                  LAG(d.k, 1) OVER (ORDER BY d.day) AS naive_f,
+                  LAG(d.k, 7) OVER (ORDER BY d.day) AS snaive_f,
+                  CASE WHEN d.day > mx.d1 - INTERVAL 14 DAY
+                       THEN 1 ELSE 0 END AS is_test
+           FROM d CROSS JOIN mx),
+     tr AS (SELECT CAST(FLOOR(SUM(k) * 1.0 / COUNT(*)) AS BIGINT) AS mean_f
+            FROM s WHERE is_test = 0),
+     t AS (SELECT s.k, s.naive_f, s.snaive_f, tr.mean_f
+           FROM s CROSS JOIN tr
+           WHERE s.is_test = 1 AND s.naive_f IS NOT NULL
+             AND s.snaive_f IS NOT NULL)
+SELECT 'naive' AS method,
+       FLOOR(SUM(ABS(k - naive_f)) * 100.0 / COUNT(*)) / 100.0 AS mae_k
+FROM t
+UNION ALL
+SELECT 'seasonal_naive' AS method,
+       FLOOR(SUM(ABS(k - snaive_f)) * 100.0 / COUNT(*)) / 100.0 AS mae_k
+FROM t
+UNION ALL
+SELECT 'train_mean' AS method,
+       FLOOR(SUM(ABS(k - mean_f)) * 100.0 / COUNT(*)) / 100.0 AS mae_k
+FROM t
+ORDER BY method
+""")
+
+# ---------------------------------------------------------------- B534
+# Syntetos–Boylan demand classification: ADI (mean inter-demand
+# interval) × CV² (variance of demand sizes) quadrants — smooth /
+# intermittent / erratic / lumpy, per part over daily demand.
+_q("q492_demand_classification",
+   oracle="""
+WITH dd AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+            FROM lineitem WHERE l_partkey <= 200
+            GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+     s AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS nd,
+                  MIN(day) AS d0, MAX(day) AS d1,
+                  SUM(q) AS sq, SUM(q * q) AS sqq
+           FROM dd GROUP BY part HAVING COUNT(*) >= 3),
+     m AS (SELECT part, nd,
+                  CAST(DATEDIFF('day', d0, d1) AS DOUBLE) / (nd - 1) AS adi,
+                  ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nd)
+                   / (nd - 1))
+                  / ((CAST(sq AS DOUBLE) / nd)
+                     * (CAST(sq AS DOUBLE) / nd)) AS cv2
+           FROM s)
+SELECT part, nd AS demand_days,
+       FLOOR(adi * 100) / 100.0 AS adi,
+       FLOOR(cv2 * 10000) / 10000.0 AS cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            ELSE 'lumpy' END AS class
+FROM m ORDER BY part
+""",
+   engine_sql="""
+WITH dd AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+            FROM lineitem WHERE l_partkey <= 200
+            GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+     s AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS nd,
+                  MIN(day) AS d0, MAX(day) AS d1,
+                  SUM(q) AS sq, SUM(q * q) AS sqq
+           FROM dd GROUP BY part HAVING COUNT(*) >= 3),
+     m AS (SELECT part, nd,
+                  CAST(DATEDIFF(d1, d0) AS DOUBLE) / (nd - 1) AS adi,
+                  ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nd)
+                   / (nd - 1))
+                  / ((CAST(sq AS DOUBLE) / nd)
+                     * (CAST(sq AS DOUBLE) / nd)) AS cv2
+           FROM s)
+SELECT part, nd AS demand_days,
+       FLOOR(adi * 100) / 100.0 AS adi,
+       FLOOR(cv2 * 10000) / 10000.0 AS cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            ELSE 'lumpy' END AS class
+FROM m ORDER BY part
+""")
+
+# ---------------------------------------------------------------- B535
+# Newsvendor stocking quantile: optimal stock at the critical ratio
+# cu/(cu+co) = 0.8 — the 80th DISC percentile of daily demand per
+# brand (an actual observed value, exactly comparable).
+_q("q493_newsvendor_quantile", """
+WITH dd AS (SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS q
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE))
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS demand_days,
+       CAST(PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY q) AS BIGINT)
+         AS stock_q80,
+       CAST(MAX(q) AS BIGINT) AS max_day_demand
+FROM dd GROUP BY brand ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B536
+# Null-key join semantics audit: NULL keys match nothing in inner /
+# semi joins, survive left joins unmatched, and pass anti joins — the
+# cardinality contract a migration must preserve, in one row.
+_q("q494_null_join_audit", """
+WITH c AS (SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk FROM customer)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS total_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE nk IS NULL)
+    AS null_key_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM c JOIN nation n ON n.n_nationkey = c.nk) AS inner_matches,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM c LEFT JOIN nation n ON n.n_nationkey = c.nk
+   WHERE n.n_nationkey IS NULL) AS left_unmatched,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n
+                     WHERE n.n_nationkey = c.nk)) AS anti_rows
+""")
+
+# ---------------------------------------------------------------- B537
+# Semi-additive measure rollup: month-end balance per user (LAST value
+# in the month — balances don't sum over time), then summed across
+# users per month. The classic BI semi-additive pattern.
+_q("q495_semi_additive_balance", """
+WITH v AS (SELECT user_id,
+                  CAST(DATE_TRUNC('month', ts) AS DATE) AS mon, ts,
+                  event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id,
+                                       CAST(DATE_TRUNC('month', ts)
+                                            AS DATE)
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rk
+           FROM events)
+SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_balance_cents
+FROM v WHERE rk = 1 GROUP BY mon ORDER BY mon
+""")
+
+# ---------------------------------------------------------------- B538
+# Bitemporal point query: the version of each user's state effective
+# at valid-time T among transactions committed up to tx K — q154's
+# validity intervals cut by both axes, latest-tx wins.
+_q("q496_bitemporal_point", """
+WITH vers AS (SELECT event_id, user_id, event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     ts AS valid_from,
+                     COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                              TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+              FROM events WHERE event_id <= 500),
+     hit AS (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rk
+             FROM vers
+             WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+               AND valid_to > TIMESTAMP '2024-01-15 12:00:00')
+SELECT user_id, event_id AS tx_id, event_type, cents
+FROM hit WHERE rk = 1 ORDER BY user_id
+""")
+
+# ---------------------------------------------------------------- B539
+# Bridge-table allocation: each order's total allocated across its
+# lines proportional to line revenue, largest-remainder within the
+# order so per-order allocations sum EXACTLY to the total.
+_q("q497_bridge_allocation", """
+WITH l AS (SELECT l_orderkey, l_linenumber,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS lc
+           FROM lineitem WHERE l_orderkey < 300),
+     o AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tc
+           FROM orders WHERE o_orderkey < 300),
+     s AS (SELECT l.l_orderkey, l.l_linenumber, l.lc, o.tc,
+                  SUM(l.lc) OVER (PARTITION BY l.l_orderkey) AS osum
+           FROM l JOIN o ON o.o_orderkey = l.l_orderkey),
+     b AS (SELECT *,
+                  CAST(FLOOR(CAST(tc AS DOUBLE) * lc / osum) AS BIGINT)
+                    AS base,
+                  (tc * lc) % osum AS frac
+           FROM s),
+     r AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY frac DESC, l_linenumber)
+                    AS rk,
+                  tc - SUM(base) OVER (PARTITION BY l_orderkey)
+                    AS leftover
+           FROM b)
+SELECT l_orderkey, l_linenumber,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM r ORDER BY l_orderkey, l_linenumber
+""")
+
+# ---------------------------------------------------------------- B540
+# Rolling 7-day distinct users. Spark has no DISTINCT window
+# aggregate; the ENGINE uses the scale-correct rewrite — distinct
+# (user, day) exploded over 7 day-offsets then grouped (linear, no
+# self-join). The oracle states the same thing as a calendar range
+# self-join.
+_q("q498_rolling_distinct_users",
+   oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+     days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN ud u
+  ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+GROUP BY d.day ORDER BY d.day
+""",
+   engine_sql="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+     days AS (SELECT DISTINCT day FROM ud),
+     x AS (SELECT user_id, DATE_ADD(day, off) AS day
+           FROM ud LATERAL VIEW EXPLODE(SEQUENCE(0, 6)) t AS off)
+SELECT d.day, CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN x ON x.day = d.day
+GROUP BY d.day ORDER BY d.day
+""")
+
+# ---------------------------------------------------------------- B541
+# Two-factor revenue-change decomposition (1995→1996 per segment):
+# ΔR split into volume effect (Δn·avg₀) and rate effect (n₁·Δavg) —
+# the metric-tree arithmetic a growth dashboard shows.
+_q("q499_revenue_decomposition", """
+WITH y AS (SELECT c.c_mktsegment AS seg,
+                  EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+           GROUP BY c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate)),
+     p AS (SELECT a.seg, a.n AS n0, a.rc AS r0, b.n AS n1, b.rc AS r1
+           FROM y a JOIN y b ON b.seg = a.seg
+           WHERE a.yr = 1995 AND b.yr = 1996)
+SELECT seg,
+       CAST(r1 - r0 AS BIGINT) AS delta_cents,
+       FLOOR((n1 - n0) * (CAST(r0 AS DOUBLE) / n0)) AS volume_effect,
+       FLOOR(n1 * (CAST(r1 AS DOUBLE) / n1 - CAST(r0 AS DOUBLE) / n0))
+         AS rate_effect
+FROM p ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B542
+# Hybrid search agreement: BM25 top-5 for a term vs cosine top-5 for
+# a query embedding over the SAME doc ids (cross-modal join), both
+# rankings in one output — the retrieval-stack comparison harness.
+_q("q500_hybrid_search_agreement",
+   oracle="""
+WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+            GROUP BY doc_id, u.tok),
+     dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+     c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(dl.dl) / COUNT(*) AS avgdl
+           FROM dl),
+     hit AS (SELECT tf.doc_id, tf.tf, dl.dl,
+                    CAST(COUNT(*) OVER () AS DOUBLE) AS df
+             FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+             WHERE tf.tok = 'spark'),
+     bm AS (SELECT hit.doc_id,
+                   LN((c.n - hit.df + 0.5) / (hit.df + 0.5) + 1)
+                   * hit.tf * 2.2
+                   / (hit.tf + 1.2 * (0.25 + 0.75 * hit.dl / c.avgdl))
+                     AS score
+            FROM hit CROSS JOIN c),
+     bmr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM bm),
+     qv AS (SELECT g.i AS i,
+                   CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+              AS g(i)
+            WHERE vec_id = 0),
+     ev AS (SELECT e.vec_id, g.i AS i,
+                   CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings e,
+                 UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS g(i)
+            WHERE e.vec_id <> 0),
+     dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
+                     SUM(ev.q * ev.q) AS n2
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+     qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
+     cs AS (SELECT d.vec_id AS doc_id,
+                   d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
+                            * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
+            FROM dots d CROSS JOIN qn),
+     csr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM cs)
+SELECT 'bm25' AS method, CAST(rk AS BIGINT) AS rank, doc_id,
+       FLOOR(score * 10000) / 10000.0 AS score
+FROM bmr WHERE rk <= 5
+UNION ALL
+SELECT 'cosine' AS method, CAST(rk AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       FLOOR(score * 10000) / 10000.0 AS score
+FROM csr WHERE rk <= 5
+ORDER BY method, rank
+""",
+   engine_sql="""
+WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM documents) x
+            GROUP BY doc_id, tok),
+     dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+     c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(dl.dl) / COUNT(*) AS avgdl
+           FROM dl),
+     hit AS (SELECT tf.doc_id, tf.tf, dl.dl,
+                    CAST(COUNT(*) OVER () AS DOUBLE) AS df
+             FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+             WHERE tf.tok = 'spark'),
+     bm AS (SELECT hit.doc_id,
+                   LN((c.n - hit.df + 0.5) / (hit.df + 0.5) + 1)
+                   * hit.tf * 2.2
+                   / (hit.tf + 1.2 * (0.25 + 0.75 * hit.dl / c.avgdl))
+                     AS score
+            FROM hit CROSS JOIN c),
+     bmr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM bm),
+     qv AS (SELECT pos AS i,
+                   CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+            FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos,
+              val
+            WHERE vec_id = 0),
+     ev AS (SELECT vec_id, pos AS i,
+                   CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+            FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos,
+              val
+            WHERE vec_id <> 0),
+     dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
+                     SUM(ev.q * ev.q) AS n2
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+     qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
+     cs AS (SELECT d.vec_id AS doc_id,
+                   d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
+                            * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
+            FROM dots d CROSS JOIN qn),
+     csr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM cs)
+SELECT 'bm25' AS method, CAST(rk AS BIGINT) AS rank, doc_id,
+       FLOOR(score * 10000) / 10000.0 AS score
+FROM bmr WHERE rk <= 5
+UNION ALL
+SELECT 'cosine' AS method, CAST(rk AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       FLOOR(score * 10000) / 10000.0 AS score
+FROM csr WHERE rk <= 5
+ORDER BY method, rank
+""")
