@@ -11593,3 +11593,340 @@ SELECT 'cosine' AS method, CAST(rk AS BIGINT) AS rank,
 FROM csr WHERE rk <= 5
 ORDER BY method, rank
 """)
+
+
+# ---------------------------------------------------------------- B543
+# Geospatial grid density: hash-derived points binned into a 0.2°
+# grid (geohash-lite), cells ranked by weight — the heat-map rollup,
+# all integer bin ids.
+_q("q501_geo_grid_density", """
+WITH pts AS (SELECT c_custkey AS id,
+                    (CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 1000.0 - 0.5)
+                      * 2 AS lat,
+                    (CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 1000.0)
+                      * 2 AS lon,
+                    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS w
+             FROM customer),
+     g AS (SELECT CAST(FLOOR(lat / 0.2) AS BIGINT) AS gy,
+                  CAST(FLOOR(lon / 0.2) AS BIGINT) AS gx, w
+           FROM pts)
+SELECT gy, gx, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(w) AS BIGINT) AS weight_cents
+FROM g GROUP BY gy, gx
+ORDER BY n_points DESC, gy, gx LIMIT 20
+""")
+
+# ---------------------------------------------------------------- B544
+# Order-2 Markov paths: P(next | prev two events) from per-user
+# trigram counts — the path-prediction upgrade over q200's bigram
+# transition matrix, exact integer shares.
+_q("q502_path_trigrams", """
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  LAG(event_type, 2) OVER w AS p2,
+                  LAG(event_type, 1) OVER w AS p1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+     tri AS (SELECT p2, p1, event_type AS nxt,
+                    CAST(COUNT(*) AS BIGINT) AS c
+             FROM s WHERE p2 IS NOT NULL GROUP BY p2, p1, event_type),
+     ctx AS (SELECT p2, p1, SUM(c) AS tot FROM tri GROUP BY p2, p1)
+SELECT tri.p2, tri.p1, tri.nxt, tri.c,
+       FLOOR(tri.c * 1000000.0 / ctx.tot) / 1000000.0 AS p_next
+FROM tri JOIN ctx ON ctx.p2 = tri.p2 AND ctx.p1 = tri.p1
+WHERE ctx.tot >= 5
+ORDER BY tri.p2, tri.p1, tri.nxt
+""")
+
+# ---------------------------------------------------------------- B545
+# Outlier-consensus ensemble: z-score, IQR-fence and MAD votes on
+# order totals; flagged when ≥2 methods agree — the ensemble pattern
+# that suppresses single-method false positives. Exact cent inputs,
+# DISC quantiles, manual moments.
+_q("q503_outlier_consensus", """
+WITH v AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS sx,
+                  SUM(c * c) AS sxx,
+                  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c) AS q1,
+                  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS med,
+                  PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS q3
+           FROM v),
+     mad AS (SELECT PERCENTILE_DISC(0.5)
+               WITHIN GROUP (ORDER BY ABS(v.c - m.med)) AS mv
+             FROM v CROSS JOIN m),
+     f AS (SELECT v.o_orderkey, v.c,
+                  CASE WHEN ABS(v.c - CAST(m.sx AS DOUBLE) / m.n)
+                       > 3 * SQRT((CAST(m.sxx AS DOUBLE)
+                                   - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                                  / (m.n - 1)) THEN 1 ELSE 0 END AS z_f,
+                  CASE WHEN v.c > m.q3 + 3 * (m.q3 - m.q1)
+                         OR v.c < m.q1 - 3 * (m.q3 - m.q1)
+                       THEN 1 ELSE 0 END AS iqr_f,
+                  CASE WHEN ABS(v.c - m.med) > 5 * mad.mv
+                       THEN 1 ELSE 0 END AS mad_f
+           FROM v CROSS JOIN m CROSS JOIN mad)
+SELECT CAST(SUM(z_f) AS BIGINT) AS z_flagged,
+       CAST(SUM(iqr_f) AS BIGINT) AS iqr_flagged,
+       CAST(SUM(mad_f) AS BIGINT) AS mad_flagged,
+       CAST(SUM(CASE WHEN z_f + iqr_f + mad_f >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS consensus2,
+       CAST(SUM(CASE WHEN z_f + iqr_f + mad_f = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS consensus3
+FROM f
+""")
+
+# ---------------------------------------------------------------- B546
+# One Lloyd iteration of k-means as a relational op (k=3 on 2-D
+# points): assign to hash-seeded centroids by exact squared distance,
+# recompute centroids — the step the IVF driver-side fit repeats.
+_q("q504_kmeans_step", """
+WITH pts AS (SELECT c_custkey AS id,
+                    c_custkey * 7919 % 1000 AS x,
+                    c_custkey * 104729 % 1000 AS y
+             FROM customer WHERE c_custkey <= 600),
+     cent AS (SELECT 0 AS k, 167 AS cx, 500 AS cy
+              UNION ALL SELECT 1 AS k, 500 AS cx, 167 AS cy
+              UNION ALL SELECT 2 AS k, 833 AS cx, 833 AS cy),
+     d AS (SELECT pts.id, pts.x, pts.y, cent.k,
+                  (pts.x - cent.cx) * (pts.x - cent.cx)
+                  + (pts.y - cent.cy) * (pts.y - cent.cy) AS d2,
+                  ROW_NUMBER() OVER (PARTITION BY pts.id
+                                     ORDER BY (pts.x - cent.cx)
+                                              * (pts.x - cent.cx)
+                                              + (pts.y - cent.cy)
+                                              * (pts.y - cent.cy),
+                                              cent.k) AS rk
+           FROM pts CROSS JOIN cent)
+SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(SUM(x) * 100.0 / COUNT(*)) / 100.0 AS new_cx,
+       FLOOR(SUM(y) * 100.0 / COUNT(*)) / 100.0 AS new_cy
+FROM d WHERE rk = 1 GROUP BY k ORDER BY cluster
+""")
+
+# ---------------------------------------------------------------- B547
+# Sample-ratio-mismatch (SRM) check: hash-assigned 50/50 experiment
+# split, one-df chi-square against the expected ratio — the A/B
+# integrity gate run before reading any metric.
+_q("q505_srm_check",
+   oracle="""
+WITH a AS (SELECT CASE WHEN CAST('0x' || SUBSTR(MD5(
+                    CAST(c_custkey AS VARCHAR) || ':srm'), 1, 8)
+                    AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treat' END
+                    AS arm
+           FROM customer),
+     c AS (SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n0,
+                  CAST(SUM(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n1
+           FROM a)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       FLOOR((POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+              + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2))
+             * 10000) / 10000.0 AS chi2_1df,
+       CAST(CASE WHEN POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                      + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                      > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+FROM c
+""",
+   engine_sql="""
+WITH a AS (SELECT CASE WHEN CAST(CONV(SUBSTR(MD5(
+                    CAST(c_custkey AS STRING) || ':srm'), 1, 8), 16, 10)
+                    AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treat' END
+                    AS arm
+           FROM customer),
+     c AS (SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n0,
+                  CAST(SUM(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n1
+           FROM a)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       FLOOR((POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+              + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2))
+             * 10000) / 10000.0 AS chi2_1df,
+       CAST(CASE WHEN POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                      + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+                      > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+FROM c
+""")
+
+# ---------------------------------------------------------------- B548
+# Two-proportion power analysis: required n per arm to detect the
+# observed high-value rate ±2pp at α=.05, power .8 (closed form,
+# z table constants inlined) — the pre-experiment sizing arithmetic.
+_q("q506_power_analysis", """
+WITH base AS (SELECT CAST(SUM(CASE WHEN o_totalprice > 200000
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS p0
+              FROM orders),
+     d AS (SELECT p0, p0 + 0.02 AS p1, 1.959964 AS za, 0.841621 AS zb
+           FROM base)
+SELECT FLOOR(p0 * 1000000) / 1000000.0 AS baseline_rate,
+       FLOOR(p1 * 1000000) / 1000000.0 AS target_rate,
+       CAST(CEIL(POWER(za * SQRT(2 * ((p0 + p1) / 2)
+                                 * (1 - (p0 + p1) / 2))
+                       + zb * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+                 / POWER(p1 - p0, 2)) AS BIGINT) AS n_per_arm
+FROM d
+""")
+
+# ---------------------------------------------------------------- B549
+# Fleiss' kappa for 3 hash-derived raters × documents (multi-rater
+# agreement beyond chance — the multi-annotator upgrade over q311's
+# two-rater Cohen's kappa). Exact integer category counts per item.
+_q("q507_fleiss_kappa",
+   oracle="""
+WITH r AS (SELECT d.doc_id, g.r AS rater,
+                  CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || ':'
+                       || CAST(g.r AS VARCHAR)), 1, 4) AS BIGINT) % 3
+                    AS cat
+           FROM documents d,
+                (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS r) g),
+     cnt AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+             FROM r GROUP BY doc_id, cat),
+     pi AS (SELECT doc_id, SUM(nij * nij) - 3 AS agree
+            FROM cnt GROUP BY doc_id),
+     pbar AS (SELECT SUM(agree) * 1.0 / (COUNT(*) * 3 * 2) AS pb FROM pi),
+     pj AS (SELECT cat, SUM(nij) AS nj FROM cnt GROUP BY cat),
+     pe AS (SELECT SUM(POWER(nj * 1.0
+                             / (SELECT SUM(nj) FROM pj), 2)) AS pe
+            FROM pj)
+SELECT FLOOR(pbar.pb * 1000000) / 1000000.0 AS p_observed,
+       FLOOR(pe.pe * 1000000) / 1000000.0 AS p_expected,
+       FLOOR((pbar.pb - pe.pe) / (1 - pe.pe) * 1000000) / 1000000.0
+         AS fleiss_kappa
+FROM pbar CROSS JOIN pe
+""",
+   engine_sql="""
+WITH r AS (SELECT d.doc_id, g.r AS rater,
+                  CAST(CONV(SUBSTR(MD5(CAST(d.doc_id AS STRING) || ':'
+                       || CAST(g.r AS STRING)), 1, 4), 16, 10)
+                       AS BIGINT) % 3 AS cat
+           FROM documents d
+           CROSS JOIN (SELECT EXPLODE(SEQUENCE(1, 3)) AS r) g),
+     cnt AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+             FROM r GROUP BY doc_id, cat),
+     pi AS (SELECT doc_id, SUM(nij * nij) - 3 AS agree
+            FROM cnt GROUP BY doc_id),
+     pbar AS (SELECT SUM(agree) * 1.0 / (COUNT(*) * 3 * 2) AS pb FROM pi),
+     pj AS (SELECT cat, SUM(nij) AS nj FROM cnt GROUP BY cat),
+     pe AS (SELECT SUM(POWER(nj * 1.0
+                             / (SELECT SUM(nj) FROM pj), 2)) AS pe
+            FROM pj)
+SELECT FLOOR(pbar.pb * 1000000) / 1000000.0 AS p_observed,
+       FLOOR(pe.pe * 1000000) / 1000000.0 AS p_expected,
+       FLOOR((pbar.pb - pe.pe) / (1 - pe.pe) * 1000000) / 1000000.0
+         AS fleiss_kappa
+FROM pbar CROSS JOIN pe
+""")
+
+# ---------------------------------------------------------------- B550
+# Cronbach's alpha over 3 hash-derived item scores per customer:
+# α = k/(k−1)·(1 − Σvarᵢ/var_total), every variance from exact
+# integer moments — the scale-reliability diagnostic.
+_q("q508_cronbach_alpha",
+   oracle="""
+WITH it AS (SELECT c_custkey,
+                   CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)
+                        || ':1'), 1, 3) AS BIGINT) AS s1,
+                   CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)
+                        || ':2'), 1, 3) AS BIGINT) AS s2,
+                   CAST('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR)
+                        || ':3'), 1, 3) AS BIGINT) AS s3
+            FROM customer),
+     t AS (SELECT c_custkey, s1, s2, s3, s1 + s2 + s3 AS tot FROM it),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(s1) AS a1, SUM(s1 * s1) AS b1,
+                  SUM(s2) AS a2, SUM(s2 * s2) AS b2,
+                  SUM(s3) AS a3, SUM(s3 * s3) AS b3,
+                  SUM(tot) AS at2, SUM(tot * tot) AS bt
+           FROM t)
+SELECT FLOOR(1.5 * (1 -
+         (((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n)
+           + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n)
+           + (CAST(b3 AS DOUBLE) - CAST(a3 AS DOUBLE) * a3 / n))
+          / (CAST(bt AS DOUBLE) - CAST(at2 AS DOUBLE) * at2 / n)))
+         * 1000000) / 1000000.0 AS cronbach_alpha
+FROM m
+""",
+   engine_sql="""
+WITH it AS (SELECT c_custkey,
+                   CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)
+                        || ':1'), 1, 3), 16, 10) AS BIGINT) AS s1,
+                   CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)
+                        || ':2'), 1, 3), 16, 10) AS BIGINT) AS s2,
+                   CAST(CONV(SUBSTR(MD5(CAST(c_custkey AS STRING)
+                        || ':3'), 1, 3), 16, 10) AS BIGINT) AS s3
+            FROM customer),
+     t AS (SELECT c_custkey, s1, s2, s3, s1 + s2 + s3 AS tot FROM it),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(s1) AS a1, SUM(s1 * s1) AS b1,
+                  SUM(s2) AS a2, SUM(s2 * s2) AS b2,
+                  SUM(s3) AS a3, SUM(s3 * s3) AS b3,
+                  SUM(tot) AS at2, SUM(tot * tot) AS bt
+           FROM t)
+SELECT FLOOR(1.5 * (1 -
+         (((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n)
+           + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n)
+           + (CAST(b3 AS DOUBLE) - CAST(a3 AS DOUBLE) * a3 / n))
+          / (CAST(bt AS DOUBLE) - CAST(at2 AS DOUBLE) * at2 / n)))
+         * 1000000) / 1000000.0 AS cronbach_alpha
+FROM m
+""")
+
+# ---------------------------------------------------------------- B551
+# Forecast skill score: 1 − MSE(seasonal-naive)/MSE(train-mean) over
+# the q491 test window — positive skill means the model beats the
+# baseline; exact integer errors throughout.
+_q("q509_forecast_skill", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     mx AS (SELECT MAX(day) AS d1 FROM d),
+     s AS (SELECT d.day, d.k,
+                  LAG(d.k, 7) OVER (ORDER BY d.day) AS snaive_f,
+                  CASE WHEN d.day > mx.d1 - INTERVAL 14 DAY
+                       THEN 1 ELSE 0 END AS is_test
+           FROM d CROSS JOIN mx),
+     tr AS (SELECT CAST(FLOOR(SUM(k) * 1.0 / COUNT(*)) AS BIGINT) AS mean_f
+            FROM s WHERE is_test = 0),
+     t AS (SELECT s.k, s.snaive_f, tr.mean_f
+           FROM s CROSS JOIN tr
+           WHERE s.is_test = 1 AND s.snaive_f IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS test_days,
+       FLOOR((1 - SUM((k - snaive_f) * (k - snaive_f)) * 1.0
+                  / SUM((k - mean_f) * (k - mean_f))) * 10000) / 10000.0
+         AS skill_vs_mean
+FROM t
+""")
+
+# ---------------------------------------------------------------- B552
+# RFM-segment migration matrix 1995→1996: monetary quintile per
+# customer per year via percentile-CUTOFF banding (the scale-safe
+# NTILE substitute — no low-cardinality windows), then the year-over-
+# year transition counts.
+_q("q510_rfm_migration", """
+WITH y AS (SELECT o_custkey AS cust,
+                  EXTRACT(YEAR FROM o_orderdate) AS yr,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+           GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)),
+     cut AS (SELECT yr,
+                    PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY m) AS c1,
+                    PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY m) AS c2,
+                    PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY m) AS c3,
+                    PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY m) AS c4
+             FROM y GROUP BY yr),
+     b AS (SELECT y.cust, y.yr,
+                  CASE WHEN y.m <= cut.c1 THEN 1
+                       WHEN y.m <= cut.c2 THEN 2
+                       WHEN y.m <= cut.c3 THEN 3
+                       WHEN y.m <= cut.c4 THEN 4 ELSE 5 END AS q
+           FROM y JOIN cut ON cut.yr = y.yr)
+SELECT a.q AS q_1995, c.q AS q_1996, CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM b a JOIN b c ON c.cust = a.cust AND a.yr = 1995 AND c.yr = 1996
+GROUP BY a.q, c.q ORDER BY q_1995, q_1996
+""")

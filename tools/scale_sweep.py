@@ -36,6 +36,7 @@ SF_DIRS = {
 
 TIMED = [
     "q01_scan_count",
+    "q421_grouped_rank_scale",
     "q05_inner_join",
     "q15_pricing_summary",
     "q21_ranking_windows",
@@ -47,8 +48,8 @@ TIMED = [
 
 # headline queries with a DuckDB oracle — re-checked at sf1
 ORACLE_CHECK = ["q01_scan_count", "q05_inner_join", "q15_pricing_summary",
-                "q21_ranking_windows", "q50_term_frequency",
-                "q140_bm25_search"]
+                "q21_ranking_windows", "q421_grouped_rank_scale",
+                "q50_term_frequency", "q140_bm25_search"]
 
 
 def _drain(df) -> None:
@@ -100,6 +101,44 @@ def main() -> None:
             duplicate_substring_spans)
         stats["substr_spans"] = duplicate_substring_spans(
             docs.select("doc_id", "text"), min_len=60).count()
+
+        # incremental near-dup tier: 4 arrival batches vs one batch
+        # dedup — admitted-set equality plus the incremental overhead
+        # ratio (state join cost amortized per batch)
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from shredder_spark.operators.dedup import dedupe_keepers
+        from shredder_spark.streaming.neardup import IncrementalNearDup
+
+        lsh = dict(num_perm=64, bands=16, threshold=0.5, seed=1)
+        src = docs.select("doc_id", "text")
+        t0 = time.perf_counter()
+        keepers = {r.doc_id for r in dedupe_keepers(
+            src, "doc_id", "text", max_bucket_size=10**9, **lsh).collect()}
+        batch_s = time.perf_counter() - t0
+        state = tempfile.mkdtemp(prefix=f"neardup_sweep_{sf}_")
+        try:
+            op = IncrementalNearDup(spark, state, **lsh)
+            ids = sorted(r.doc_id for r in src.select("doc_id").collect())
+            cuts = [ids[len(ids) * k // 4] for k in (1, 2, 3)] + [ids[-1] + 1]
+            admitted: set = set()
+            lo = ids[0]
+            t0 = time.perf_counter()
+            for hi in cuts:
+                b = src.filter((F.col("doc_id") >= lo)
+                               & (F.col("doc_id") < hi))
+                admitted |= {r.doc_id for r in op.process_batch(b).collect()}
+                lo = hi
+            inc_s = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+        stats["neardup_batch_s"] = round(batch_s, 3)
+        stats["neardup_incremental_s"] = round(inc_s, 3)
+        stats["neardup_equal"] = bool(admitted == keepers)
+        stats["neardup_keepers"] = len(keepers)
         out["sfs"][sf] = stats
 
     # oracle re-check at sf1 (engine vs DuckDB on the same derived files)
