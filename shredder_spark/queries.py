@@ -11930,3 +11930,271 @@ SELECT a.q AS q_1995, c.q AS q_1996, CAST(COUNT(*) AS BIGINT) AS n_cust
 FROM b a JOIN b c ON c.cust = a.cust AND a.yr = 1995 AND c.yr = 1996
 GROUP BY a.q, c.q ORDER BY q_1995, q_1996
 """)
+
+
+# ---------------------------------------------------------------- B553
+# SCD Type-3 snapshot: current + previous attribute value per key in
+# fixed columns (the limited-history warehouse pattern; SCD2 keeps the
+# full interval history, q154).
+_q("q511_scd3_snapshot", """
+WITH v AS (SELECT user_id, event_type, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rk
+           FROM events)
+SELECT cur.user_id,
+       cur.event_type AS current_type,
+       prev.event_type AS previous_type,
+       CAST(CASE WHEN prev.event_type IS NULL
+                   OR cur.event_type = prev.event_type
+                 THEN 0 ELSE 1 END AS BIGINT) AS changed
+FROM (SELECT * FROM v WHERE rk = 1) cur
+LEFT JOIN (SELECT * FROM v WHERE rk = 2) prev
+       ON prev.user_id = cur.user_id
+ORDER BY cur.user_id
+""")
+
+# ---------------------------------------------------------------- B554
+# Late-arriving-dimension lookup: each fact takes the dim version
+# valid at its timestamp, and facts predating the dim's first version
+# FALL BACK to that earliest version (the standard late-arriving
+# pattern) — validity join + per-fact COALESCE rank.
+_q("q512_late_arriving_dim", """
+WITH dim AS (SELECT user_id, event_type AS attr, ts AS valid_from,
+                    COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS vn
+             FROM events WHERE event_type IN ('signup', 'purchase')),
+     fact AS (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'click'),
+     hit AS (SELECT f.event_id, f.user_id, f.cents, d.attr
+             FROM fact f JOIN dim d
+               ON d.user_id = f.user_id
+              AND f.ts >= d.valid_from AND f.ts < d.valid_to),
+     fb AS (SELECT f.event_id, f.user_id, f.cents, d.attr
+            FROM fact f JOIN dim d
+              ON d.user_id = f.user_id AND d.vn = 1
+            WHERE NOT EXISTS (SELECT 1 FROM hit h
+                              WHERE h.event_id = f.event_id))
+SELECT event_id, user_id, cents, attr, 'effective' AS src FROM hit
+UNION ALL
+SELECT event_id, user_id, cents, attr, 'fallback' AS src FROM fb
+ORDER BY event_id
+""")
+
+# ---------------------------------------------------------------- B555
+# Header–detail reconciliation report: order headers vs the exact
+# cent sum of their lines — match counts and the worst absolute
+# discrepancies, the daily finance-ops integrity check.
+_q("q513_header_detail_recon", """
+WITH l AS (SELECT l_orderkey,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS lc,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY l_orderkey),
+     j AS (SELECT o.o_orderkey,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS hc,
+                  COALESCE(l.lc, 0) AS lc, COALESCE(l.n_lines, 0) AS nl
+           FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN nl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS headless_lines,
+       CAST(SUM(CASE WHEN hc = lc THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_match,
+       CAST(MAX(ABS(hc - lc)) AS BIGINT) AS max_abs_diff_cents,
+       CAST(SUM(ABS(hc - lc)) AS BIGINT) AS total_abs_diff_cents
+FROM j
+""")
+
+# ---------------------------------------------------------------- B556
+# Effective-dated currency conversion: an inline rate table with
+# validity windows, converted revenue per month — the as-of dim join
+# every multi-currency warehouse runs.
+_q("q514_currency_conversion", """
+WITH rates AS (SELECT * FROM (VALUES
+                 (DATE '1992-01-01', DATE '1996-01-01', 110),
+                 (DATE '1996-01-01', DATE '1999-01-01', 125),
+                 (DATE '1999-01-01', DATE '2101-01-01', 96))
+               AS r(valid_from, valid_to, rate_pct)),
+     o AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+                  CAST(o_orderdate AS DATE) AS d,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o.mon, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS usd_cents,
+       CAST(SUM(CAST(FLOOR(o.cents * r.rate_pct / 100.0) AS BIGINT))
+            AS BIGINT) AS converted_cents
+FROM o JOIN rates r ON o.d >= r.valid_from AND o.d < r.valid_to
+GROUP BY o.mon ORDER BY o.mon
+""")
+
+# ---------------------------------------------------------------- B557
+# ISO week-year boundary corners: days whose ISO week-year differs
+# from the calendar year (the early-January / late-December rows that
+# break naive week rollups).
+_q("q515_iso_week_corners",
+   oracle="""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT day,
+       CAST(EXTRACT(YEAR FROM day) AS BIGINT) AS cal_year,
+       CAST(ISOYEAR(day) AS BIGINT) AS iso_year,
+       CAST(WEEKOFYEAR(day) AS BIGINT) AS iso_week
+FROM d
+WHERE EXTRACT(YEAR FROM day) <> ISOYEAR(day)
+ORDER BY day
+""",
+   engine_sql="""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT day,
+       CAST(EXTRACT(YEAR FROM day) AS BIGINT) AS cal_year,
+       CAST(EXTRACT(YEAROFWEEK FROM day) AS BIGINT) AS iso_year,
+       CAST(WEEKOFYEAR(day) AS BIGINT) AS iso_week
+FROM d
+WHERE EXTRACT(YEAR FROM day) <> EXTRACT(YEAROFWEEK FROM day)
+ORDER BY day
+""")
+
+# ---------------------------------------------------------------- B558
+# Retail 4-5-4 fiscal calendar mapping: ISO weeks grouped into the
+# repeating 4-5-4 month pattern within the fiscal quarter — pure
+# integer arithmetic from the ISO week number.
+_q("q516_fiscal_454",
+   oracle="""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+     w AS (SELECT day, CAST(ISOYEAR(day) AS BIGINT) AS fy,
+                  CAST(LEAST(WEEKOFYEAR(day), 52) - 1 AS BIGINT) AS w0
+           FROM d),
+     m AS (SELECT day, fy, w0, w0 // 13 AS fq,
+                  CASE WHEN w0 % 13 < 4 THEN 1
+                       WHEN w0 % 13 < 9 THEN 2 ELSE 3 END AS mq
+           FROM w)
+SELECT fy, CAST(fq + 1 AS BIGINT) AS fiscal_quarter,
+       CAST(fq * 3 + mq AS BIGINT) AS fiscal_month,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM m GROUP BY fy, fq, mq ORDER BY fy, fiscal_quarter, fiscal_month
+""",
+   engine_sql="""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+     w AS (SELECT day, CAST(EXTRACT(YEAROFWEEK FROM day) AS BIGINT) AS fy,
+                  CAST(LEAST(WEEKOFYEAR(day), 52) - 1 AS BIGINT) AS w0
+           FROM d),
+     m AS (SELECT day, fy, w0, w0 DIV 13 AS fq,
+                  CASE WHEN w0 % 13 < 4 THEN 1
+                       WHEN w0 % 13 < 9 THEN 2 ELSE 3 END AS mq
+           FROM w)
+SELECT fy, CAST(fq + 1 AS BIGINT) AS fiscal_quarter,
+       CAST(fq * 3 + mq AS BIGINT) AS fiscal_month,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM m GROUP BY fy, fq, mq ORDER BY fy, fiscal_quarter, fiscal_month
+""")
+
+# ---------------------------------------------------------------- B559
+# Partition-design audit: rows and exact byte-proxy per (year, month)
+# partition plus the max/median balance ratio — the check run before
+# committing a partitioning scheme.
+_q("q517_partition_audit", """
+WITH p AS (SELECT EXTRACT(YEAR FROM l_shipdate) AS y,
+                  EXTRACT(MONTH FROM l_shipdate) AS m,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                  CAST(MAX(n) AS BIGINT) AS max_rows,
+                  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n)
+                       AS BIGINT) AS med_rows,
+                  CAST(MIN(n) AS BIGINT) AS min_rows,
+                  CAST(SUM(n) AS BIGINT) AS total_rows
+           FROM p)
+SELECT n_parts, total_rows, min_rows, med_rows, max_rows,
+       FLOOR(max_rows * 100.0 / med_rows) / 100.0 AS max_over_median
+FROM s
+""")
+
+# ---------------------------------------------------------------- B560
+# Dictionary-encoding benefit estimate per column: distinct ratio and
+# projected dict+codes size vs raw bytes (the layout-tuning heuristic
+# a storage engineer runs before rewriting a table).
+_q("q518_compression_estimate", """
+WITH c AS (SELECT 'o_orderstatus' AS col,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d,
+                  CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) AS raw
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority' AS col,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d,
+                  CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) AS raw
+           FROM orders
+           UNION ALL
+           SELECT 'c_mktsegment' AS col,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS d,
+                  CAST(SUM(LENGTH(c_mktsegment)) AS BIGINT) AS raw
+           FROM customer)
+SELECT col, n, d,
+       FLOOR(d * 1000000.0 / n) / 1000000.0 AS distinct_ratio, raw,
+       CAST(d * 16 + n * CAST(CEIL(LN(d + 1) / LN(2) / 8) AS BIGINT)
+            AS BIGINT) AS dict_bytes_est
+FROM c ORDER BY col
+""")
+
+# ---------------------------------------------------------------- B561
+# Bloom-filter sizing calculator: optimal bits (m) and hash count (k)
+# for the OBSERVED distinct-key count at 1% and 0.1% target FPR —
+# the closed-form ln2 arithmetic behind q417's filter.
+_q("q519_bloom_sizing", """
+WITH n AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS nd
+           FROM lineitem)
+SELECT CAST(nd AS BIGINT) AS n_keys,
+       CAST(CEIL(-nd * LN(0.01) / (LN(2) * LN(2))) AS BIGINT)
+         AS m_bits_fpr1,
+       CAST(ROUND(-LN(0.01) / LN(2)) AS BIGINT) AS k_hashes_fpr1,
+       CAST(CEIL(-nd * LN(0.001) / (LN(2) * LN(2))) AS BIGINT)
+         AS m_bits_fpr01,
+       CAST(ROUND(-LN(0.001) / LN(2)) AS BIGINT) AS k_hashes_fpr01
+FROM n
+""")
+
+# ---------------------------------------------------------------- B562
+# Shuffle-partition advisor: byte-proxy volume vs a 4 KB-per-
+# partition target plus a measured hash-balance check of the
+# RECOMMENDED partition count (max/avg row share across hash buckets).
+_q("q520_shuffle_advisor",
+   oracle="""
+WITH v AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+     rec AS (SELECT bytes_total, n,
+                    GREATEST(CAST(CEIL(bytes_total / 4096.0) AS BIGINT), 1)
+                      AS n_parts
+             FROM v),
+     h AS (SELECT CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % rec.n_parts AS b
+           FROM documents d CROSS JOIN rec),
+     bal AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY b)
+SELECT rec.bytes_total, rec.n_parts,
+       CAST(MAX(bal.c) AS BIGINT) AS max_bucket_rows,
+       FLOOR(MAX(bal.c) * 100.0 * rec.n_parts / rec.n) / 100.0
+         AS max_over_avg
+FROM rec CROSS JOIN bal
+GROUP BY rec.bytes_total, rec.n_parts, rec.n
+""",
+   engine_sql="""
+WITH v AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+     rec AS (SELECT bytes_total, n,
+                    GREATEST(CAST(CEIL(bytes_total / 4096.0) AS BIGINT), 1)
+                      AS n_parts
+             FROM v),
+     h AS (SELECT CAST(CONV(SUBSTR(MD5(CAST(d.doc_id AS STRING)),
+                        1, 8), 16, 10) AS BIGINT) % rec.n_parts AS b
+           FROM documents d CROSS JOIN rec),
+     bal AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY b)
+SELECT rec.bytes_total, rec.n_parts,
+       CAST(MAX(bal.c) AS BIGINT) AS max_bucket_rows,
+       FLOOR(MAX(bal.c) * 100.0 * rec.n_parts / rec.n) / 100.0
+         AS max_over_avg
+FROM rec CROSS JOIN bal
+GROUP BY rec.bytes_total, rec.n_parts, rec.n
+""")
