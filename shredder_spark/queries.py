@@ -11644,10 +11644,12 @@ ORDER BY tri.p2, tri.p1, tri.nxt
 # DISC quantiles, manual moments.
 _q("q503_outlier_consensus", """
 WITH v AS (SELECT o_orderkey,
-                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS k
            FROM orders),
-     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS sx,
-                  SUM(c * c) AS sxx,
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(k) AS sx,
+                  SUM(k * k) AS sxx,
                   PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c) AS q1,
                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS med,
                   PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS q3
@@ -11656,7 +11658,7 @@ WITH v AS (SELECT o_orderkey,
                WITHIN GROUP (ORDER BY ABS(v.c - m.med)) AS mv
              FROM v CROSS JOIN m),
      f AS (SELECT v.o_orderkey, v.c,
-                  CASE WHEN ABS(v.c - CAST(m.sx AS DOUBLE) / m.n)
+                  CASE WHEN ABS(v.k - CAST(m.sx AS DOUBLE) / m.n)
                        > 3 * SQRT((CAST(m.sxx AS DOUBLE)
                                    - CAST(m.sx AS DOUBLE) * m.sx / m.n)
                                   / (m.n - 1)) THEN 1 ELSE 0 END AS z_f,
