@@ -12200,3 +12200,450 @@ SELECT rec.bytes_total, rec.n_parts,
 FROM rec CROSS JOIN bal
 GROUP BY rec.bytes_total, rec.n_parts, rec.n
 """)
+
+
+# ---------------------------------------------------------------- B563
+# Partial autocorrelation (PACF lags 1–3, Durbin–Levinson closed
+# form): series centered ×n so every correlation numerator folds
+# exact integers; the AR-order diagnostic.
+_q("q521_pacf", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 1000000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     s AS (SELECT day, k, COUNT(*) OVER () AS n,
+                  SUM(k) OVER () AS sk
+           FROM d),
+     x AS (SELECT day, n * k - sk AS xc,
+                  LAG(n * k - sk, 1) OVER (ORDER BY day) AS x1,
+                  LAG(n * k - sk, 2) OVER (ORDER BY day) AS x2,
+                  LAG(n * k - sk, 3) OVER (ORDER BY day) AS x3
+           FROM s),
+     r AS (SELECT SUM(xc * xc) AS s0,
+                  SUM(CASE WHEN x1 IS NOT NULL THEN xc * x1 END) AS s1,
+                  SUM(CASE WHEN x2 IS NOT NULL THEN xc * x2 END) AS s2,
+                  SUM(CASE WHEN x3 IS NOT NULL THEN xc * x3 END) AS s3
+           FROM x),
+     c AS (SELECT CAST(s1 AS DOUBLE) / s0 AS r1,
+                  CAST(s2 AS DOUBLE) / s0 AS r2,
+                  CAST(s3 AS DOUBLE) / s0 AS r3
+           FROM r)
+SELECT FLOOR(r1 * 10000) / 10000.0 AS pacf1,
+       FLOOR((r2 - r1 * r1) / (1 - r1 * r1) * 10000) / 10000.0 AS pacf2,
+       FLOOR(((r3 - r1 * r2)
+              - (r2 - r1 * r1) / (1 - r1 * r1) * (r2 - r1 * r1))
+             / ((1 - r1 * r1)
+                - (r2 - r1 * r1) / (1 - r1 * r1) * (r2 - r1 * r1) * 1.0)
+             * 10000) / 10000.0 AS pacf3_dl
+FROM c
+""")
+
+# ---------------------------------------------------------------- B564
+# Dominant-period detection: argmax autocorrelation over lags 2–14 of
+# the daily series (the "is there weekly seasonality" probe), exact
+# centered-integer correlations.
+_q("q522_period_detection",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 1000000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     s AS (SELECT day, COUNT(*) OVER () * k - SUM(k) OVER () AS xc,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d),
+     lagd AS (SELECT g.l AS lag, a.xc AS xa, b.xc AS xb
+              FROM (SELECT UNNEST(GENERATE_SERIES(2, 14)) AS l) g
+              JOIN s a ON TRUE
+              JOIN s b ON b.rn = a.rn - g.l),
+     s0 AS (SELECT SUM(xc * xc) AS v FROM s),
+     r AS (SELECT lag, SUM(xa * xb) AS num FROM lagd GROUP BY lag),
+     best AS (SELECT r.lag, CAST(r.num AS DOUBLE) / s0.v AS acf,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(r.num AS DOUBLE) / s0.v DESC, r.lag)
+                       AS rk
+              FROM r CROSS JOIN s0)
+SELECT CAST(lag AS BIGINT) AS detected_period,
+       FLOOR(acf * 10000) / 10000.0 AS acf_at_peak
+FROM best WHERE rk = 1
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 1000000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     s AS (SELECT day, COUNT(*) OVER () * k - SUM(k) OVER () AS xc,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d),
+     lagd AS (SELECT g.l AS lag, a.xc AS xa, b.xc AS xb
+              FROM (SELECT EXPLODE(SEQUENCE(2, 14)) AS l) g
+              JOIN s a ON TRUE
+              JOIN s b ON b.rn = a.rn - g.l),
+     s0 AS (SELECT SUM(xc * xc) AS v FROM s),
+     r AS (SELECT lag, SUM(xa * xb) AS num FROM lagd GROUP BY lag),
+     best AS (SELECT r.lag, CAST(r.num AS DOUBLE) / s0.v AS acf,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(r.num AS DOUBLE) / s0.v DESC, r.lag)
+                       AS rk
+              FROM r CROSS JOIN s0)
+SELECT CAST(lag AS BIGINT) AS detected_period,
+       FLOOR(acf * 10000) / 10000.0 AS acf_at_peak
+FROM best WHERE rk = 1
+""")
+
+# ---------------------------------------------------------------- B565
+# Laspeyres & Paasche price indices 1995→1996 per brand: per-part
+# integer unit prices (floored cents) weighted by base/current-year
+# quantities — the economics-style basket arithmetic, all BIGINT.
+_q("q523_price_indices", """
+WITH py AS (SELECT p.p_brand AS brand, l.l_partkey AS part,
+                   EXTRACT(YEAR FROM l.l_shipdate) AS yr,
+                   CAST(FLOOR(
+                     SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     * 1.0 / SUM(CAST(ROUND(l.l_quantity) AS BIGINT)))
+                     AS BIGINT) AS unit_cents,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1995, 1996)
+            GROUP BY p.p_brand, l.l_partkey,
+                     EXTRACT(YEAR FROM l.l_shipdate)),
+     b AS (SELECT a.brand, a.part,
+                  a.unit_cents AS p0, a.qty AS q0,
+                  c.unit_cents AS p1, c.qty AS q1
+           FROM py a JOIN py c
+             ON c.brand = a.brand AND c.part = a.part
+           WHERE a.yr = 1995 AND c.yr = 1996)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       FLOOR(SUM(p1 * q0) * 10000.0 / SUM(p0 * q0)) / 10000.0
+         AS laspeyres,
+       FLOOR(SUM(p1 * q1) * 10000.0 / SUM(p0 * q1)) / 10000.0
+         AS paasche
+FROM b GROUP BY brand HAVING COUNT(*) >= 3 ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B566
+# Heaps'-law vocabulary growth: cumulative vocabulary vs cumulative
+# tokens at 500-token checkpoints over a bounded doc block, plus the
+# log-log slope (the β exponent) from the checkpoint pairs.
+_q("q524_heaps_law",
+   oracle="""
+WITH tok AS (SELECT d.doc_id, g.i AS pos, t.tok[g.i] AS w
+             FROM (SELECT doc_id, STRING_SPLIT(text,' ') AS tok
+                   FROM documents WHERE doc_id < 100) t
+             JOIN documents d ON d.doc_id = t.doc_id,
+             UNNEST(GENERATE_SERIES(1, LEN(t.tok))) AS g(i)),
+     o AS (SELECT w, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS t,
+                  ROW_NUMBER() OVER (PARTITION BY w
+                                     ORDER BY doc_id, pos) AS occ
+           FROM tok),
+     c AS (SELECT t,
+                  SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t) AS v
+           FROM o),
+     ck AS (SELECT t, v FROM c WHERE t % 500 = 0),
+     f AS (SELECT LN(CAST(t AS DOUBLE)) AS lx,
+                  LN(CAST(v AS DOUBLE)) AS ly
+           FROM ck),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx,
+                  SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+                  SUM(lx * lx) AS sxx
+           FROM f)
+SELECT CAST(n AS BIGINT) AS checkpoints,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000)
+         / 10000.0 AS heaps_beta
+FROM m
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, pos, w
+             FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100)
+             LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, w),
+     o AS (SELECT w, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS t,
+                  ROW_NUMBER() OVER (PARTITION BY w
+                                     ORDER BY doc_id, pos) AS occ
+           FROM tok),
+     c AS (SELECT t,
+                  SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t) AS v
+           FROM o),
+     ck AS (SELECT t, v FROM c WHERE t % 500 = 0),
+     f AS (SELECT LN(CAST(t AS DOUBLE)) AS lx,
+                  LN(CAST(v AS DOUBLE)) AS ly
+           FROM ck),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx,
+                  SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+                  SUM(lx * lx) AS sxx
+           FROM f)
+SELECT CAST(n AS BIGINT) AS checkpoints,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000)
+         / 10000.0 AS heaps_beta
+FROM m
+""")
+
+# ---------------------------------------------------------------- B567
+# Gibberish screen: longest consonant run per document (keyboard-mash
+# heuristic) — regexp run extraction + per-doc max, flag at >7.
+_q("q525_gibberish_runs",
+   oracle="""
+WITH r AS (SELECT doc_id,
+                  COALESCE((SELECT MAX(LENGTH(x))
+                            FROM UNNEST(REGEXP_EXTRACT_ALL(text,
+                              '[bcdfghjklmnpqrstvwxz]+')) AS u(x)), 0)
+                    AS max_run
+           FROM documents)
+SELECT doc_id, CAST(max_run AS BIGINT) AS max_consonant_run,
+       CAST(CASE WHEN max_run > 7 THEN 1 ELSE 0 END AS BIGINT)
+         AS gibberish_flag
+FROM r ORDER BY doc_id
+""",
+   engine_sql="""
+WITH r AS (SELECT doc_id,
+                  COALESCE(ARRAY_MAX(TRANSFORM(
+                    REGEXP_EXTRACT_ALL(text, '[bcdfghjklmnpqrstvwxz]+', 0),
+                    x -> LENGTH(x))), 0) AS max_run
+           FROM documents)
+SELECT doc_id, CAST(max_run AS BIGINT) AS max_consonant_run,
+       CAST(CASE WHEN max_run > 7 THEN 1 ELSE 0 END AS BIGINT)
+         AS gibberish_flag
+FROM r ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B568
+# Pairwise-similarity histogram (dedup-threshold tuning view): exact
+# token-set Jaccard over a bounded doc block, bucketed to 0.1 bands —
+# where on the S-curve the corpus actually lives.
+_q("q526_similarity_histogram",
+   oracle="""
+WITH t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 120),
+     p AS (SELECT LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+                  / LEN(LIST_DISTINCT(a.s || b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id),
+     h AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bucket
+           FROM p)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM h GROUP BY bucket ORDER BY bucket
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, ARRAY_DISTINCT(SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 120),
+     p AS (SELECT SIZE(ARRAY_INTERSECT(a.s, b.s)) * 1.0
+                  / SIZE(ARRAY_UNION(a.s, b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id),
+     h AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bucket
+           FROM p)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM h GROUP BY bucket ORDER BY bucket
+""")
+
+# ---------------------------------------------------------------- B569
+# Portable SQL MinHash (8 permutations): md5 token hashes,
+# min((h·a+b) mod p) per permutation — the ORACLE-PAIRED tier of the
+# operator family (operators/dedup.py uses xxhash64 and is pinned by
+# tests; this tier is engine-independent arithmetic end to end).
+_q("q527_minhash_portable",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, tok FROM documents,
+               UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+             WHERE doc_id < 200),
+     h AS (SELECT doc_id,
+                  CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) AS hv
+           FROM tok)
+SELECT doc_id,
+       MIN((hv * 1299721 + 15485863) % 2147483647) AS sig1,
+       MIN((hv * 1299827 + 32452843) % 2147483647) AS sig2,
+       MIN((hv * 1299853 + 49979687) % 2147483647) AS sig3,
+       MIN((hv * 1299869 + 67867967) % 2147483647) AS sig4,
+       MIN((hv * 1299721 + 86028121) % 2147483647) AS sig5,
+       MIN((hv * 1299827 + 104395301) % 2147483647) AS sig6,
+       MIN((hv * 1299853 + 122949823) % 2147483647) AS sig7,
+       MIN((hv * 1299869 + 141650939) % 2147483647) AS sig8
+FROM h GROUP BY doc_id ORDER BY doc_id
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                   FROM documents WHERE doc_id < 200) x),
+     h AS (SELECT doc_id,
+                  CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) AS BIGINT)
+                    AS hv
+           FROM tok)
+SELECT doc_id,
+       MIN((hv * 1299721 + 15485863) % 2147483647) AS sig1,
+       MIN((hv * 1299827 + 32452843) % 2147483647) AS sig2,
+       MIN((hv * 1299853 + 49979687) % 2147483647) AS sig3,
+       MIN((hv * 1299869 + 67867967) % 2147483647) AS sig4,
+       MIN((hv * 1299721 + 86028121) % 2147483647) AS sig5,
+       MIN((hv * 1299827 + 104395301) % 2147483647) AS sig6,
+       MIN((hv * 1299853 + 122949823) % 2147483647) AS sig7,
+       MIN((hv * 1299869 + 141650939) % 2147483647) AS sig8
+FROM h GROUP BY doc_id ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B570
+# LSH band-bucket size distribution over the portable signatures
+# (4 bands × 2 rows): the banding-skew observability view — how many
+# buckets of each size the equi-join would see.
+_q("q528_band_buckets",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, tok FROM documents,
+               UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+             WHERE doc_id < 200),
+     h AS (SELECT doc_id,
+                  CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MIN((hv * 1299721 + 15485863) % 2147483647) AS s1,
+                    MIN((hv * 1299827 + 32452843) % 2147483647) AS s2,
+                    MIN((hv * 1299853 + 49979687) % 2147483647) AS s3,
+                    MIN((hv * 1299869 + 67867967) % 2147483647) AS s4,
+                    MIN((hv * 1299721 + 86028121) % 2147483647) AS s5,
+                    MIN((hv * 1299827 + 104395301) % 2147483647) AS s6,
+                    MIN((hv * 1299853 + 122949823) % 2147483647) AS s7,
+                    MIN((hv * 1299869 + 141650939) % 2147483647) AS s8
+             FROM h GROUP BY doc_id),
+     bands AS (SELECT doc_id, 1 AS band,
+                      MD5(CAST(s1 AS VARCHAR) || ':'
+                          || CAST(s2 AS VARCHAR)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 2 AS band,
+                      MD5(CAST(s3 AS VARCHAR) || ':'
+                          || CAST(s4 AS VARCHAR)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 3 AS band,
+                      MD5(CAST(s5 AS VARCHAR) || ':'
+                          || CAST(s6 AS VARCHAR)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 4 AS band,
+                      MD5(CAST(s7 AS VARCHAR) || ':'
+                          || CAST(s8 AS VARCHAR)) AS bh FROM sig),
+     bu AS (SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM bands GROUP BY band, bh)
+SELECT sz AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM bu GROUP BY sz ORDER BY sz
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                   FROM documents WHERE doc_id < 200) x),
+     h AS (SELECT doc_id,
+                  CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) AS BIGINT)
+                    AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MIN((hv * 1299721 + 15485863) % 2147483647) AS s1,
+                    MIN((hv * 1299827 + 32452843) % 2147483647) AS s2,
+                    MIN((hv * 1299853 + 49979687) % 2147483647) AS s3,
+                    MIN((hv * 1299869 + 67867967) % 2147483647) AS s4,
+                    MIN((hv * 1299721 + 86028121) % 2147483647) AS s5,
+                    MIN((hv * 1299827 + 104395301) % 2147483647) AS s6,
+                    MIN((hv * 1299853 + 122949823) % 2147483647) AS s7,
+                    MIN((hv * 1299869 + 141650939) % 2147483647) AS s8
+             FROM h GROUP BY doc_id),
+     bands AS (SELECT doc_id, 1 AS band,
+                      MD5(CAST(s1 AS STRING) || ':'
+                          || CAST(s2 AS STRING)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 2 AS band,
+                      MD5(CAST(s3 AS STRING) || ':'
+                          || CAST(s4 AS STRING)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 3 AS band,
+                      MD5(CAST(s5 AS STRING) || ':'
+                          || CAST(s6 AS STRING)) AS bh FROM sig
+               UNION ALL
+               SELECT doc_id, 4 AS band,
+                      MD5(CAST(s7 AS STRING) || ':'
+                          || CAST(s8 AS STRING)) AS bh FROM sig),
+     bu AS (SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM bands GROUP BY band, bh)
+SELECT sz AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM bu GROUP BY sz ORDER BY sz
+""")
+
+# ---------------------------------------------------------------- B571
+# MinHash estimator quality: |signature-agreement/8 − exact Jaccard|
+# over a bounded pair block — MAE and worst case of the 8-perm
+# estimator, fully oracle-paired (the SQL-portable validation of what
+# the operator tests pin with xxhash64).
+_q("q529_minhash_estimation_error",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, tok FROM documents,
+               UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+             WHERE doc_id < 80),
+     h AS (SELECT doc_id,
+                  CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MIN((hv * 1299721 + 15485863) % 2147483647) AS s1,
+                    MIN((hv * 1299827 + 32452843) % 2147483647) AS s2,
+                    MIN((hv * 1299853 + 49979687) % 2147483647) AS s3,
+                    MIN((hv * 1299869 + 67867967) % 2147483647) AS s4,
+                    MIN((hv * 1299721 + 86028121) % 2147483647) AS s5,
+                    MIN((hv * 1299827 + 104395301) % 2147483647) AS s6,
+                    MIN((hv * 1299853 + 122949823) % 2147483647) AS s7,
+                    MIN((hv * 1299869 + 141650939) % 2147483647) AS s8
+             FROM h GROUP BY doc_id),
+     t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 80),
+     p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                  LEN(LIST_INTERSECT(ta.s, tb.s)) * 1.0
+                  / LEN(LIST_DISTINCT(ta.s || tb.s)) AS jac,
+                  ((CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s8 = b.s8 THEN 1 ELSE 0 END)) / 8.0
+                    AS est
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           JOIN t ta ON ta.doc_id = a.doc_id
+           JOIN t tb ON tb.doc_id = b.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(SUM(ABS(est - jac)) / COUNT(*) * 10000) / 10000.0 AS mae,
+       FLOOR(MAX(ABS(est - jac)) * 10000) / 10000.0 AS max_err
+FROM p
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                   FROM documents WHERE doc_id < 80) x),
+     h AS (SELECT doc_id,
+                  CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) AS BIGINT)
+                    AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MIN((hv * 1299721 + 15485863) % 2147483647) AS s1,
+                    MIN((hv * 1299827 + 32452843) % 2147483647) AS s2,
+                    MIN((hv * 1299853 + 49979687) % 2147483647) AS s3,
+                    MIN((hv * 1299869 + 67867967) % 2147483647) AS s4,
+                    MIN((hv * 1299721 + 86028121) % 2147483647) AS s5,
+                    MIN((hv * 1299827 + 104395301) % 2147483647) AS s6,
+                    MIN((hv * 1299853 + 122949823) % 2147483647) AS s7,
+                    MIN((hv * 1299869 + 141650939) % 2147483647) AS s8
+             FROM h GROUP BY doc_id),
+     t AS (SELECT doc_id, ARRAY_DISTINCT(SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 80),
+     p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                  SIZE(ARRAY_INTERSECT(ta.s, tb.s)) * 1.0
+                  / SIZE(ARRAY_UNION(ta.s, tb.s)) AS jac,
+                  ((CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END)
+                   + (CASE WHEN a.s8 = b.s8 THEN 1 ELSE 0 END)) / 8.0
+                    AS est
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           JOIN t ta ON ta.doc_id = a.doc_id
+           JOIN t tb ON tb.doc_id = b.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(SUM(ABS(est - jac)) / COUNT(*) * 10000) / 10000.0 AS mae,
+       FLOOR(MAX(ABS(est - jac)) * 10000) / 10000.0 AS max_err
+FROM p
+""")
