@@ -12647,3 +12647,549 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        FLOOR(MAX(ABS(est - jac)) * 10000) / 10000.0 AS max_err
 FROM p
 """)
+
+
+# ---------------------------------------------------------------- B572
+# Item-item collaborative filtering (co-purchase cosine, top-3
+# neighbors per part): purchase sets over a bounded item block,
+# shared-customer candidate join, exact integer co-counts.
+_q("q530_item_knn", """
+WITH ip AS (SELECT DISTINCT l.l_partkey AS part, o.o_custkey AS cust
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_partkey <= 300),
+     deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ip GROUP BY part),
+     co AS (SELECT a.part AS i, b.part AS j,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ip a JOIN ip b
+              ON b.cust = a.cust AND a.part <> b.part
+            GROUP BY a.part, b.part),
+     sim AS (SELECT co.i, co.j,
+                    co.c / (SQRT(CAST(da.n AS DOUBLE))
+                            * SQRT(CAST(db.n AS DOUBLE))) AS s
+             FROM co JOIN deg da ON da.part = co.i
+                     JOIN deg db ON db.part = co.j),
+     r AS (SELECT i, j, s,
+                  ROW_NUMBER() OVER (PARTITION BY i
+                                     ORDER BY s DESC, j) AS rk
+           FROM sim)
+SELECT i AS item, CAST(rk AS BIGINT) AS rank, j AS neighbor,
+       FLOOR(s * 10000) / 10000.0 AS cosine
+FROM r WHERE rk <= 3 ORDER BY item, rank
+""")
+
+# ---------------------------------------------------------------- B573
+# Churn-feature assembly: the one-pass feature-store row per customer
+# — recency, frequency, monetary, mean inter-order gap, and order-
+# priority entropy, every float fed exact integers.
+_q("q532_churn_features",
+   oracle="""
+WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+     g AS (SELECT o_custkey,
+                  DATEDIFF('day', CAST(o_orderdate AS DATE),
+                           LEAD(CAST(o_orderdate AS DATE))
+                             OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey))
+                    AS gap
+           FROM orders),
+     gp AS (SELECT o_custkey, SUM(gap) AS sg,
+                   COUNT(gap) AS ng
+            FROM g GROUP BY o_custkey),
+     pe AS (SELECT o_custkey, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey, o_orderpriority),
+     pt AS (SELECT o_custkey, SUM(c) AS tot FROM pe GROUP BY o_custkey),
+     ent AS (SELECT pe.o_custkey,
+                    -SUM((pe.c * 1.0 / pt.tot)
+                         * LN(pe.c * 1.0 / pt.tot)) AS h
+             FROM pe JOIN pt ON pt.o_custkey = pe.o_custkey
+             GROUP BY pe.o_custkey),
+     base AS (SELECT o.o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_cents,
+                     MAX(CAST(o.o_orderdate AS DATE)) AS last_d
+              FROM orders o GROUP BY o.o_custkey)
+SELECT base.o_custkey AS custkey,
+       CAST(DATEDIFF('day', base.last_d, mx.d1) AS BIGINT) AS recency_d,
+       base.frequency, base.monetary_cents,
+       CAST(CASE WHEN gp.ng > 0
+                 THEN FLOOR(gp.sg * 100.0 / gp.ng) END AS BIGINT)
+         AS mean_gap_centidays,
+       FLOOR(ent.h * 10000) / 10000.0 AS priority_entropy
+FROM base CROSS JOIN mx
+LEFT JOIN gp ON gp.o_custkey = base.o_custkey
+JOIN ent ON ent.o_custkey = base.o_custkey
+ORDER BY custkey
+""",
+   engine_sql="""
+WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+     g AS (SELECT o_custkey,
+                  DATEDIFF(LEAD(CAST(o_orderdate AS DATE))
+                             OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+                           CAST(o_orderdate AS DATE)) AS gap
+           FROM orders),
+     gp AS (SELECT o_custkey, SUM(gap) AS sg,
+                   COUNT(gap) AS ng
+            FROM g GROUP BY o_custkey),
+     pe AS (SELECT o_custkey, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey, o_orderpriority),
+     pt AS (SELECT o_custkey, SUM(c) AS tot FROM pe GROUP BY o_custkey),
+     ent AS (SELECT pe.o_custkey,
+                    -SUM((pe.c * 1.0 / pt.tot)
+                         * LN(pe.c * 1.0 / pt.tot)) AS h
+             FROM pe JOIN pt ON pt.o_custkey = pe.o_custkey
+             GROUP BY pe.o_custkey),
+     base AS (SELECT o.o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_cents,
+                     MAX(CAST(o.o_orderdate AS DATE)) AS last_d
+              FROM orders o GROUP BY o.o_custkey)
+SELECT base.o_custkey AS custkey,
+       CAST(DATEDIFF(mx.d1, base.last_d) AS BIGINT) AS recency_d,
+       base.frequency, base.monetary_cents,
+       CAST(CASE WHEN gp.ng > 0
+                 THEN FLOOR(gp.sg * 100.0 / gp.ng) END AS BIGINT)
+         AS mean_gap_centidays,
+       FLOOR(ent.h * 10000) / 10000.0 AS priority_entropy
+FROM base CROSS JOIN mx
+LEFT JOIN gp ON gp.o_custkey = base.o_custkey
+JOIN ent ON ent.o_custkey = base.o_custkey
+ORDER BY custkey
+""")
+
+# ---------------------------------------------------------------- B574
+# Hashed cross features (segment × priority → 32 buckets): bucket
+# occupancy and collision count — the feature-hashing trick applied
+# to a categorical cross.
+_q("q533_feature_crosses",
+   oracle="""
+WITH x AS (SELECT c.c_mktsegment || 'x' || o.o_orderpriority AS cross_v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     h AS (SELECT cross_v,
+                  CAST('0x' || SUBSTR(MD5(cross_v), 1, 8) AS BIGINT) % 32
+                    AS b
+           FROM x)
+SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cross_v) AS BIGINT) AS n_distinct_crosses
+FROM h GROUP BY b ORDER BY bucket
+""",
+   engine_sql="""
+WITH x AS (SELECT c.c_mktsegment || 'x' || o.o_orderpriority AS cross_v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     h AS (SELECT cross_v,
+                  CAST(CONV(SUBSTR(MD5(cross_v), 1, 8), 16, 10)
+                       AS BIGINT) % 32 AS b
+           FROM x)
+SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cross_v) AS BIGINT) AS n_distinct_crosses
+FROM h GROUP BY b ORDER BY bucket
+""")
+
+# ---------------------------------------------------------------- B575
+# Phrase mining by NPMI (normalized PMI, support ≥ 3): adjacent
+# bigrams scored ln(p(xy)/p(x)p(y)) / −ln p(xy) — the [-1, 1]
+# collocation measure that PMI alone distorts for rare pairs.
+_q("q534_npmi_phrases",
+   oracle="""
+WITH tok AS (SELECT d.doc_id, g.i AS pos, t.tok[g.i] AS w
+             FROM (SELECT doc_id, STRING_SPLIT(text,' ') AS tok
+                   FROM documents) t
+             JOIN documents d ON d.doc_id = t.doc_id,
+             UNNEST(GENERATE_SERIES(1, LEN(t.tok))) AS g(i)),
+     bg AS (SELECT w AS w1,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok),
+     bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nxy
+            FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+     uc AS (SELECT w1 AS w, SUM(nxy) AS nx FROM bc GROUP BY w1),
+     vc AS (SELECT w2 AS w, SUM(nxy) AS ny FROM bc GROUP BY w2),
+     nt AS (SELECT SUM(nxy) AS n FROM bc),
+     s AS (SELECT bc.w1, bc.w2, bc.nxy,
+                  LN(CAST(bc.nxy AS DOUBLE) * nt.n / (uc.nx * vc.ny))
+                  / (-LN(CAST(bc.nxy AS DOUBLE) / nt.n)) AS npmi
+           FROM bc JOIN uc ON uc.w = bc.w1
+                   JOIN vc ON vc.w = bc.w2
+                   CROSS JOIN nt
+           WHERE bc.nxy >= 3)
+SELECT w1, w2, nxy, FLOOR(npmi * 10000) / 10000.0 AS npmi
+FROM s ORDER BY npmi DESC, w1, w2 LIMIT 15
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, pos, w
+             FROM documents
+             LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, w),
+     bg AS (SELECT w AS w1,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok),
+     bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nxy
+            FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+     uc AS (SELECT w1 AS w, SUM(nxy) AS nx FROM bc GROUP BY w1),
+     vc AS (SELECT w2 AS w, SUM(nxy) AS ny FROM bc GROUP BY w2),
+     nt AS (SELECT SUM(nxy) AS n FROM bc),
+     s AS (SELECT bc.w1, bc.w2, bc.nxy,
+                  LN(CAST(bc.nxy AS DOUBLE) * nt.n / (uc.nx * vc.ny))
+                  / (-LN(CAST(bc.nxy AS DOUBLE) / nt.n)) AS npmi
+           FROM bc JOIN uc ON uc.w = bc.w1
+                   JOIN vc ON vc.w = bc.w2
+                   CROSS JOIN nt
+           WHERE bc.nxy >= 3)
+SELECT w1, w2, nxy, FLOOR(npmi * 10000) / 10000.0 AS npmi
+FROM s ORDER BY npmi DESC, w1, w2 LIMIT 15
+""")
+
+# ---------------------------------------------------------------- B576
+# Multi-horizon conversion (signup → purchase within 1 / 3 / 7 days):
+# first-touch pairing per user, horizon indicator rollup — the cohort
+# conversion curve in one pass.
+_q("q535_conversion_horizons",
+   oracle="""
+WITH su AS (SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+     pu AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+     j AS (SELECT su.user_id,
+                  (EPOCH(pu.t1) - EPOCH(su.t0)) / 86400.0 AS days
+           FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+                               AND pu.t1 >= su.t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN days <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_1d,
+       CAST(SUM(CASE WHEN days <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_3d,
+       CAST(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_7d,
+       FLOOR(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END) * 1000000.0
+             / COUNT(*)) / 1000000.0 AS rate_7d
+FROM j
+""",
+   engine_sql="""
+WITH su AS (SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+     pu AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+     j AS (SELECT su.user_id,
+                  (UNIX_MICROS(CAST(pu.t1 AS TIMESTAMP))
+                   - UNIX_MICROS(CAST(su.t0 AS TIMESTAMP)))
+                  / 86400000000.0 AS days
+           FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+                               AND pu.t1 >= su.t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN days <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_1d,
+       CAST(SUM(CASE WHEN days <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_3d,
+       CAST(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS conv_7d,
+       FLOOR(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END) * 1000000.0
+             / COUNT(*)) / 1000000.0 AS rate_7d
+FROM j
+""")
+
+# ---------------------------------------------------------------- B577
+# M/M/1 queueing estimate from event telemetry: arrival rate from
+# purchase interarrivals, service rate from the value field, ρ and Lq
+# by the closed form — the capacity-planning back-of-envelope, exactly.
+_q("q536_mm1_queue",
+   oracle="""
+WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  (EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600.0 AS span_h
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv,
+                  CAST(COUNT(*) AS BIGINT) AS ns
+           FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT (a.n - 1) / a.span_h AS lam,
+                  3600.0 / (s.sv / (100.0 * s.ns)) AS mu
+           FROM a CROSS JOIN s)
+SELECT FLOOR(lam * 10000) / 10000.0 AS lambda_per_h,
+       FLOOR(mu * 10000) / 10000.0 AS mu_per_h,
+       FLOOR(lam / mu * 10000) / 10000.0 AS rho,
+       CASE WHEN lam / mu < 1
+            THEN FLOOR((lam / mu) * (lam / mu) / (1 - lam / mu) * 10000)
+                 / 10000.0 END AS lq
+FROM r
+""",
+   engine_sql="""
+WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  (UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP))
+                   - UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)))
+                  / 3600000000.0 AS span_h
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv,
+                  CAST(COUNT(*) AS BIGINT) AS ns
+           FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT (a.n - 1) / a.span_h AS lam,
+                  3600.0 / (s.sv / (100.0 * s.ns)) AS mu
+           FROM a CROSS JOIN s)
+SELECT FLOOR(lam * 10000) / 10000.0 AS lambda_per_h,
+       FLOOR(mu * 10000) / 10000.0 AS mu_per_h,
+       FLOOR(lam / mu * 10000) / 10000.0 AS rho,
+       CASE WHEN lam / mu < 1
+            THEN FLOOR((lam / mu) * (lam / mu) / (1 - lam / mu) * 10000)
+                 / 10000.0 END AS lq
+FROM r
+""")
+
+# ---------------------------------------------------------------- B578
+# Stylometry fingerprint + attribution: 4 style features per source
+# quantized to exact micro-ints, nearest other source by integer L2 —
+# the authorship-attribution shape.
+_q("q537_stylometry",
+   oracle="""
+WITH tok AS (SELECT d.source, tok FROM documents d,
+               UNNEST(STRING_SPLIT(d.text, ' ')) AS u(tok)),
+     f AS (SELECT source,
+                  CAST(FLOOR(SUM(LENGTH(tok)) * 1000000.0 / COUNT(*))
+                       AS BIGINT) AS awl,
+                  CAST(FLOOR(COUNT(DISTINCT tok) * 1000000.0 / COUNT(*))
+                       AS BIGINT) AS ttr,
+                  CAST(FLOOR(SUM(CASE WHEN tok IN ('a', 'the')
+                                 THEN 1 ELSE 0 END) * 1000000.0
+                             / COUNT(*)) AS BIGINT) AS swr
+           FROM tok GROUP BY source),
+     p AS (SELECT a.source AS s, b.source AS o,
+                  (a.awl - b.awl) * (a.awl - b.awl)
+                  + (a.ttr - b.ttr) * (a.ttr - b.ttr)
+                  + (a.swr - b.swr) * (a.swr - b.swr) AS d2,
+                  ROW_NUMBER() OVER (PARTITION BY a.source
+                    ORDER BY (a.awl - b.awl) * (a.awl - b.awl)
+                             + (a.ttr - b.ttr) * (a.ttr - b.ttr)
+                             + (a.swr - b.swr) * (a.swr - b.swr),
+                             b.source) AS rk
+           FROM f a JOIN f b ON a.source <> b.source)
+SELECT s AS source, o AS nearest_style,
+       CAST(d2 AS BIGINT) AS dist_sq_micro
+FROM p WHERE rk = 1 ORDER BY source
+""",
+   engine_sql="""
+WITH tok AS (SELECT source, tok
+             FROM (SELECT source, EXPLODE(SPLIT(text, ' ')) AS tok
+                   FROM documents) x),
+     f AS (SELECT source,
+                  CAST(FLOOR(SUM(LENGTH(tok)) * 1000000.0 / COUNT(*))
+                       AS BIGINT) AS awl,
+                  CAST(FLOOR(COUNT(DISTINCT tok) * 1000000.0 / COUNT(*))
+                       AS BIGINT) AS ttr,
+                  CAST(FLOOR(SUM(CASE WHEN tok IN ('a', 'the')
+                                 THEN 1 ELSE 0 END) * 1000000.0
+                             / COUNT(*)) AS BIGINT) AS swr
+           FROM tok GROUP BY source),
+     p AS (SELECT a.source AS s, b.source AS o,
+                  (a.awl - b.awl) * (a.awl - b.awl)
+                  + (a.ttr - b.ttr) * (a.ttr - b.ttr)
+                  + (a.swr - b.swr) * (a.swr - b.swr) AS d2,
+                  ROW_NUMBER() OVER (PARTITION BY a.source
+                    ORDER BY (a.awl - b.awl) * (a.awl - b.awl)
+                             + (a.ttr - b.ttr) * (a.ttr - b.ttr)
+                             + (a.swr - b.swr) * (a.swr - b.swr),
+                             b.source) AS rk
+           FROM f a JOIN f b ON a.source <> b.source)
+SELECT s AS source, o AS nearest_style,
+       CAST(d2 AS BIGINT) AS dist_sq_micro
+FROM p WHERE rk = 1 ORDER BY source
+""")
+
+# ---------------------------------------------------------------- B579
+# Entropy rate of the event Markov chain: Σ πᵢ·H(next|i) with the
+# empirical state distribution as π — the single-number sequence-
+# predictability summary over q200/q406's transition machinery.
+_q("q538_entropy_rate", """
+WITH s AS (SELECT user_id, event_type AS cur, ts, event_id,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+     t AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+     ct AS (SELECT cur, SUM(c) AS tot FROM t GROUP BY cur),
+     h AS (SELECT t.cur,
+                  -SUM((t.c * 1.0 / ct.tot)
+                       * LN(t.c * 1.0 / ct.tot)) AS hc,
+                  MAX(ct.tot) AS tot
+           FROM t JOIN ct ON ct.cur = t.cur GROUP BY t.cur),
+     n AS (SELECT SUM(tot) AS nt FROM h)
+SELECT FLOOR(SUM(h.hc * h.tot / n.nt) * 10000) / 10000.0
+         AS entropy_rate_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_states
+FROM h CROSS JOIN n
+""")
+
+# ---------------------------------------------------------------- B580
+# LZ-style complexity proxy: distinct-4-gram ratio per document (low
+# ratio = templated/repetitive, the compression-based quality signal
+# without a compressor).
+_q("q539_lz_complexity",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS tok FROM documents),
+     g AS (SELECT doc_id,
+                  ARRAY_TO_STRING(tok[i : i + 3], ' ') AS gram
+           FROM t, UNNEST(GENERATE_SERIES(1, LEN(tok) - 3)) AS u(i)),
+     s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT gram) AS BIGINT) AS d
+           FROM g GROUP BY doc_id)
+SELECT doc_id, n AS n_4grams, d AS distinct_4grams,
+       FLOOR(d * 1000000.0 / n) / 1000000.0 AS complexity_ratio
+FROM s ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
+     g AS (SELECT doc_id,
+                  ARRAY_JOIN(SLICE(tok, i, 4), ' ') AS gram
+           FROM t LATERAL VIEW EXPLODE(
+                  SEQUENCE(1, SIZE(tok) - 3)) u AS i),
+     s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT gram) AS BIGINT) AS d
+           FROM g GROUP BY doc_id)
+SELECT doc_id, n AS n_4grams, d AS distinct_4grams,
+       FLOOR(d * 1000000.0 / n) / 1000000.0 AS complexity_ratio
+FROM s ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B581
+# Curation impact report: corpus stats before vs after the quality
+# gates + template dedup (keep-first within a 2-token-prefix family)
+# — the one-view summary of what a pipeline run did.
+_q("q540_curation_impact",
+   oracle="""
+WITH sw AS (SELECT doc_id,
+                   AVG(CASE WHEN tok IN ('a','the') THEN 1.0 ELSE 0 END)
+                     AS swr,
+                   COUNT(*) AS n_tok
+            FROM documents, UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            GROUP BY doc_id),
+     pre AS (SELECT doc_id,
+                    ARRAY_TO_STRING(STRING_SPLIT(text,' ')[1:2],' ')
+                      AS pfx
+             FROM documents),
+     keep AS (SELECT d.doc_id, sw.n_tok,
+                     CASE WHEN d.n_chars BETWEEN 60 AND 500
+                           AND sw.swr < 0.15
+                           AND d.doc_id = fam.first_doc
+                          THEN 1 ELSE 0 END AS kept
+              FROM documents d
+              JOIN sw ON sw.doc_id = d.doc_id
+              JOIN pre ON pre.doc_id = d.doc_id
+              JOIN (SELECT pfx, MIN(doc_id) AS first_doc
+                    FROM pre GROUP BY pfx) fam ON fam.pfx = pre.pfx)
+SELECT 'docs' AS metric,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep) AS before_v,
+       CAST(SUM(kept) AS BIGINT) AS after_v
+FROM keep
+UNION ALL
+SELECT 'tokens' AS metric,
+       CAST(SUM(n_tok) AS BIGINT) AS before_v,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS after_v
+FROM keep
+ORDER BY metric
+""",
+   engine_sql="""
+WITH sw AS (SELECT doc_id,
+                   AVG(CASE WHEN tok IN ('a','the') THEN 1.0 ELSE 0 END)
+                     AS swr,
+                   COUNT(*) AS n_tok
+            FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM documents) x
+            GROUP BY doc_id),
+     pre AS (SELECT doc_id,
+                    ARRAY_JOIN(SLICE(SPLIT(text,' '), 1, 2),' ') AS pfx
+             FROM documents),
+     keep AS (SELECT d.doc_id, sw.n_tok,
+                     CASE WHEN d.n_chars BETWEEN 60 AND 500
+                           AND sw.swr < 0.15
+                           AND d.doc_id = fam.first_doc
+                          THEN 1 ELSE 0 END AS kept
+              FROM documents d
+              JOIN sw ON sw.doc_id = d.doc_id
+              JOIN pre ON pre.doc_id = d.doc_id
+              JOIN (SELECT pfx, MIN(doc_id) AS first_doc
+                    FROM pre GROUP BY pfx) fam ON fam.pfx = pre.pfx)
+SELECT 'docs' AS metric,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep) AS before_v,
+       CAST(SUM(kept) AS BIGINT) AS after_v
+FROM keep
+UNION ALL
+SELECT 'tokens' AS metric,
+       CAST(SUM(n_tok) AS BIGINT) AS before_v,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS after_v
+FROM keep
+ORDER BY metric
+""")
+
+
+# ---------------------------------------------------------------- B582
+# Recommendation-list quality metrics over the q465 batch-ANN top-3
+# lists: catalog coverage (share of the corpus ever recommended) and
+# mean inter-list overlap (redundancy across queries) — the recsys
+# health panel.
+_q("q531_rec_list_metrics",
+   oracle="""
+WITH v AS (SELECT vec_id, g.i AS i,
+                  CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                       AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+           WHERE vec_id < 500),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+           WHERE a.vec_id IN (0, 1, 2, 3, 4)
+           GROUP BY a.vec_id, b.vec_id),
+     s AS (SELECT d.qi, d.ni,
+                  ROW_NUMBER() OVER (PARTITION BY d.qi
+                    ORDER BY d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                             * SQRT(CAST(nb.n2 AS DOUBLE))) DESC, d.ni)
+                    AS rk
+           FROM d JOIN n na ON na.vec_id = d.qi
+                  JOIN n nb ON nb.vec_id = d.ni),
+     top AS (SELECT qi, ni FROM s WHERE rk <= 3),
+     cov AS (SELECT CAST(COUNT(DISTINCT ni) AS BIGINT) AS n_rec FROM top),
+     ov AS (SELECT a.qi AS q1, b.qi AS q2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM top a JOIN top b ON b.ni = a.ni AND a.qi < b.qi
+            GROUP BY a.qi, b.qi)
+SELECT cov.n_rec AS distinct_recommended,
+       FLOOR(cov.n_rec * 1000000.0 / 499) / 1000000.0
+         AS catalog_coverage,
+       CAST(COALESCE((SELECT SUM(shared) FROM ov), 0) AS BIGINT)
+         AS total_shared,
+       FLOOR(COALESCE((SELECT SUM(shared) FROM ov), 0)
+             * 1000000.0 / (10 * 3)) / 1000000.0 AS mean_overlap
+FROM cov
+""",
+   engine_sql="""
+WITH v AS (SELECT vec_id, pos AS i,
+                  CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
+           WHERE vec_id < 500),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
+           FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+           WHERE a.vec_id IN (0, 1, 2, 3, 4)
+           GROUP BY a.vec_id, b.vec_id),
+     s AS (SELECT d.qi, d.ni,
+                  ROW_NUMBER() OVER (PARTITION BY d.qi
+                    ORDER BY d.dot / (SQRT(CAST(na.n2 AS DOUBLE))
+                             * SQRT(CAST(nb.n2 AS DOUBLE))) DESC, d.ni)
+                    AS rk
+           FROM d JOIN n na ON na.vec_id = d.qi
+                  JOIN n nb ON nb.vec_id = d.ni),
+     top AS (SELECT qi, ni FROM s WHERE rk <= 3),
+     cov AS (SELECT CAST(COUNT(DISTINCT ni) AS BIGINT) AS n_rec FROM top),
+     ov AS (SELECT a.qi AS q1, b.qi AS q2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM top a JOIN top b ON b.ni = a.ni AND a.qi < b.qi
+            GROUP BY a.qi, b.qi)
+SELECT cov.n_rec AS distinct_recommended,
+       FLOOR(cov.n_rec * 1000000.0 / 499) / 1000000.0
+         AS catalog_coverage,
+       CAST(COALESCE((SELECT SUM(shared) FROM ov), 0) AS BIGINT)
+         AS total_shared,
+       FLOOR(COALESCE((SELECT SUM(shared) FROM ov), 0)
+             * 1000000.0 / (10 * 3)) / 1000000.0 AS mean_overlap
+FROM cov
+""")
