@@ -13193,3 +13193,316 @@ SELECT cov.n_rec AS distinct_recommended,
              * 1000000.0 / (10 * 3)) / 1000000.0 AS mean_overlap
 FROM cov
 """)
+
+
+# ---------------------------------------------------------------- B583
+# k-NN regression smoother: predict each customer's balance from its
+# 5 nearest neighbors in the hash-plane (grid-free bounded block) —
+# integer squared distances, exact neighbor-mean cents.
+_q("q541_knn_regression", """
+WITH p AS (SELECT c_custkey AS id,
+                  c_custkey * 7919 % 1000 AS x,
+                  c_custkey * 104729 % 1000 AS y,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer WHERE c_custkey <= 400),
+     d AS (SELECT a.id, a.cents, b.cents AS bc,
+                  ROW_NUMBER() OVER (PARTITION BY a.id
+                    ORDER BY (a.x - b.x) * (a.x - b.x)
+                             + (a.y - b.y) * (a.y - b.y), b.id) AS rk
+           FROM p a JOIN p b ON a.id <> b.id)
+SELECT id, CAST(cents AS BIGINT) AS actual_cents,
+       CAST(FLOOR(SUM(bc) * 1.0 / COUNT(*)) AS BIGINT) AS knn_pred_cents
+FROM d WHERE rk <= 5 GROUP BY id, cents ORDER BY id
+""")
+
+# ---------------------------------------------------------------- B584
+# LOF-lite local outlier factor: each point's mean 3-NN distance over
+# the mean of its neighbors' mean 3-NN distances (>1.5 flags) — the
+# density-ratio outlier detector, bounded block, integer distances.
+_q("q542_lof_lite", """
+WITH p AS (SELECT c_custkey AS id,
+                  c_custkey * 7919 % 1000 AS x,
+                  c_custkey * 104729 % 1000 AS y
+           FROM customer WHERE c_custkey <= 300),
+     nn AS (SELECT a.id, b.id AS nb,
+                   SQRT(CAST((a.x - b.x) * (a.x - b.x)
+                             + (a.y - b.y) * (a.y - b.y) AS DOUBLE))
+                     AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY a.id
+                     ORDER BY (a.x - b.x) * (a.x - b.x)
+                              + (a.y - b.y) * (a.y - b.y), b.id) AS rk
+            FROM p a JOIN p b ON a.id <> b.id),
+     kd AS (SELECT id, SUM(dist) / 3.0 AS mean_d,
+                   MAX(CASE WHEN rk = 1 THEN nb END) AS n1,
+                   MAX(CASE WHEN rk = 2 THEN nb END) AS n2,
+                   MAX(CASE WHEN rk = 3 THEN nb END) AS n3
+            FROM nn WHERE rk <= 3 GROUP BY id),
+     lof AS (SELECT a.id, a.mean_d,
+                    (b1.mean_d + b2.mean_d + b3.mean_d) / 3.0 AS nb_d
+             FROM kd a JOIN kd b1 ON b1.id = a.n1
+                       JOIN kd b2 ON b2.id = a.n2
+                       JOIN kd b3 ON b3.id = a.n3)
+SELECT id, FLOOR(mean_d * 100) / 100.0 AS knn_dist,
+       FLOOR(mean_d / nb_d * 10000) / 10000.0 AS lof,
+       CAST(CASE WHEN mean_d / nb_d > 1.5 THEN 1 ELSE 0 END AS BIGINT)
+         AS outlier_flag
+FROM lof ORDER BY id
+""")
+
+# ---------------------------------------------------------------- B585
+# DBSCAN point classification (eps=40, minPts=4): neighbor counts via
+# a 3×3 GRID-BLOCKED join (the scale-correct prefilter — candidates
+# come from adjacent cells only, never all pairs), then core / border
+# / noise labels.
+_q("q543_dbscan_classify", """
+WITH p AS (SELECT c_custkey AS id,
+                  c_custkey * 7919 % 1000 AS x,
+                  c_custkey * 104729 % 1000 AS y
+           FROM customer WHERE c_custkey <= 600),
+     g AS (SELECT id, x, y,
+                  CAST(FLOOR(x / 40.0) AS BIGINT) AS gx,
+                  CAST(FLOOR(y / 40.0) AS BIGINT) AS gy
+           FROM p),
+     nb AS (SELECT a.id,
+                   CAST(COUNT(*) AS BIGINT) AS n_eps
+            FROM g a JOIN g b
+              ON b.id <> a.id
+             AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+             AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+             AND (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) <= 1600
+            GROUP BY a.id),
+     core AS (SELECT id FROM nb WHERE n_eps >= 4),
+     lab AS (SELECT g.id,
+                    CASE WHEN core.id IS NOT NULL THEN 'core'
+                         WHEN EXISTS (
+                           SELECT 1 FROM g b JOIN core c ON c.id = b.id
+                           WHERE b.gx BETWEEN g.gx - 1 AND g.gx + 1
+                             AND b.gy BETWEEN g.gy - 1 AND g.gy + 1
+                             AND (g.x - b.x) * (g.x - b.x)
+                                 + (g.y - b.y) * (g.y - b.y) <= 1600)
+                         THEN 'border' ELSE 'noise' END AS label
+             FROM g LEFT JOIN core ON core.id = g.id)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM lab GROUP BY label ORDER BY label
+""")
+
+# ---------------------------------------------------------------- B586
+# Grid-blocked kNN JOIN: every point's 3 nearest neighbors, candidate
+# pairs restricted to the surrounding 5×5 cells (the spatial-join
+# shape that replaces the all-pairs cross at scale).
+_q("q544_grid_knn_join", """
+WITH p AS (SELECT c_custkey AS id,
+                  c_custkey * 7919 % 1000 AS x,
+                  c_custkey * 104729 % 1000 AS y
+           FROM customer WHERE c_custkey <= 500),
+     g AS (SELECT id, x, y,
+                  CAST(FLOOR(x / 100.0) AS BIGINT) AS gx,
+                  CAST(FLOOR(y / 100.0) AS BIGINT) AS gy
+           FROM p),
+     cand AS (SELECT a.id, b.id AS nb,
+                     (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM g a JOIN g b
+                ON b.id <> a.id
+               AND b.gx BETWEEN a.gx - 2 AND a.gx + 2
+               AND b.gy BETWEEN a.gy - 2 AND a.gy + 2),
+     r AS (SELECT id, nb, d2,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY d2, nb) AS rk,
+                  CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS nc
+           FROM cand)
+SELECT id, CAST(rk AS BIGINT) AS rank, nb AS neighbor,
+       CAST(d2 AS BIGINT) AS dist_sq
+FROM r WHERE rk <= 3 AND nc >= 3 ORDER BY id, rank
+""")
+
+# ---------------------------------------------------------------- B587
+# Signature-identical clusters: docs whose FULL 8-perm portable
+# MinHash signatures coincide form equivalence classes (no iteration
+# needed — exact tuple equality IS transitive), with member stats.
+_q("q545_sig_identical_clusters",
+   oracle="""
+WITH tok AS (SELECT DISTINCT doc_id, tok FROM documents,
+               UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)),
+     h AS (SELECT doc_id,
+                  CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MD5(CAST(MIN((hv * 1299721 + 15485863) % 2147483647)
+                             AS VARCHAR) || ':' ||
+                        CAST(MIN((hv * 1299827 + 32452843) % 2147483647)
+                             AS VARCHAR) || ':' ||
+                        CAST(MIN((hv * 1299853 + 49979687) % 2147483647)
+                             AS VARCHAR) || ':' ||
+                        CAST(MIN((hv * 1299869 + 67867967) % 2147483647)
+                             AS VARCHAR)) AS sg
+             FROM h GROUP BY doc_id)
+SELECT sg AS cluster_sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS representative
+FROM sig GROUP BY sg HAVING COUNT(*) >= 2 ORDER BY cluster_sig
+""",
+   engine_sql="""
+WITH tok AS (SELECT DISTINCT doc_id, tok
+             FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                   FROM documents) x),
+     h AS (SELECT doc_id,
+                  CAST(CONV(SUBSTR(MD5(tok), 1, 8), 16, 10) AS BIGINT)
+                    AS hv
+           FROM tok),
+     sig AS (SELECT doc_id,
+                    MD5(CAST(MIN((hv * 1299721 + 15485863) % 2147483647)
+                             AS STRING) || ':' ||
+                        CAST(MIN((hv * 1299827 + 32452843) % 2147483647)
+                             AS STRING) || ':' ||
+                        CAST(MIN((hv * 1299853 + 49979687) % 2147483647)
+                             AS STRING) || ':' ||
+                        CAST(MIN((hv * 1299869 + 67867967) % 2147483647)
+                             AS STRING)) AS sg
+             FROM h GROUP BY doc_id)
+SELECT sg AS cluster_sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS representative
+FROM sig GROUP BY sg HAVING COUNT(*) >= 2 ORDER BY cluster_sig
+""")
+
+# ---------------------------------------------------------------- B588
+# Simpson's-paradox detector: per-segment price↔quantity correlation
+# sign vs the pooled sign — segments whose within-group slope
+# CONTRADICTS the aggregate, from exact integer moments.
+_q("q546_simpsons_paradox", """
+WITH v AS (SELECT c.c_mktsegment AS seg,
+                  CAST(ROUND(l.l_quantity) AS BIGINT) AS x,
+                  CAST(FLOOR(CAST(ROUND(l.l_extendedprice * 100)
+                                  AS BIGINT) / 100) AS BIGINT) AS y
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+           FROM v GROUP BY seg),
+     t AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+                  SUM(sxy) AS sxy
+           FROM g)
+SELECT g.seg,
+       CAST(SIGN(CAST(g.n AS DOUBLE) * g.sxy
+                 - CAST(g.sx AS DOUBLE) * g.sy) AS BIGINT) AS seg_sign,
+       CAST(SIGN(CAST(t.n AS DOUBLE) * t.sxy
+                 - CAST(t.sx AS DOUBLE) * t.sy) AS BIGINT)
+         AS pooled_sign,
+       CAST(CASE WHEN SIGN(CAST(g.n AS DOUBLE) * g.sxy
+                           - CAST(g.sx AS DOUBLE) * g.sy)
+                      <> SIGN(CAST(t.n AS DOUBLE) * t.sxy
+                              - CAST(t.sx AS DOUBLE) * t.sy)
+                 THEN 1 ELSE 0 END AS BIGINT) AS paradox_flag
+FROM g CROSS JOIN t ORDER BY g.seg
+""")
+
+# ---------------------------------------------------------------- B589
+# Rolling-origin backtest (3 folds × 7 days): seasonal-naive MAE per
+# fold — does forecast skill hold across origins, exact k$ errors.
+_q("q547_rolling_backtest", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     mx AS (SELECT MAX(day) AS d1 FROM d),
+     s AS (SELECT d.day, d.k,
+                  LAG(d.k, 7) OVER (ORDER BY d.day) AS f,
+                  CASE WHEN d.day > mx.d1 - INTERVAL 7 DAY THEN 3
+                       WHEN d.day > mx.d1 - INTERVAL 14 DAY THEN 2
+                       WHEN d.day > mx.d1 - INTERVAL 21 DAY THEN 1
+                       ELSE 0 END AS fold
+           FROM d CROSS JOIN mx)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(COUNT(*) AS BIGINT) AS n_days,
+       FLOOR(SUM(ABS(k - f)) * 100.0 / COUNT(*)) / 100.0 AS mae_k
+FROM s WHERE fold > 0 AND f IS NOT NULL
+GROUP BY fold ORDER BY fold
+""")
+
+# ---------------------------------------------------------------- B590
+# Hierarchical-fallback estimate: customers with <3 orders take their
+# SEGMENT's mean order value, others their own (the cold-start
+# smoothing ladder), with provenance flags — exact cent means.
+_q("q548_hierarchical_fallback", """
+WITH cu AS (SELECT o.o_custkey, c.c_mktsegment AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS s
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_mktsegment),
+     sg AS (SELECT seg, SUM(s) AS ss, SUM(n) AS sn FROM cu GROUP BY seg)
+SELECT cu.o_custkey AS custkey, cu.n AS n_orders,
+       CAST(CASE WHEN cu.n >= 3
+                 THEN FLOOR(cu.s * 1.0 / cu.n)
+                 ELSE FLOOR(sg.ss * 1.0 / sg.sn) END AS BIGINT)
+         AS est_order_cents,
+       CASE WHEN cu.n >= 3 THEN 'own' ELSE 'segment' END AS source
+FROM cu JOIN sg ON sg.seg = cu.seg ORDER BY custkey
+""")
+
+# ---------------------------------------------------------------- B591
+# Metric drill-down contribution: which segment DROVE the 1995→1996
+# revenue change — per-segment deltas as exact shares of the total
+# delta (the dashboard "why did the number move" table).
+_q("q549_drilldown_contribution", """
+WITH y AS (SELECT c.c_mktsegment AS seg,
+                  EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+           GROUP BY c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate)),
+     p AS (SELECT a.seg, b.rc - a.rc AS delta
+           FROM y a JOIN y b ON b.seg = a.seg
+           WHERE a.yr = 1995 AND b.yr = 1996),
+     t AS (SELECT SUM(delta) AS total_delta FROM p)
+SELECT p.seg, CAST(p.delta AS BIGINT) AS delta_cents,
+       FLOOR(p.delta * 1000000.0 / t.total_delta) / 1000000.0
+         AS share_of_change
+FROM p CROSS JOIN t ORDER BY p.seg
+""")
+
+# ---------------------------------------------------------------- B592
+# Composite health score per nation: z-scores of three KPIs (customer
+# balance, supplier balance, order volume) from exact integer moments,
+# weighted 50/25/25 into one ranked league table.
+_q("q550_health_score", """
+WITH k1 AS (SELECT c_nationkey AS nk,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS v
+            FROM customer GROUP BY c_nationkey),
+     k2 AS (SELECT s_nationkey AS nk,
+                   SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS v
+            FROM supplier GROUP BY s_nationkey),
+     k3 AS (SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS v
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_nationkey),
+     base AS (SELECT n.n_nationkey AS nk, n.n_name,
+                     COALESCE(k1.v, 0) AS v1, COALESCE(k2.v, 0) AS v2,
+                     COALESCE(k3.v, 0) AS v3
+              FROM nation n
+              LEFT JOIN k1 ON k1.nk = n.n_nationkey
+              LEFT JOIN k2 ON k2.nk = n.n_nationkey
+              LEFT JOIN k3 ON k3.nk = n.n_nationkey),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v1) AS s1, SUM(v1 * v1) AS q1,
+                  SUM(v2) AS s2, SUM(v2 * v2) AS q2,
+                  SUM(v3) AS s3, SUM(v3 * v3) AS q3
+           FROM base),
+     z AS (SELECT base.nk, base.n_name,
+                  (base.v1 - CAST(m.s1 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q1 AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                         / (m.n - 1)) AS z1,
+                  (base.v2 - CAST(m.s2 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q2 AS DOUBLE)
+                          - CAST(m.s2 AS DOUBLE) * m.s2 / m.n)
+                         / (m.n - 1)) AS z2,
+                  (base.v3 - CAST(m.s3 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q3 AS DOUBLE)
+                          - CAST(m.s3 AS DOUBLE) * m.s3 / m.n)
+                         / (m.n - 1)) AS z3
+           FROM base CROSS JOIN m)
+SELECT n_name,
+       FLOOR((0.5 * z1 + 0.25 * z2 + 0.25 * z3) * 10000) / 10000.0
+         AS health_score
+FROM z ORDER BY health_score DESC, n_name
+""")
