@@ -13506,3 +13506,347 @@ SELECT n_name,
          AS health_score
 FROM z ORDER BY health_score DESC, n_name
 """)
+
+
+# ---------------------------------------------------------------- B593
+# Positional-bias profile: tokens whose mean normalized position
+# deviates most from 0.5 (front-loaded boilerplate vs trailing
+# signatures) — positional explode + per-token position moments.
+_q("q551_positional_bias",
+   oracle="""
+WITH tok AS (SELECT d.doc_id, g.i AS pos, LEN(t.tok) AS n,
+                    t.tok[g.i] AS w
+             FROM (SELECT doc_id, STRING_SPLIT(text,' ') AS tok
+                   FROM documents) t
+             JOIN documents d ON d.doc_id = t.doc_id,
+             UNNEST(GENERATE_SERIES(1, LEN(t.tok))) AS g(i)),
+     s AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+                  SUM(CAST(pos - 1 AS DOUBLE) / (n - 1)) AS sp
+           FROM tok WHERE n > 1 GROUP BY w HAVING COUNT(*) >= 50)
+SELECT w AS token, c AS occurrences,
+       FLOOR(sp * 10000.0 / c) / 10000.0 AS mean_rel_pos,
+       FLOOR(ABS(sp / c - 0.5) * 10000) / 10000.0 AS position_skew
+FROM s ORDER BY ABS(sp / c - 0.5) DESC, w LIMIT 10
+""",
+   engine_sql="""
+WITH tok AS (SELECT doc_id, pos + 1 AS pos,
+                    SIZE(SPLIT(text, ' ')) AS n, w
+             FROM documents
+             LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, w),
+     s AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+                  SUM(CAST(pos - 1 AS DOUBLE) / (n - 1)) AS sp
+           FROM tok WHERE n > 1 GROUP BY w HAVING COUNT(*) >= 50)
+SELECT w AS token, c AS occurrences,
+       FLOOR(sp * 10000.0 / c) / 10000.0 AS mean_rel_pos,
+       FLOOR(ABS(sp / c - 0.5) * 10000) / 10000.0 AS position_skew
+FROM s ORDER BY ABS(sp / c - 0.5) DESC, w LIMIT 10
+""")
+
+# ---------------------------------------------------------------- B594
+# Train/test split leakage audit: distinct 5-grams shared across the
+# hash-split halves (q239's split rule) — the within-dataset
+# contamination check run before training.
+_q("q552_split_leakage",
+   oracle="""
+WITH sp AS (SELECT doc_id, text,
+                   CASE WHEN CAST('0x' || SUBSTR(MD5(
+                          CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                          AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     t AS (SELECT part, doc_id, STRING_SPLIT(text,' ') AS tok FROM sp),
+     g AS (SELECT DISTINCT part,
+                  ARRAY_TO_STRING(tok[i : i + 4], ' ') AS gram
+           FROM t, UNNEST(GENERATE_SERIES(1, LEN(tok) - 4)) AS u(i)),
+     tr AS (SELECT gram FROM g WHERE part = 'train'),
+     te AS (SELECT gram FROM g WHERE part = 'test'),
+     ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS shared
+            FROM te JOIN tr ON tr.gram = te.gram),
+     nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te)
+SELECT nt.n_test AS test_5grams, ov.shared AS leaked_5grams,
+       FLOOR(ov.shared * 1000000.0 / nt.n_test) / 1000000.0
+         AS leakage_rate
+FROM nt CROSS JOIN ov
+""",
+   engine_sql="""
+WITH sp AS (SELECT doc_id, text,
+                   CASE WHEN CAST(CONV(SUBSTR(MD5(
+                          CAST(doc_id AS STRING) || ':split'), 1, 8),
+                          16, 10) AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     t AS (SELECT part, doc_id, SPLIT(text,' ') AS tok FROM sp),
+     g AS (SELECT DISTINCT part,
+                  ARRAY_JOIN(SLICE(tok, i, 5), ' ') AS gram
+           FROM t LATERAL VIEW EXPLODE(
+                  SEQUENCE(1, SIZE(tok) - 4)) u AS i),
+     tr AS (SELECT gram FROM g WHERE part = 'train'),
+     te AS (SELECT gram FROM g WHERE part = 'test'),
+     ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS shared
+            FROM te JOIN tr ON tr.gram = te.gram),
+     nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te)
+SELECT nt.n_test AS test_5grams, ov.shared AS leaked_5grams,
+       FLOOR(ov.shared * 1000000.0 / nt.n_test) / 1000000.0
+         AS leakage_rate
+FROM nt CROSS JOIN ov
+""")
+
+# ---------------------------------------------------------------- B595
+# Token-budget allocation across sources: 100k-token budget split by
+# quality-weighted share (tokens × (1 − stopword rate)), Hamilton
+# largest-remainder so allocations sum exactly.
+_q("q553_domain_budget",
+   oracle="""
+WITH t AS (SELECT d.source, tok FROM documents d,
+             UNNEST(STRING_SPLIT(d.text,' ')) AS u(tok)),
+     s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                  CAST(SUM(CASE WHEN tok IN ('a','the')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS w
+           FROM t GROUP BY source),
+     tt AS (SELECT SUM(w) AS tw FROM s),
+     b AS (SELECT s.source, s.n_tok, s.w, tt.tw,
+                  CAST(FLOOR(100000.0 * s.w / tt.tw) AS BIGINT) AS base,
+                  (100000 * s.w) % tt.tw AS frac
+           FROM s CROSS JOIN tt),
+     lo AS (SELECT 100000 - SUM(base) AS leftover FROM b),
+     r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY b.frac DESC,
+                                          b.source) AS rk
+           FROM b)
+SELECT r.source, r.n_tok AS corpus_tokens,
+       CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS budget_tokens
+FROM r CROSS JOIN lo ORDER BY r.source
+""",
+   engine_sql="""
+WITH t AS (SELECT source, EXPLODE(SPLIT(text, ' ')) AS tok
+           FROM documents),
+     s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                  CAST(SUM(CASE WHEN tok IN ('a','the')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS w
+           FROM t GROUP BY source),
+     tt AS (SELECT SUM(w) AS tw FROM s),
+     b AS (SELECT s.source, s.n_tok, s.w, tt.tw,
+                  CAST(FLOOR(100000.0 * s.w / tt.tw) AS BIGINT) AS base,
+                  (100000 * s.w) % tt.tw AS frac
+           FROM s CROSS JOIN tt),
+     lo AS (SELECT 100000 - SUM(base) AS leftover FROM b),
+     r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY b.frac DESC,
+                                          b.source) AS rk
+           FROM b)
+SELECT r.source, r.n_tok AS corpus_tokens,
+       CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS budget_tokens
+FROM r CROSS JOIN lo ORDER BY r.source
+""")
+
+# ---------------------------------------------------------------- B596
+# Sampling-temperature sweep: language mixture weights at T = 0.5, 1,
+# 2 side by side (wᵢ ∝ pᵢ^(1/T), renormalized) — how flat each
+# temperature makes the mixture, one table.
+_q("q554_temperature_sweep", """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           GROUP BY lang),
+     t AS (SELECT SUM(n) AS nt FROM c),
+     p AS (SELECT c.lang, c.n, CAST(c.n AS DOUBLE) / t.nt AS pr
+           FROM c CROSS JOIN t),
+     e AS (SELECT lang, n, pr,
+                  POWER(pr, 2.0) AS e05,
+                  pr AS e10,
+                  POWER(pr, 0.5) AS e20
+           FROM p),
+     z AS (SELECT SUM(e05) AS z05, SUM(e10) AS z10, SUM(e20) AS z20
+           FROM e)
+SELECT e.lang, e.n,
+       FLOOR(e.e05 * 1000000.0 / z.z05) / 1000000.0 AS w_t05,
+       FLOOR(e.e10 * 1000000.0 / z.z10) / 1000000.0 AS w_t10,
+       FLOOR(e.e20 * 1000000.0 / z.z20) / 1000000.0 AS w_t20
+FROM e CROSS JOIN z ORDER BY e.lang
+""")
+
+# ---------------------------------------------------------------- B597
+# Schema-diff report between two catalog versions (inline metadata
+# tables): added / dropped / type-changed columns — the migration
+# pre-flight diff as a relational full-outer join.
+_q("q555_schema_diff", """
+WITH v1 AS (SELECT * FROM (VALUES
+              ('id', 'BIGINT'), ('name', 'VARCHAR'),
+              ('price', 'DOUBLE'), ('qty', 'INT'),
+              ('updated', 'TIMESTAMP'))
+            AS t(col, typ)),
+     v2 AS (SELECT * FROM (VALUES
+              ('id', 'BIGINT'), ('name', 'VARCHAR'),
+              ('price', 'DECIMAL'), ('category', 'VARCHAR'),
+              ('updated', 'TIMESTAMP'))
+            AS t(col, typ))
+SELECT COALESCE(v1.col, v2.col) AS col,
+       v1.typ AS old_type, v2.typ AS new_type,
+       CASE WHEN v1.col IS NULL THEN 'added'
+            WHEN v2.col IS NULL THEN 'dropped'
+            WHEN v1.typ <> v2.typ THEN 'type_changed'
+            ELSE 'unchanged' END AS change
+FROM v1 FULL JOIN v2 ON v2.col = v1.col
+ORDER BY col
+""")
+
+# ---------------------------------------------------------------- B598
+# Lineage impact analysis: transitive downstream tables within 3 hops
+# of a changed source (inline edge list, bounded-hop expansion) — the
+# "what breaks if I change this" query.
+_q("q556_lineage_fanout", """
+WITH e AS (SELECT * FROM (VALUES
+             ('raw_orders', 'stg_orders'), ('raw_lines', 'stg_lines'),
+             ('stg_orders', 'fct_sales'), ('stg_lines', 'fct_sales'),
+             ('fct_sales', 'agg_daily'), ('fct_sales', 'agg_customer'),
+             ('agg_daily', 'dash_exec'), ('agg_customer', 'dash_crm'))
+           AS t(src, dst)),
+     h1 AS (SELECT dst FROM e WHERE src = 'raw_orders'),
+     h2 AS (SELECT e.dst FROM e JOIN h1 ON h1.dst = e.src),
+     h3 AS (SELECT e.dst FROM e JOIN h2 ON h2.dst = e.src),
+     all_d AS (SELECT dst, 1 AS hop FROM h1
+               UNION ALL SELECT dst, 2 AS hop FROM h2
+               UNION ALL SELECT dst, 3 AS hop FROM h3)
+SELECT dst AS downstream_table,
+       CAST(MIN(hop) AS BIGINT) AS min_hops
+FROM all_d GROUP BY dst ORDER BY min_hops, downstream_table
+""")
+
+# ---------------------------------------------------------------- B599
+# Snapshot-retention policy evaluation (keep 7 daily + 4 weekly + 12
+# monthly): every candidate day labeled keep/delete with the rule that
+# retained it — rank windows per retention bucket over the distinct
+# event days.
+_q("q557_retention_plan",
+   oracle="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS snap FROM events),
+     mx AS (SELECT MAX(snap) AS d1 FROM d),
+     lab AS (SELECT d.snap,
+                    ROW_NUMBER() OVER (ORDER BY d.snap DESC) AS rd,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY ISOYEAR(d.snap), WEEKOFYEAR(d.snap)
+                      ORDER BY d.snap DESC) AS rw,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY DATE_TRUNC('month', d.snap)
+                      ORDER BY d.snap DESC) AS rm,
+                    DENSE_RANK() OVER (
+                      ORDER BY ISOYEAR(d.snap) DESC,
+                               WEEKOFYEAR(d.snap) DESC) AS wk_rank,
+                    DENSE_RANK() OVER (
+                      ORDER BY DATE_TRUNC('month', d.snap) DESC)
+                      AS mo_rank
+             FROM d CROSS JOIN mx)
+SELECT snap,
+       CASE WHEN rd <= 7 THEN 'daily'
+            WHEN rw = 1 AND wk_rank <= 4 THEN 'weekly'
+            WHEN rm = 1 AND mo_rank <= 12 THEN 'monthly'
+            ELSE 'delete' END AS verdict
+FROM lab ORDER BY snap
+""",
+   engine_sql="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS snap FROM events),
+     mx AS (SELECT MAX(snap) AS d1 FROM d),
+     lab AS (SELECT d.snap,
+                    ROW_NUMBER() OVER (ORDER BY d.snap DESC) AS rd,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY EXTRACT(YEAROFWEEK FROM d.snap),
+                                   WEEKOFYEAR(d.snap)
+                      ORDER BY d.snap DESC) AS rw,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY DATE_TRUNC('month', d.snap)
+                      ORDER BY d.snap DESC) AS rm,
+                    DENSE_RANK() OVER (
+                      ORDER BY EXTRACT(YEAROFWEEK FROM d.snap) DESC,
+                               WEEKOFYEAR(d.snap) DESC) AS wk_rank,
+                    DENSE_RANK() OVER (
+                      ORDER BY DATE_TRUNC('month', d.snap) DESC)
+                      AS mo_rank
+             FROM d CROSS JOIN mx)
+SELECT snap,
+       CASE WHEN rd <= 7 THEN 'daily'
+            WHEN rw = 1 AND wk_rank <= 4 THEN 'weekly'
+            WHEN rm = 1 AND mo_rank <= 12 THEN 'monthly'
+            ELSE 'delete' END AS verdict
+FROM lab ORDER BY snap
+""")
+
+# ---------------------------------------------------------------- B600
+# Dead-letter signature rollup: error events grouped by their JSON
+# payload's sorted key-set signature — the triage view that collapses
+# thousands of errors into a handful of shapes.
+_q("q558_error_signatures",
+   oracle="""
+WITH e AS (SELECT event_id, props FROM events
+           WHERE event_type = 'error'),
+     k AS (SELECT event_id,
+                  ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',')
+                    AS sig
+           FROM e)
+SELECT sig AS key_signature, CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM k GROUP BY sig ORDER BY n_errors DESC, sig
+""",
+   engine_sql="""
+WITH e AS (SELECT event_id, props FROM events
+           WHERE event_type = 'error'),
+     k AS (SELECT event_id,
+                  ARRAY_JOIN(SORT_ARRAY(JSON_OBJECT_KEYS(props)), ',')
+                    AS sig
+           FROM e)
+SELECT sig AS key_signature, CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM k GROUP BY sig ORDER BY n_errors DESC, sig
+""")
+
+# ---------------------------------------------------------------- B601
+# Histogram equalization: balances remapped onto a uniform 0–100
+# scale by their exact percentile rank (the image-processing
+# transform applied to tabular data), with a uniformity check over
+# 10 output buckets.
+_q("q559_histogram_equalization", """
+WITH v AS (SELECT c_custkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+           FROM customer),
+     r AS (SELECT c_custkey, c,
+                  PERCENT_RANK() OVER (ORDER BY c, c_custkey) AS pr
+           FROM v),
+     m AS (SELECT c_custkey, c,
+                  CAST(FLOOR(pr * 100) AS BIGINT) AS equalized
+           FROM r),
+     b AS (SELECT CAST(FLOOR(equalized / 10.0) AS BIGINT) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM m GROUP BY CAST(FLOOR(equalized / 10.0) AS BIGINT))
+SELECT bucket, n FROM b ORDER BY bucket
+""")
+
+# ---------------------------------------------------------------- B602
+# SLA attainment scorecard per priority: ship-within-30d rate, p95
+# cycle time, and worst-line fill rate in ONE pass over the
+# order–line join — the ops scorecard view.
+_q("q560_sla_scorecard",
+   oracle="""
+WITH ol AS (SELECT o.o_orderpriority AS pri, o.o_orderkey,
+                   MAX(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS worst_lag
+            FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority, o.o_orderkey)
+SELECT pri AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       FLOOR(SUM(CASE WHEN worst_lag <= 30 THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS within_30d_rate,
+       CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY worst_lag)
+            AS BIGINT) AS p95_cycle_days
+FROM ol GROUP BY pri ORDER BY pri
+""",
+   engine_sql="""
+WITH ol AS (SELECT o.o_orderpriority AS pri, o.o_orderkey,
+                   MAX(DATEDIFF(CAST(l.l_shipdate AS DATE),
+                                CAST(o.o_orderdate AS DATE))) AS worst_lag
+            FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority, o.o_orderkey)
+SELECT pri AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       FLOOR(SUM(CASE WHEN worst_lag <= 30 THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS within_30d_rate,
+       CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY worst_lag)
+            AS BIGINT) AS p95_cycle_days
+FROM ol GROUP BY pri ORDER BY pri
+""")
