@@ -13850,3 +13850,273 @@ SELECT pri AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
             AS BIGINT) AS p95_cycle_days
 FROM ol GROUP BY pri ORDER BY pri
 """)
+
+
+# ---------------------------------------------------------------- B603
+# Revenue-maximizing price band: unit-price deciles (cutoff banding)
+# vs total revenue, argmax band per brand — the discrete price-
+# optimization readout.
+_q("q561_price_band_argmax", """
+WITH v AS (SELECT p.p_brand AS brand,
+                  CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS pc,
+                  CAST(ROUND(l.l_quantity) AS BIGINT) AS q
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+     cut AS (SELECT brand,
+                    PERCENTILE_DISC(0.33) WITHIN GROUP (ORDER BY pc)
+                      AS c1,
+                    PERCENTILE_DISC(0.66) WITHIN GROUP (ORDER BY pc)
+                      AS c2
+             FROM v GROUP BY brand),
+     b AS (SELECT v.brand,
+                  CASE WHEN v.pc <= cut.c1 THEN 'low'
+                       WHEN v.pc <= cut.c2 THEN 'mid'
+                       ELSE 'high' END AS band,
+                  v.pc, v.q
+           FROM v JOIN cut ON cut.brand = v.brand),
+     agg AS (SELECT brand, band,
+                    SUM(pc) AS rev_cents, SUM(q) AS units,
+                    ROW_NUMBER() OVER (PARTITION BY brand
+                                       ORDER BY SUM(pc) DESC, band)
+                      AS rk
+             FROM b GROUP BY brand, band)
+SELECT brand, band AS best_band,
+       CAST(rev_cents AS BIGINT) AS revenue_cents,
+       CAST(units AS BIGINT) AS units
+FROM agg WHERE rk = 1 ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B604
+# Discount waterfall: gross → discount → net → tax decomposition in
+# exact cents with per-flag totals and component shares — the finance
+# bridge table.
+_q("q562_discount_waterfall", """
+WITH l AS (SELECT l_returnflag AS flag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+                  CAST(ROUND(l_extendedprice * l_discount * 100)
+                       AS BIGINT) AS disc,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             * l_tax * 100) AS BIGINT) AS tax
+           FROM lineitem)
+SELECT flag,
+       CAST(SUM(gross) AS BIGINT) AS gross_cents,
+       CAST(SUM(disc) AS BIGINT) AS discount_cents,
+       CAST(SUM(gross) - SUM(disc) AS BIGINT) AS net_cents,
+       CAST(SUM(tax) AS BIGINT) AS tax_cents,
+       CAST(SUM(gross) - SUM(disc) + SUM(tax) AS BIGINT) AS charged_cents,
+       FLOOR(SUM(disc) * 1000000.0 / SUM(gross)) / 1000000.0
+         AS discount_share
+FROM l GROUP BY flag ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B605
+# FIFO lot matching: receipts ('F' lines) consumed by issues ('O'
+# lines) in ship-date order via running-sum INTERVAL OVERLAP — the
+# set-based FIFO allocation (no loops): lot [r_lo, r_hi) × demand
+# [i_lo, i_hi) overlap is the matched quantity.
+_q("q563_fifo_matching", """
+WITH r AS (SELECT l_partkey AS part, l_orderkey, l_linenumber,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                  SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                    OVER (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS hi
+           FROM lineitem
+           WHERE l_linestatus = 'F' AND l_partkey <= 40),
+     i AS (SELECT l_partkey AS part, l_orderkey, l_linenumber,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                  SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                    OVER (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS hi
+           FROM lineitem
+           WHERE l_linestatus = 'O' AND l_partkey <= 40),
+     m AS (SELECT r.part,
+                  LEAST(r.hi, i.hi)
+                  - GREATEST(r.hi - r.q, i.hi - i.q) AS alloc
+           FROM r JOIN i
+             ON i.part = r.part
+            AND r.hi - r.q < i.hi AND i.hi - i.q < r.hi)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(alloc) AS BIGINT) AS matched_qty
+FROM m GROUP BY part ORDER BY part
+""")
+
+# ---------------------------------------------------------------- B606
+# Multi-level BOM explosion (inline 2-level bill of materials):
+# path-multiplied leaf quantities per product — the manufacturing
+# rollup as bounded joins, no recursion needed at fixed depth.
+_q("q564_bom_explosion", """
+WITH bom AS (SELECT * FROM (VALUES
+               ('widget', 'frame', 2), ('widget', 'motor', 1),
+               ('gadget', 'frame', 1), ('gadget', 'panel', 4),
+               ('frame', 'rod', 4), ('frame', 'bolt', 8),
+               ('motor', 'coil', 2), ('motor', 'bolt', 4),
+               ('panel', 'sheet', 1), ('panel', 'bolt', 2))
+             AS t(parent, child, qty)),
+     tops AS (SELECT DISTINCT parent FROM bom
+              WHERE parent NOT IN (SELECT child FROM bom)),
+     l1 AS (SELECT tops.parent AS product, bom.child, bom.qty
+            FROM tops JOIN bom ON bom.parent = tops.parent),
+     l2 AS (SELECT l1.product, b2.child,
+                   l1.qty * b2.qty AS qty
+            FROM l1 JOIN bom b2 ON b2.parent = l1.child),
+     leaves AS (SELECT product, child, qty FROM l1
+                WHERE child NOT IN (SELECT DISTINCT parent FROM bom)
+                UNION ALL
+                SELECT product, child, qty FROM l2)
+SELECT product, child AS component,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM leaves GROUP BY product, child ORDER BY product, component
+""")
+
+# ---------------------------------------------------------------- B607
+# Cohort retention triangle by first-order year: cohort size and
+# counts still active +1/+2 years — the classic triangle in wide form
+# (conditional distinct counts per offset).
+_q("q565_cohort_triangle", """
+WITH fo AS (SELECT o_custkey,
+                   MIN(EXTRACT(YEAR FROM o_orderdate)) AS y0
+            FROM orders GROUP BY o_custkey),
+     act AS (SELECT DISTINCT o_custkey,
+                    EXTRACT(YEAR FROM o_orderdate) AS y
+             FROM orders)
+SELECT CAST(fo.y0 AS BIGINT) AS cohort_year,
+       CAST(COUNT(DISTINCT fo.o_custkey) AS BIGINT) AS cohort_size,
+       CAST(COUNT(DISTINCT CASE WHEN act.y = fo.y0 + 1
+                                THEN act.o_custkey END) AS BIGINT)
+         AS active_plus1,
+       CAST(COUNT(DISTINCT CASE WHEN act.y = fo.y0 + 2
+                                THEN act.o_custkey END) AS BIGINT)
+         AS active_plus2
+FROM fo JOIN act ON act.o_custkey = fo.o_custkey
+GROUP BY fo.y0 ORDER BY cohort_year
+""")
+
+# ---------------------------------------------------------------- B608
+# NPS computation: the event value mapped to a 0–10 score, promoters
+# (≥9) minus detractors (≤6) as a share of responses, per event type.
+_q("q566_nps", """
+WITH s AS (SELECT event_type,
+                  LEAST(CAST(FLOOR(value / 10) AS BIGINT), 10) AS score
+           FROM events WHERE value >= 0)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_responses,
+       CAST(SUM(CASE WHEN score >= 9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS promoters,
+       CAST(SUM(CASE WHEN score <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS detractors,
+       FLOOR((SUM(CASE WHEN score >= 9 THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN score <= 6 THEN 1 ELSE 0 END))
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS nps
+FROM s GROUP BY event_type ORDER BY event_type
+""")
+
+# ---------------------------------------------------------------- B609
+# Outlier attribution: for each 2σ-plus order, WHICH of three
+# features (price, line count, avg qty) carries the largest |z| —
+# the "why is this row an outlier" explanation column.
+_q("q567_outlier_attribution", """
+WITH f AS (SELECT o.o_orderkey,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS f1,
+                  CAST(COUNT(*) AS BIGINT) AS f2,
+                  CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT))
+                       AS BIGINT) AS f3
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderkey, o.o_totalprice),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(f1) AS s1, SUM(f1 * f1) AS q1,
+                  SUM(f2) AS s2, SUM(f2 * f2) AS q2,
+                  SUM(f3) AS s3, SUM(f3 * f3) AS q3
+           FROM f),
+     z AS (SELECT f.o_orderkey,
+                  ABS(f.f1 - CAST(m.s1 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q1 AS DOUBLE)
+                          - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                         / (m.n - 1)) AS z1,
+                  ABS(f.f2 - CAST(m.s2 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q2 AS DOUBLE)
+                          - CAST(m.s2 AS DOUBLE) * m.s2 / m.n)
+                         / (m.n - 1)) AS z2,
+                  ABS(f.f3 - CAST(m.s3 AS DOUBLE) / m.n)
+                  / SQRT((CAST(m.q3 AS DOUBLE)
+                          - CAST(m.s3 AS DOUBLE) * m.s3 / m.n)
+                         / (m.n - 1)) AS z3
+           FROM f CROSS JOIN m)
+SELECT o_orderkey,
+       FLOOR(GREATEST(z1, z2, z3) * 10000) / 10000.0 AS max_z,
+       CASE WHEN z1 >= z2 AND z1 >= z3 THEN 'total_price'
+            WHEN z2 >= z3 THEN 'line_count'
+            ELSE 'total_qty' END AS driver
+FROM z WHERE GREATEST(z1, z2, z3) > 2 ORDER BY o_orderkey
+""")
+
+# ---------------------------------------------------------------- B610
+# CAGR per segment between its first and last full year: POWER of the
+# exact revenue ratio over the year span — the growth summary.
+_q("q568_cagr", """
+WITH y AS (SELECT c.c_mktsegment AS seg,
+                  EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate)),
+     b AS (SELECT seg, MIN(yr) AS y0, MAX(yr) AS y1 FROM y
+           GROUP BY seg HAVING MAX(yr) > MIN(yr)),
+     j AS (SELECT b.seg, b.y0, b.y1, a.rc AS r0, c.rc AS r1
+           FROM b JOIN y a ON a.seg = b.seg AND a.yr = b.y0
+                  JOIN y c ON c.seg = b.seg AND c.yr = b.y1)
+SELECT seg, CAST(y0 AS BIGINT) AS first_year,
+       CAST(y1 AS BIGINT) AS last_year,
+       FLOOR((POWER(CAST(r1 AS DOUBLE) / r0, 1.0 / (y1 - y0)) - 1)
+             * 1000000) / 1000000.0 AS cagr
+FROM j ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B611
+# Days-sales-outstanding proxy: open ('O') order value as receivables
+# over annualized revenue — the working-capital KPI per segment.
+_q("q569_dso_proxy", """
+WITH s AS (SELECT c.c_mktsegment AS seg,
+                  SUM(CASE WHEN o.o_orderstatus = 'O'
+                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS open_cents,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS total_cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment)
+SELECT seg, CAST(open_cents AS BIGINT) AS receivables_cents,
+       FLOOR(open_cents * 365.0 * 100 / total_cents) / 100.0
+         AS dso_days_proxy
+FROM s ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B612
+# Executive annual summary: revenue, orders, AOV, YoY growth and the
+# year's top segment in one table — the multi-metric rollup with a
+# partitioned top-1 joined back.
+_q("q570_annual_summary", """
+WITH y AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)),
+     seg AS (SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                    c.c_mktsegment AS seg,
+                    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rc,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY EXTRACT(YEAR FROM o.o_orderdate)
+                      ORDER BY SUM(CAST(ROUND(o.o_totalprice * 100)
+                                        AS BIGINT)) DESC,
+                               c.c_mktsegment) AS rk
+             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             GROUP BY EXTRACT(YEAR FROM o.o_orderdate), c.c_mktsegment)
+SELECT CAST(y.yr AS BIGINT) AS yr, y.n_orders,
+       CAST(y.rc AS BIGINT) AS revenue_cents,
+       CAST(FLOOR(y.rc * 1.0 / y.n_orders) AS BIGINT) AS aov_cents,
+       FLOOR((y.rc - LAG(y.rc) OVER (ORDER BY y.yr))
+             * 1000000.0 / LAG(y.rc) OVER (ORDER BY y.yr)) / 1000000.0
+         AS yoy_growth,
+       seg.seg AS top_segment
+FROM y JOIN seg ON seg.yr = y.yr AND seg.rk = 1
+ORDER BY yr
+""")
