@@ -14120,3 +14120,347 @@ SELECT CAST(y.yr AS BIGINT) AS yr, y.n_orders,
 FROM y JOIN seg ON seg.yr = y.yr AND seg.rk = 1
 ORDER BY yr
 """)
+
+
+# ---------------------------------------------------------------- B613
+# XmR individuals control chart: moving range |Δx|, limits
+# x̄ ± 2.66·m̄R, out-of-control days flagged — the SPC chart on the
+# daily k$ series, all exact integer inputs.
+_q("q571_xmr_chart", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     mr AS (SELECT day, k,
+                   ABS(k - LAG(k) OVER (ORDER BY day)) AS r
+            FROM d),
+     lim AS (SELECT SUM(k) * 1.0 / COUNT(*) AS xbar,
+                    SUM(r) * 1.0 / COUNT(r) AS rbar
+             FROM mr)
+SELECT mr.day, CAST(mr.k AS BIGINT) AS k,
+       FLOOR((lim.xbar + 2.66 * lim.rbar) * 100) / 100.0 AS ucl,
+       FLOOR((lim.xbar - 2.66 * lim.rbar) * 100) / 100.0 AS lcl,
+       CAST(CASE WHEN mr.k > lim.xbar + 2.66 * lim.rbar
+                   OR mr.k < lim.xbar - 2.66 * lim.rbar
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM mr CROSS JOIN lim ORDER BY mr.day
+""")
+
+# ---------------------------------------------------------------- B614
+# X̄-S subgroup control chart: daily subgroups of order values, the
+# grand mean and pooled within-subgroup σ set the limits; subgroup
+# means outside ±3σ/√n flag. Exact cent moments per subgroup.
+_q("q572_xbar_s_chart", """
+WITH g AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sx,
+                  SUM(CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)
+                      * CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT) / 100) AS BIGINT))
+                    AS qxd,
+                  SUM(CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)) AS sxd
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)
+           HAVING COUNT(*) >= 3),
+     s AS (SELECT day, n, sx, sxd, qxd,
+                  (CAST(qxd AS DOUBLE) - CAST(sxd AS DOUBLE) * sxd / n)
+                  / (n - 1) AS var_d
+           FROM g),
+     lim AS (SELECT SUM(sxd) * 1.0 / SUM(n) AS grand_mean,
+                    SQRT(SUM((n - 1) * var_d) / SUM(n - 1)) AS pooled_sd
+             FROM s)
+SELECT s.day, CAST(s.n AS BIGINT) AS n,
+       FLOOR(s.sxd * 100.0 / s.n) / 100.0 AS subgroup_mean,
+       CAST(CASE WHEN ABS(s.sxd * 1.0 / s.n - lim.grand_mean)
+                      > 3 * lim.pooled_sd / SQRT(s.n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM s CROSS JOIN lim ORDER BY s.day
+""")
+
+# ---------------------------------------------------------------- B615
+# Process capability Cp / Cpk against declared spec limits: how many
+# σ of headroom the order-value process has inside [500, 400000] —
+# exact dollar moments.
+_q("q573_process_capability", """
+WITH v AS (SELECT CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                  SUM(x * x) AS sxx
+           FROM v),
+     s AS (SELECT CAST(sx AS DOUBLE) / n AS mu,
+                  SQRT((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) AS sd
+           FROM m)
+SELECT FLOOR(mu * 100) / 100.0 AS mean_dollars,
+       FLOOR(sd * 100) / 100.0 AS sd_dollars,
+       FLOOR((400000 - 500) / (6 * sd) * 10000) / 10000.0 AS cp,
+       FLOOR(LEAST((400000 - mu) / (3 * sd), (mu - 500) / (3 * sd))
+             * 10000) / 10000.0 AS cpk
+FROM s
+""")
+
+# ---------------------------------------------------------------- B616
+# OEE-style telemetry rollup per day: availability (non-error event
+# share), performance (mean value vs best-day mean), and their
+# product — the manufacturing KPI shape on the events stream.
+_q("q574_oee", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+           FROM events GROUP BY CAST(ts AS DATE)),
+     best AS (SELECT MAX(CAST(sv AS DOUBLE) / n) AS best_rate FROM d)
+SELECT d.day,
+       FLOOR((d.n - d.errs) * 1000000.0 / d.n) / 1000000.0
+         AS availability,
+       FLOOR((CAST(d.sv AS DOUBLE) / d.n) * 1000000.0 / best.best_rate)
+         / 1000000.0 AS performance,
+       FLOOR((CAST(d.n - d.errs AS DOUBLE) / d.n)
+             * ((CAST(d.sv AS DOUBLE) / d.n) / best.best_rate) * 1000000)
+         / 1000000.0 AS oee_proxy
+FROM d CROSS JOIN best ORDER BY d.day
+""")
+
+# ---------------------------------------------------------------- B617
+# Little's-law consistency check: L (time-average sessions in system)
+# vs λ·W from arrivals and mean duration — the queueing identity
+# verified numerically on the sessionized stream.
+_q("q575_littles_law",
+   oracle="""
+WITH s AS (SELECT user_id, ts,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                         OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+     g AS (SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+           FROM s),
+     iv AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+            FROM g GROUP BY user_id, sid
+            HAVING MIN(ts) < MAX(ts)),
+     horiz AS (SELECT EPOCH(MAX(t1)) - EPOCH(MIN(t0)) AS span_s
+               FROM iv),
+     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                    SUM(EPOCH(t1) - EPOCH(t0)) AS busy_s
+             FROM iv)
+SELECT agg.n_sessions,
+       FLOOR(agg.busy_s * 10000.0 / horiz.span_s) / 10000.0 AS l_direct,
+       FLOOR((agg.n_sessions * 1.0 / horiz.span_s)
+             * (agg.busy_s * 1.0 / agg.n_sessions) * 10000) / 10000.0
+         AS lambda_times_w
+FROM agg CROSS JOIN horiz
+""",
+   engine_sql="""
+WITH s AS (SELECT user_id, ts, event_id,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                         OR ts > LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events),
+     g AS (SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+           FROM s),
+     iv AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+            FROM g GROUP BY user_id, sid
+            HAVING MIN(ts) < MAX(ts)),
+     horiz AS (SELECT (UNIX_MICROS(CAST(MAX(t1) AS TIMESTAMP))
+                       - UNIX_MICROS(CAST(MIN(t0) AS TIMESTAMP)))
+                      / 1000000 AS span_s
+               FROM iv),
+     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                    SUM((UNIX_MICROS(CAST(t1 AS TIMESTAMP))
+                         - UNIX_MICROS(CAST(t0 AS TIMESTAMP)))
+                        / 1000000) AS busy_s
+             FROM iv)
+SELECT agg.n_sessions,
+       FLOOR(agg.busy_s * 10000.0 / horiz.span_s) / 10000.0 AS l_direct,
+       FLOOR((agg.n_sessions * 1.0 / horiz.span_s)
+             * (agg.busy_s * 1.0 / agg.n_sessions) * 10000) / 10000.0
+         AS lambda_times_w
+FROM agg CROSS JOIN horiz
+""")
+
+# ---------------------------------------------------------------- B618
+# Erlang-C wait probability for 1..6 agents at the observed offered
+# load: the staffing table, with the factorial series evaluated
+# relationally (series explode + POWER/FACTORIAL folds).
+_q("q576_erlang_c",
+   oracle="""
+WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
+                  / ((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600.0) / 20.0
+                    AS load_erl
+           FROM events WHERE event_type = 'purchase'),
+     k AS (SELECT UNNEST(GENERATE_SERIES(1, 6)) AS c),
+     terms AS (SELECT k.c, a.load_erl, g.j,
+                      POWER(a.load_erl, g.j) / FACTORIAL(CAST(g.j AS INTEGER)) AS t
+               FROM k CROSS JOIN a,
+                    UNNEST(GENERATE_SERIES(0, 6)) AS g(j)
+               WHERE g.j < k.c),
+     s AS (SELECT c, load_erl, SUM(t) AS s0 FROM terms
+           GROUP BY c, load_erl),
+     e AS (SELECT c, load_erl, s0,
+                  POWER(load_erl, c) / FACTORIAL(CAST(c AS INTEGER))
+                  * (c / GREATEST(c - load_erl, 1e-9)) AS top
+           FROM s WHERE load_erl < c)
+SELECT CAST(c AS BIGINT) AS agents,
+       FLOOR(load_erl * 10000) / 10000.0 AS offered_load,
+       FLOOR(top / (s0 + top) * 1000000) / 1000000.0 AS p_wait
+FROM e ORDER BY agents
+""",
+   engine_sql="""
+WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
+                  / ((UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP))
+                      - UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)))
+                     / 3600000000.0) / 20.0 AS load_erl
+           FROM events WHERE event_type = 'purchase'),
+     k AS (SELECT EXPLODE(SEQUENCE(1, 6)) AS c),
+     terms AS (SELECT k.c, a.load_erl, g.j,
+                      POWER(a.load_erl, g.j) / FACTORIAL(g.j) AS t
+               FROM k CROSS JOIN a
+               LATERAL VIEW EXPLODE(SEQUENCE(0, 6)) g AS j
+               WHERE g.j < k.c),
+     s AS (SELECT c, load_erl, SUM(t) AS s0 FROM terms
+           GROUP BY c, load_erl),
+     e AS (SELECT c, load_erl, s0,
+                  POWER(load_erl, c) / FACTORIAL(c)
+                  * (c / GREATEST(c - load_erl, 1e-9)) AS top
+           FROM s WHERE load_erl < c)
+SELECT CAST(c AS BIGINT) AS agents,
+       FLOOR(load_erl * 10000) / 10000.0 AS offered_load,
+       FLOOR(top / (s0 + top) * 1000000) / 1000000.0 AS p_wait
+FROM e ORDER BY agents
+""")
+
+# ---------------------------------------------------------------- B619
+# Latency-budget decomposition: per-stage p50/p99 (event types as
+# stages) vs the end-to-end percentile — the sum-of-p99s ≥ e2e-p99
+# non-additivity a latency budget must respect.
+_q("q577_latency_budget", """
+WITH st AS (SELECT event_type AS stage,
+                   CAST(ROUND(value * 100) AS BIGINT) AS lat
+            FROM events),
+     per AS (SELECT stage,
+                    CAST(PERCENTILE_DISC(0.5)
+                         WITHIN GROUP (ORDER BY lat) AS BIGINT) AS p50,
+                    CAST(PERCENTILE_DISC(0.99)
+                         WITHIN GROUP (ORDER BY lat) AS BIGINT) AS p99
+             FROM st GROUP BY stage),
+     e2e AS (SELECT user_id, SUM(lat) AS total
+             FROM (SELECT user_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS lat
+                   FROM events) x GROUP BY user_id),
+     ep AS (SELECT CAST(PERCENTILE_DISC(0.99)
+                        WITHIN GROUP (ORDER BY total) AS BIGINT)
+                     AS e2e_p99
+            FROM e2e)
+SELECT per.stage, per.p50, per.p99,
+       (SELECT CAST(SUM(p99) AS BIGINT) FROM per) AS sum_of_p99s,
+       ep.e2e_p99
+FROM per CROSS JOIN ep ORDER BY per.stage
+""")
+
+# ---------------------------------------------------------------- B620
+# Throughput-saturation knee: revenue-per-line vs load band (lines
+# per day decile bands), knee = max negative second difference of the
+# efficiency curve — the capacity-knee finder.
+_q("q578_saturation_knee", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rc
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     cut AS (SELECT PERCENTILE_DISC(0.25) WITHIN GROUP
+                      (ORDER BY n_lines) AS c1,
+                    PERCENTILE_DISC(0.5) WITHIN GROUP
+                      (ORDER BY n_lines) AS c2,
+                    PERCENTILE_DISC(0.75) WITHIN GROUP
+                      (ORDER BY n_lines) AS c3
+             FROM d),
+     b AS (SELECT CASE WHEN d.n_lines <= cut.c1 THEN 1
+                       WHEN d.n_lines <= cut.c2 THEN 2
+                       WHEN d.n_lines <= cut.c3 THEN 3 ELSE 4 END AS band,
+                  d.n_lines, d.rc
+           FROM d CROSS JOIN cut),
+     eff AS (SELECT band, SUM(rc) AS rc, SUM(n_lines) AS nl,
+                    FLOOR(SUM(rc) * 1.0 / SUM(n_lines)) AS rev_per_line
+             FROM b GROUP BY band),
+     dd AS (SELECT band, rev_per_line,
+                   rev_per_line - LAG(rev_per_line)
+                     OVER (ORDER BY band) AS d1
+            FROM eff),
+     d2 AS (SELECT band, rev_per_line, d1,
+                   d1 - LAG(d1) OVER (ORDER BY band) AS curv
+            FROM dd)
+SELECT CAST(band AS BIGINT) AS load_band,
+       CAST(rev_per_line AS BIGINT) AS rev_per_line_cents,
+       CAST(curv AS BIGINT) AS second_diff
+FROM d2 ORDER BY load_band
+""")
+
+# ---------------------------------------------------------------- B621
+# Capacity forecast: days until a 2× storage limit at the fitted
+# linear growth of cumulative corpus bytes — OLS on exact integer
+# (day-index, cumulative-bytes) pairs, solved for the limit crossing.
+_q("q579_capacity_forecast", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS b
+           FROM events GROUP BY CAST(ts AS DATE)),
+     c AS (SELECT day,
+                  ROW_NUMBER() OVER (ORDER BY day) AS t,
+                  SUM(b) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+           FROM d),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS st,
+                  SUM(cum) AS sc, SUM(t * cum) AS stc,
+                  SUM(t * t) AS stt, MAX(cum) AS last_cum,
+                  MAX(t) AS last_t
+           FROM c),
+     fit AS (SELECT n, last_cum, last_t,
+                    (CAST(n AS DOUBLE) * stc
+                     - CAST(st AS DOUBLE) * sc)
+                    / (CAST(n AS DOUBLE) * stt
+                       - CAST(st AS DOUBLE) * st) AS slope
+             FROM m)
+SELECT CAST(last_cum AS BIGINT) AS current_bytes,
+       FLOOR(slope * 100) / 100.0 AS daily_growth,
+       CAST(CEIL((2.0 * last_cum - last_cum) / slope) AS BIGINT)
+         AS days_to_2x
+FROM fit
+""")
+
+# ---------------------------------------------------------------- B622
+# SLO error-budget burn: error share vs a 1% budget over trailing
+# 7-day windows — burn-rate multiple and projected budget exhaustion,
+# the SRE alerting arithmetic on exact counts.
+_q("q580_error_budget", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS e
+           FROM events GROUP BY CAST(ts AS DATE)),
+     w AS (SELECT day,
+                  SUM(n) OVER w7 AS n7, SUM(e) OVER w7 AS e7,
+                  COUNT(*) OVER w7 AS days7
+           FROM d
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT day,
+       FLOOR(e7 * 1000000.0 / n7) / 1000000.0 AS error_rate_7d,
+       FLOOR(e7 * 100.0 / (n7 * 0.01)) / 100.0 AS burn_rate_x,
+       CAST(CASE WHEN e7 * 100 > n7 THEN 1 ELSE 0 END AS BIGINT)
+         AS budget_exhausted
+FROM w WHERE days7 = 7 ORDER BY day
+""")
