@@ -14464,3 +14464,338 @@ SELECT day,
          AS budget_exhausted
 FROM w WHERE days7 = 7 ORDER BY day
 """)
+
+
+# ---------------------------------------------------------------- B623
+# GROUPING SETS filtered to subtotal rows via GROUPING() in HAVING —
+# emit ONLY the per-flag and grand-total rows of a two-key rollup
+# (the "subtotals report" shape).
+_q("q581_grouping_sets_having", """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+HAVING GROUPING(l_linestatus) = 1
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""")
+
+# ---------------------------------------------------------------- B624
+# Correlated EXISTS with an aggregate subquery: customers whose
+# single largest order exceeds 2× their own average — the correlated
+# HAVING-in-EXISTS shape Catalyst rewrites to joins.
+_q("q582_correlated_exists_agg", """
+SELECT c.c_custkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              GROUP BY o.o_custkey
+              HAVING MAX(o.o_totalprice) > 2 * AVG(o.o_totalprice))
+ORDER BY c.c_custkey
+""")
+
+# ---------------------------------------------------------------- B625
+# Fill-in-middle span planning: deterministic (hash-positioned)
+# prefix/middle/suffix boundaries per doc with the middle constrained
+# to 20–40% of the token count — the FIM data-prep layout.
+_q("q583_fim_spans",
+   oracle="""
+WITH t AS (SELECT doc_id,
+                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n,
+                  CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                       || ':fim'), 1, 8) AS BIGINT) AS h
+           FROM documents),
+     p AS (SELECT doc_id, n,
+                  (n * 20 + (h % 21) * n) // 100 AS mid_len,
+                  h // 64 AS h2
+           FROM t WHERE n >= 10),
+     s AS (SELECT doc_id, n, mid_len,
+                  1 + h2 % GREATEST(n - mid_len - 1, 1) AS mid_start
+           FROM p)
+SELECT doc_id, n AS n_tokens,
+       CAST(mid_start AS BIGINT) AS middle_start,
+       CAST(mid_len AS BIGINT) AS middle_len,
+       CAST(n - mid_start - mid_len AS BIGINT) AS suffix_len
+FROM s ORDER BY doc_id
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id,
+                  CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n,
+                  CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                       || ':fim'), 1, 8), 16, 10) AS BIGINT) AS h
+           FROM documents),
+     p AS (SELECT doc_id, n,
+                  (n * 20 + (h % 21) * n) DIV 100 AS mid_len,
+                  h DIV 64 AS h2
+           FROM t WHERE n >= 10),
+     s AS (SELECT doc_id, n, mid_len,
+                  1 + h2 % GREATEST(n - mid_len - 1, 1) AS mid_start
+           FROM p)
+SELECT doc_id, n AS n_tokens,
+       CAST(mid_start AS BIGINT) AS middle_start,
+       CAST(mid_len AS BIGINT) AS middle_len,
+       CAST(n - mid_start - mid_len AS BIGINT) AS suffix_len
+FROM s ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B626
+# Packing-efficiency report: greedy 128-token context packing
+# (q236's bucket trick) scored — bins used, mean fill, waste share —
+# the packing observability view.
+_q("q584_packing_efficiency", """
+WITH d AS (SELECT doc_id,
+                  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                       AS BIGINT) AS n_tok
+           FROM documents),
+     r AS (SELECT doc_id, n_tok,
+                  SUM(n_tok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run
+           FROM d),
+     b AS (SELECT doc_id, n_tok,
+                  CAST(FLOOR((run - n_tok) / 128.0) AS BIGINT) AS bin
+           FROM r),
+     fill AS (SELECT bin, SUM(n_tok) AS toks,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM b GROUP BY bin)
+SELECT CAST(COUNT(*) AS BIGINT) AS bins_used,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       FLOOR(SUM(toks) * 1000000.0 / (COUNT(*) * 128)) / 1000000.0
+         AS mean_fill,
+       FLOOR(SUM(CASE WHEN toks > 128 THEN toks - 128 ELSE 0 END)
+             * 1000000.0 / SUM(toks)) / 1000000.0 AS overflow_share
+FROM fill
+""")
+
+# ---------------------------------------------------------------- B627
+# Dedup-threshold sensitivity: keeper counts at Jaccard thresholds
+# 0.5/0.6/0.7/0.8 from ONE exact pair computation over a bounded
+# block — how aggressive each setting would be.
+_q("q585_dedup_threshold_sensitivity",
+   oracle="""
+WITH t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 150),
+     p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                  LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+                  / LEN(LIST_DISTINCT(a.s || b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id),
+     th AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8]) AS thr),
+     drops AS (SELECT th.thr,
+                      CAST(COUNT(DISTINCT p.j) AS BIGINT) AS dropped
+               FROM th LEFT JOIN p ON p.jac >= th.thr
+               GROUP BY th.thr),
+     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t)
+SELECT drops.thr AS threshold, n.total - drops.dropped AS keepers,
+       drops.dropped
+FROM drops CROSS JOIN n ORDER BY threshold
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, ARRAY_DISTINCT(SPLIT(text,' ')) AS s
+           FROM documents WHERE doc_id < 150),
+     p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                  SIZE(ARRAY_INTERSECT(a.s, b.s)) * 1.0
+                  / SIZE(ARRAY_UNION(a.s, b.s)) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id),
+     th AS (SELECT EXPLODE(ARRAY(0.5D, 0.6D, 0.7D, 0.8D)) AS thr),
+     drops AS (SELECT th.thr,
+                      CAST(COUNT(DISTINCT p.j) AS BIGINT) AS dropped
+               FROM th LEFT JOIN p ON p.jac >= th.thr
+               GROUP BY th.thr),
+     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t)
+SELECT drops.thr AS threshold, n.total - drops.dropped AS keepers,
+       drops.dropped
+FROM drops CROSS JOIN n ORDER BY threshold
+""")
+
+# ---------------------------------------------------------------- B628
+# Multi-epoch sampling overlap: two 50% hash samples with different
+# seeds — overlap size vs the ~25% expectation (the epoch-resampling
+# independence check).
+_q("q586_epoch_overlap",
+   oracle="""
+WITH e1 AS (SELECT doc_id FROM documents
+            WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                  || ':ep1'), 1, 8) AS BIGINT) % 2 = 0),
+     e2 AS (SELECT doc_id FROM documents
+            WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                  || ':ep2'), 1, 8) AS BIGINT) % 2 = 0),
+     ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS both_n
+            FROM e1 JOIN e2 ON e2.doc_id = e1.doc_id),
+     c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n1,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n2,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n)
+SELECT c.n1 AS epoch1_n, c.n2 AS epoch2_n, ov.both_n,
+       FLOOR(ov.both_n * 1000000.0 / c.n) / 1000000.0 AS overlap_share
+FROM c CROSS JOIN ov
+""",
+   engine_sql="""
+WITH e1 AS (SELECT doc_id FROM documents
+            WHERE CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                  || ':ep1'), 1, 8), 16, 10) AS BIGINT) % 2 = 0),
+     e2 AS (SELECT doc_id FROM documents
+            WHERE CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                  || ':ep2'), 1, 8), 16, 10) AS BIGINT) % 2 = 0),
+     ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS both_n
+            FROM e1 JOIN e2 ON e2.doc_id = e1.doc_id),
+     c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n1,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n2,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n)
+SELECT c.n1 AS epoch1_n, c.n2 AS epoch2_n, ov.both_n,
+       FLOOR(ov.both_n * 1000000.0 / c.n) / 1000000.0 AS overlap_share
+FROM c CROSS JOIN ov
+""")
+
+# ---------------------------------------------------------------- B629
+# Vocabulary-truncation sweep: corpus OOV rate at top-10/20/30 vocab
+# sizes from one ranked vocabulary — q201's single point widened to
+# the tuning curve.
+_q("q587_vocab_truncation_sweep",
+   oracle="""
+WITH t AS (SELECT tok FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)),
+     f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t
+           GROUP BY tok),
+     r AS (SELECT tok, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+           FROM f),
+     n AS (SELECT SUM(c) AS total FROM f),
+     sizes AS (SELECT UNNEST(GENERATE_SERIES(10, 30, 10)) AS v)
+SELECT CAST(sizes.v AS BIGINT) AS vocab_size,
+       FLOOR(SUM(CASE WHEN r.rk > sizes.v THEN r.c ELSE 0 END)
+             * 1000000.0 / MAX(n.total)) / 1000000.0 AS oov_rate
+FROM sizes CROSS JOIN r CROSS JOIN n
+GROUP BY sizes.v ORDER BY vocab_size
+""",
+   engine_sql="""
+WITH t AS (SELECT EXPLODE(SPLIT(text, ' ')) AS tok FROM documents),
+     f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t
+           GROUP BY tok),
+     r AS (SELECT tok, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+           FROM f),
+     n AS (SELECT SUM(c) AS total FROM f),
+     sizes AS (SELECT EXPLODE(SEQUENCE(10, 30, 10)) AS v)
+SELECT CAST(sizes.v AS BIGINT) AS vocab_size,
+       FLOOR(SUM(CASE WHEN r.rk > sizes.v THEN r.c ELSE 0 END)
+             * 1000000.0 / MAX(n.total)) / 1000000.0 AS oov_rate
+FROM sizes CROSS JOIN r CROSS JOIN n
+GROUP BY sizes.v ORDER BY vocab_size
+""")
+
+# ---------------------------------------------------------------- B630
+# Context-window planning: docs fitting whole vs splits needed
+# (Σ⌈n/w⌉) at 64/128/256-token windows — the batch-shape forecast
+# before training.
+_q("q588_context_window_plan",
+   oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n
+           FROM documents),
+     w AS (SELECT UNNEST([64, 128, 256]) AS win)
+SELECT CAST(w.win AS BIGINT) AS window_tokens,
+       CAST(SUM(CASE WHEN d.n <= w.win THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_fitting,
+       CAST(SUM(CAST(CEIL(d.n * 1.0 / w.win) AS BIGINT)) AS BIGINT)
+         AS total_chunks
+FROM w CROSS JOIN d GROUP BY w.win ORDER BY window_tokens
+""",
+   engine_sql="""
+WITH d AS (SELECT doc_id,
+                  CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+     w AS (SELECT EXPLODE(ARRAY(64, 128, 256)) AS win)
+SELECT CAST(w.win AS BIGINT) AS window_tokens,
+       CAST(SUM(CASE WHEN d.n <= w.win THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_fitting,
+       CAST(SUM(CAST(CEIL(d.n * 1.0 / w.win) AS BIGINT)) AS BIGINT)
+         AS total_chunks
+FROM w CROSS JOIN d GROUP BY w.win ORDER BY window_tokens
+""")
+
+# ---------------------------------------------------------------- B631
+# Maskable-token share per source: stopwords plus ≥3-doc boilerplate
+# chunks (q388's rule) — the share of tokens a loss mask would zero.
+_q("q589_maskable_share",
+   oracle="""
+WITH t AS (SELECT doc_id, source, STRING_SPLIT(text,' ') AS toks
+           FROM documents),
+     ch AS (SELECT doc_id, source,
+                   LEAST(i * 8 + 8, LEN(toks)) - i * 8 AS clen,
+                   MD5(ARRAY_TO_STRING(
+                     toks[i * 8 + 1 : LEAST(i * 8 + 8, LEN(toks))], ' '))
+                     AS h
+            FROM t, UNNEST(GENERATE_SERIES(
+                    0, CAST(CEIL(LEN(toks) / 8.0) AS BIGINT) - 1)) AS g(i)),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+     boiler AS (SELECT ch.source, SUM(ch.clen) AS all_tok,
+                       SUM(CASE WHEN freq.nd >= 3 THEN ch.clen
+                           ELSE 0 END) AS boiler_tok
+                FROM ch JOIN freq ON freq.h = ch.h GROUP BY ch.source),
+     sw AS (SELECT d.source,
+                   CAST(SUM(CASE WHEN tok IN ('a','the')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS sw_tok
+            FROM documents d, UNNEST(STRING_SPLIT(d.text,' ')) AS u(tok)
+            GROUP BY d.source)
+SELECT boiler.source,
+       CAST(boiler.all_tok AS BIGINT) AS n_tokens,
+       FLOOR(LEAST(boiler.boiler_tok + sw.sw_tok, boiler.all_tok)
+             * 1000000.0 / boiler.all_tok) / 1000000.0
+         AS maskable_share_ub
+FROM boiler JOIN sw ON sw.source = boiler.source
+ORDER BY boiler.source
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, source, SPLIT(text,' ') AS toks
+           FROM documents),
+     ch AS (SELECT doc_id, source,
+                   LEAST(i * 8 + 8, SIZE(toks)) - i * 8 AS clen,
+                   MD5(ARRAY_JOIN(SLICE(toks, i * 8 + 1,
+                     LEAST(i * 8 + 8, SIZE(toks)) - i * 8), ' ')) AS h
+            FROM t LATERAL VIEW EXPLODE(SEQUENCE(
+                   0, CAST(CEIL(SIZE(toks) / 8.0) AS INT) - 1)) g AS i),
+     freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+     boiler AS (SELECT ch.source, SUM(ch.clen) AS all_tok,
+                       SUM(CASE WHEN freq.nd >= 3 THEN ch.clen
+                           ELSE 0 END) AS boiler_tok
+                FROM ch JOIN freq ON freq.h = ch.h GROUP BY ch.source),
+     sw AS (SELECT source,
+                   CAST(SUM(CASE WHEN tok IN ('a','the')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS sw_tok
+            FROM (SELECT source, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM documents) x
+            GROUP BY source)
+SELECT boiler.source,
+       CAST(boiler.all_tok AS BIGINT) AS n_tokens,
+       FLOOR(LEAST(boiler.boiler_tok + sw.sw_tok, boiler.all_tok)
+             * 1000000.0 / boiler.all_tok) / 1000000.0
+         AS maskable_share_ub
+FROM boiler JOIN sw ON sw.source = boiler.source
+ORDER BY boiler.source
+""")
+
+# ---------------------------------------------------------------- B632
+# Tokenizer-fertility proxy per language: bytes per whitespace token
+# and characters per token — the "how expensive is this language to
+# tokenize" planning metric.
+_q("q590_tokenizer_fertility",
+   oracle="""
+WITH d AS (SELECT lang,
+                  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+                  CAST(SUM(LEN(STRING_SPLIT(text,' '))) AS BIGINT)
+                    AS toks
+           FROM documents GROUP BY lang)
+SELECT lang, toks AS n_tokens,
+       FLOOR(chars * 10000.0 / toks) / 10000.0 AS chars_per_token
+FROM d ORDER BY lang
+""",
+   engine_sql="""
+WITH d AS (SELECT lang,
+                  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+                  CAST(SUM(SIZE(SPLIT(text, ' ')))  AS BIGINT) AS toks
+           FROM documents GROUP BY lang)
+SELECT lang, toks AS n_tokens,
+       FLOOR(chars * 10000.0 / toks) / 10000.0 AS chars_per_token
+FROM d ORDER BY lang
+""")
