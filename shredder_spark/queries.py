@@ -14799,3 +14799,500 @@ SELECT lang, toks AS n_tokens,
        FLOOR(chars * 10000.0 / toks) / 10000.0 AS chars_per_token
 FROM d ORDER BY lang
 """)
+
+
+# ---------------------------------------------------------------- B633
+# CUPED variance reduction: 1995 spend as the pre-period covariate
+# for the 1996 metric — θ = cov/var(pre), variance-reduction share
+# from exact k$ moments (the experimentation-platform adjustment).
+_q("q591_cuped", """
+WITH y AS (SELECT o_custkey,
+                  SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995
+                      THEN CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                           AS BIGINT) / 100) AS BIGINT)
+                      ELSE 0 END) AS pre,
+                  SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                      THEN CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                           AS BIGINT) / 100) AS BIGINT)
+                      ELSE 0 END) AS post
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+           GROUP BY o_custkey),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(pre) AS sx, SUM(pre * pre) AS sxx,
+                  SUM(post) AS sy, SUM(post * post) AS syy,
+                  SUM(pre * post) AS sxy
+           FROM y),
+     c AS (SELECT n,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    AS cov_n,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    AS varx_n,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                    AS vary_n
+           FROM m)
+SELECT n AS n_customers,
+       FLOOR(cov_n / varx_n * 10000) / 10000.0 AS theta,
+       FLOOR((cov_n * cov_n / (varx_n * vary_n)) * 1000000) / 1000000.0
+         AS variance_reduction
+FROM c
+""")
+
+# ---------------------------------------------------------------- B634
+# Stratified matched comparison: hash arms diffed WITHIN segment ×
+# spend-band strata, then precision-weighted across strata — the
+# confounder-robust A/B readout.
+_q("q592_stratified_lift",
+   oracle="""
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o.o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  SUM(CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment, o.o_custkey),
+     g AS (SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v) AS sv
+           FROM s GROUP BY seg, arm),
+     p AS (SELECT a.seg, a.n AS n0, c.n AS n1,
+                  CAST(c.sv AS DOUBLE) / c.n
+                  - CAST(a.sv AS DOUBLE) / a.n AS lift
+           FROM g a JOIN g c ON c.seg = a.seg
+           WHERE a.arm = 0 AND c.arm = 1)
+SELECT seg, n0 AS n_control, n1 AS n_treat,
+       FLOOR(lift * 100) / 100.0 AS lift_dollars
+FROM p ORDER BY seg
+""",
+   engine_sql="""
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o.o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  SUM(CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment, o.o_custkey),
+     g AS (SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v) AS sv
+           FROM s GROUP BY seg, arm),
+     p AS (SELECT a.seg, a.n AS n0, c.n AS n1,
+                  CAST(c.sv AS DOUBLE) / c.n
+                  - CAST(a.sv AS DOUBLE) / a.n AS lift
+           FROM g a JOIN g c ON c.seg = a.seg
+           WHERE a.arm = 0 AND c.arm = 1)
+SELECT seg, n0 AS n_control, n1 AS n_treat,
+       FLOOR(lift * 100) / 100.0 AS lift_dollars
+FROM p ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B635
+# Winsorized A/B lift: per-arm means after clipping at the POOLED
+# p5/p95 (DISC cutoffs) — the heavy-tail-robust lift estimate.
+_q("q593_winsorized_lift",
+   oracle="""
+WITH s AS (SELECT o_custkey,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+     cut AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY c)
+               AS lo,
+                    PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY c)
+               AS hi
+             FROM s),
+     w AS (SELECT s.arm,
+                  LEAST(GREATEST(s.c, cut.lo), cut.hi) AS wc
+           FROM s CROSS JOIN cut),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(wc) AS sv
+           FROM w GROUP BY arm)
+SELECT (SELECT n FROM g WHERE arm = 0) AS n_control,
+       (SELECT n FROM g WHERE arm = 1) AS n_treat,
+       FLOOR(((SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 1)
+              - (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 0))
+             / 100.0 * 100) / 100.0 AS winsorized_lift_dollars
+""",
+   engine_sql="""
+WITH s AS (SELECT o_custkey,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+     cut AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY c)
+               AS lo,
+                    PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY c)
+               AS hi
+             FROM s),
+     w AS (SELECT s.arm,
+                  LEAST(GREATEST(s.c, cut.lo), cut.hi) AS wc
+           FROM s CROSS JOIN cut),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(wc) AS sv
+           FROM w GROUP BY arm)
+SELECT (SELECT n FROM g WHERE arm = 0) AS n_control,
+       (SELECT n FROM g WHERE arm = 1) AS n_treat,
+       FLOOR(((SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 1)
+              - (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 0))
+             / 100.0 * 100) / 100.0 AS winsorized_lift_dollars
+""")
+
+# ---------------------------------------------------------------- B636
+# Novelty-effect detector: weekly lift trajectory + OLS slope of lift
+# on week index — does the treatment effect decay (the launch-effect
+# diagnostic), exact integer weekly aggregates.
+_q("q594_novelty_effect",
+   oracle="""
+WITH s AS (SELECT CAST(FLOOR((EXTRACT(YEAR FROM o_orderdate) - 1995)
+                             * 12 + EXTRACT(MONTH FROM o_orderdate) - 1)
+                       AS BIGINT) AS w,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+     g AS (SELECT w, arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+           FROM s GROUP BY w, arm),
+     lf AS (SELECT a.w,
+                   CAST(c.sv AS DOUBLE) / c.n
+                   - CAST(a.sv AS DOUBLE) / a.n AS lift
+            FROM g a JOIN g c ON c.w = a.w
+            WHERE a.arm = 0 AND c.arm = 1),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(w) AS sx,
+                  SUM(lift) AS sy, SUM(w * lift) AS sxy,
+                  SUM(w * w) AS sxx
+           FROM lf)
+SELECT CAST(n AS BIGINT) AS n_periods,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000)
+         / 10000.0 AS lift_slope_per_period
+FROM m
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(FLOOR((EXTRACT(YEAR FROM o_orderdate) - 1995)
+                             * 12 + EXTRACT(MONTH FROM o_orderdate) - 1)
+                       AS BIGINT) AS w,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+     g AS (SELECT w, arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+           FROM s GROUP BY w, arm),
+     lf AS (SELECT a.w,
+                   CAST(c.sv AS DOUBLE) / c.n
+                   - CAST(a.sv AS DOUBLE) / a.n AS lift
+            FROM g a JOIN g c ON c.w = a.w
+            WHERE a.arm = 0 AND c.arm = 1),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(w) AS sx,
+                  SUM(lift) AS sy, SUM(w * lift) AS sxy,
+                  SUM(w * w) AS sxx
+           FROM lf)
+SELECT CAST(n AS BIGINT) AS n_periods,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000)
+         / 10000.0 AS lift_slope_per_period
+FROM m
+""")
+
+# ---------------------------------------------------------------- B637
+# Heterogeneous-treatment-effect report: per-segment lift sign vs the
+# overall lift sign, interaction flag where they disagree — the HTE
+# screen before shipping a "works on average" change.
+_q("q595_hte_report",
+   oracle="""
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o.o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+           FROM s GROUP BY seg, arm),
+     seg_l AS (SELECT a.seg,
+                      CAST(c.sv AS DOUBLE) / c.n
+                      - CAST(a.sv AS DOUBLE) / a.n AS lift
+               FROM g a JOIN g c ON c.seg = a.seg
+               WHERE a.arm = 0 AND c.arm = 1),
+     tot AS (SELECT SUM(CASE WHEN arm = 1 THEN sv ELSE 0 END) * 1.0
+                    / SUM(CASE WHEN arm = 1 THEN n ELSE 0 END)
+                    - SUM(CASE WHEN arm = 0 THEN sv ELSE 0 END) * 1.0
+                    / SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS lift
+             FROM g)
+SELECT seg_l.seg, FLOOR(seg_l.lift * 100) / 100.0 AS seg_lift,
+       FLOOR(tot.lift * 100) / 100.0 AS overall_lift,
+       CAST(CASE WHEN SIGN(seg_l.lift) <> SIGN(tot.lift)
+                 THEN 1 ELSE 0 END AS BIGINT) AS interaction_flag
+FROM seg_l CROSS JOIN tot ORDER BY seg_l.seg
+""",
+   engine_sql="""
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o.o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+           FROM s GROUP BY seg, arm),
+     seg_l AS (SELECT a.seg,
+                      CAST(c.sv AS DOUBLE) / c.n
+                      - CAST(a.sv AS DOUBLE) / a.n AS lift
+               FROM g a JOIN g c ON c.seg = a.seg
+               WHERE a.arm = 0 AND c.arm = 1),
+     tot AS (SELECT SUM(CASE WHEN arm = 1 THEN CAST(sv AS DOUBLE)
+                        ELSE 0 END)
+                    / SUM(CASE WHEN arm = 1 THEN n ELSE 0 END)
+                    - SUM(CASE WHEN arm = 0 THEN CAST(sv AS DOUBLE)
+                          ELSE 0 END)
+                    / SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS lift
+             FROM g)
+SELECT seg_l.seg, FLOOR(seg_l.lift * 100) / 100.0 AS seg_lift,
+       FLOOR(tot.lift * 100) / 100.0 AS overall_lift,
+       CAST(CASE WHEN SIGN(seg_l.lift) <> SIGN(tot.lift)
+                 THEN 1 ELSE 0 END AS BIGINT) AS interaction_flag
+FROM seg_l CROSS JOIN tot ORDER BY seg_l.seg
+""")
+
+# ---------------------------------------------------------------- B638
+# Enrollment progress monitor: cumulative per-arm n by month vs the
+# q506-style required n — percent-complete trajectory, exact counts.
+_q("q596_enrollment_monitor",
+   oracle="""
+WITH s AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+     m AS (SELECT mon, arm, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s GROUP BY mon, arm),
+     c AS (SELECT mon, arm, n,
+                  SUM(n) OVER (PARTITION BY arm ORDER BY mon) AS cum
+           FROM m)
+SELECT mon, CAST(arm AS BIGINT) AS arm, CAST(cum AS BIGINT) AS cum_n,
+       FLOOR(LEAST(cum * 1000000.0 / 5000, 1000000.0)) / 10000.0
+         AS pct_of_required
+FROM c ORDER BY mon, arm
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm
+           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+     m AS (SELECT mon, arm, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s GROUP BY mon, arm),
+     c AS (SELECT mon, arm, n,
+                  SUM(n) OVER (PARTITION BY arm ORDER BY mon) AS cum
+           FROM m)
+SELECT mon, CAST(arm AS BIGINT) AS arm, CAST(cum AS BIGINT) AS cum_n,
+       FLOOR(LEAST(cum * 1000000.0 / 5000, 1000000.0)) / 10000.0
+         AS pct_of_required
+FROM c ORDER BY mon, arm
+""")
+
+# ---------------------------------------------------------------- B639
+# Minimum detectable effect at the CURRENT sample size: the q506
+# power formula inverted — what lift this experiment could actually
+# see at α=.05, power .8.
+_q("q597_mde", """
+WITH base AS (SELECT CAST(SUM(CASE WHEN o_totalprice > 200000
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS p0,
+                     CAST(COUNT(*) AS DOUBLE) / 2 AS n_arm
+              FROM orders)
+SELECT CAST(n_arm AS BIGINT) AS n_per_arm,
+       FLOOR(p0 * 1000000) / 1000000.0 AS baseline_rate,
+       FLOOR((1.959964 + 0.841621)
+             * SQRT(2 * p0 * (1 - p0) / n_arm) * 1000000) / 1000000.0
+         AS mde_abs
+FROM base
+""")
+
+# ---------------------------------------------------------------- B640
+# Experiment health panel: SRM chi-square, per-segment exposure
+# imbalance, and the pre-period A/A difference in one report — the
+# gates read BEFORE the metric.
+_q("q598_experiment_health",
+   oracle="""
+WITH s AS (SELECT o.o_custkey, c.c_mktsegment AS seg,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o.o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT seg,
+                  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n0,
+                  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n1,
+                  SUM(CASE WHEN arm = 0 AND yr = 1994 THEN v
+                      ELSE 0 END) AS pre0,
+                  SUM(CASE WHEN arm = 1 AND yr = 1994 THEN v
+                      ELSE 0 END) AS pre1
+           FROM s GROUP BY seg)
+SELECT seg, CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       FLOOR((POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+              + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2))
+             * 10000) / 10000.0 AS srm_chi2,
+       CAST(pre1 - pre0 AS BIGINT) AS preperiod_diff_dollars
+FROM g ORDER BY seg
+""",
+   engine_sql="""
+WITH s AS (SELECT o.o_custkey, c.c_mktsegment AS seg,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o.o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT seg,
+                  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n0,
+                  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS n1,
+                  SUM(CASE WHEN arm = 0 AND yr = 1994 THEN v
+                      ELSE 0 END) AS pre0,
+                  SUM(CASE WHEN arm = 1 AND yr = 1994 THEN v
+                      ELSE 0 END) AS pre1
+           FROM s GROUP BY seg)
+SELECT seg, CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       FLOOR((POWER(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+              + POWER(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2))
+             * 10000) / 10000.0 AS srm_chi2,
+       CAST(pre1 - pre0 AS BIGINT) AS preperiod_diff_dollars
+FROM g ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B641
+# Guardrail non-inferiority check: error rate and p95 value per arm,
+# flags when treatment degrades beyond the declared margins — the
+# ship/no-ship guardrail row.
+_q("q599_guardrail_check",
+   oracle="""
+WITH s AS (SELECT CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(user_id AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+                  CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY v)
+                       AS BIGINT) AS p95v
+           FROM s GROUP BY arm)
+SELECT (SELECT FLOOR(errs * 1000000.0 / n) / 1000000.0 FROM g
+        WHERE arm = 0) AS err_rate_control,
+       (SELECT FLOOR(errs * 1000000.0 / n) / 1000000.0 FROM g
+        WHERE arm = 1) AS err_rate_treat,
+       (SELECT p95v FROM g WHERE arm = 0) AS p95_control,
+       (SELECT p95v FROM g WHERE arm = 1) AS p95_treat,
+       CAST(CASE WHEN (SELECT errs * 1.0 / n FROM g WHERE arm = 1)
+                      > (SELECT errs * 1.0 / n FROM g WHERE arm = 0)
+                        + 0.01
+                 THEN 1 ELSE 0 END AS BIGINT) AS error_guardrail_breach
+""",
+   engine_sql="""
+WITH s AS (SELECT CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(user_id AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS errs,
+                  CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY v)
+                       AS BIGINT) AS p95v
+           FROM s GROUP BY arm)
+SELECT (SELECT FLOOR(errs * 1000000.0 / n) / 1000000.0 FROM g
+        WHERE arm = 0) AS err_rate_control,
+       (SELECT FLOOR(errs * 1000000.0 / n) / 1000000.0 FROM g
+        WHERE arm = 1) AS err_rate_treat,
+       (SELECT p95v FROM g WHERE arm = 0) AS p95_control,
+       (SELECT p95v FROM g WHERE arm = 1) AS p95_treat,
+       CAST(CASE WHEN (SELECT CAST(errs AS DOUBLE) / n FROM g
+                       WHERE arm = 1)
+                      > (SELECT CAST(errs AS DOUBLE) / n FROM g
+                         WHERE arm = 0) + 0.01
+                 THEN 1 ELSE 0 END AS BIGINT) AS error_guardrail_breach
+""")
+
+# ---------------------------------------------------------------- B642
+# Experiment readout capstone: arms, n, exact means, absolute and
+# relative lift, Welch z and a significance flag — the one table an
+# experimentation platform ultimately renders.
+_q("q600_experiment_readout",
+   oracle="""
+WITH s AS (SELECT CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(o_custkey AS VARCHAR) || ':arm'), 1, 8)
+                       AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v) AS sv, SUM(v * v) AS qv
+           FROM s GROUP BY arm),
+     w AS (SELECT
+             (SELECT n FROM g WHERE arm = 0) AS n0,
+             (SELECT n FROM g WHERE arm = 1) AS n1,
+             (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 0) AS m0,
+             (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 1) AS m1,
+             (SELECT (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+                     / (n - 1) / n FROM g WHERE arm = 0) AS se0,
+             (SELECT (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+                     / (n - 1) / n FROM g WHERE arm = 1) AS se1)
+SELECT n0 AS n_control, n1 AS n_treat,
+       FLOOR(m0 * 100) / 100.0 AS mean_control,
+       FLOOR(m1 * 100) / 100.0 AS mean_treat,
+       FLOOR((m1 - m0) * 100) / 100.0 AS abs_lift,
+       FLOOR((m1 - m0) / m0 * 1000000) / 1000000.0 AS rel_lift,
+       FLOOR((m1 - m0) / SQRT(se0 + se1) * 10000) / 10000.0 AS z,
+       CAST(CASE WHEN ABS((m1 - m0) / SQRT(se0 + se1)) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM w
+""",
+   engine_sql="""
+WITH s AS (SELECT CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(o_custkey AS STRING) || ':arm'), 1, 8),
+                       16, 10) AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END
+                    AS arm,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders),
+     g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(v) AS sv, SUM(v * v) AS qv
+           FROM s GROUP BY arm),
+     w AS (SELECT
+             (SELECT n FROM g WHERE arm = 0) AS n0,
+             (SELECT n FROM g WHERE arm = 1) AS n1,
+             (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 0) AS m0,
+             (SELECT CAST(sv AS DOUBLE) / n FROM g WHERE arm = 1) AS m1,
+             (SELECT (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+                     / (n - 1) / n FROM g WHERE arm = 0) AS se0,
+             (SELECT (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+                     / (n - 1) / n FROM g WHERE arm = 1) AS se1)
+SELECT n0 AS n_control, n1 AS n_treat,
+       FLOOR(m0 * 100) / 100.0 AS mean_control,
+       FLOOR(m1 * 100) / 100.0 AS mean_treat,
+       FLOOR((m1 - m0) * 100) / 100.0 AS abs_lift,
+       FLOOR((m1 - m0) / m0 * 1000000) / 1000000.0 AS rel_lift,
+       FLOOR((m1 - m0) / SQRT(se0 + se1) * 10000) / 10000.0 AS z,
+       CAST(CASE WHEN ABS((m1 - m0) / SQRT(se0 + se1)) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM w
+""")
