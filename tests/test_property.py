@@ -295,3 +295,36 @@ def test_merge_rollups_equals_direct(spark, rows, cut):
     got = {r.k: (r.n, r.s, r.lo, r.hi) for r in merged.collect()}
     want = {r.k: (r.n, r.s, r.lo, r.hi) for r in rollup(df).collect()}
     assert got == want
+
+
+# ------------------------------------------------- grouped two-phase ranks
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3),          # group key (low-cardinality)
+              st.integers(-50, 50)),      # order value (heavy ties)
+    min_size=5, max_size=400))
+def test_grouped_ranks_property(spark, data):
+    """with_grouped_ranks == the window formulation for arbitrary
+    group/value multisets (ties on group AND value, groups of wildly
+    different sizes, values straddling every bucket boundary)."""
+    from pyspark.sql import Window
+
+    from shredder_spark.operators import scale_windows as sw
+
+    rows = [(i, str(g), float(v)) for i, (g, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {(r.id, r.rn, r.rk, r.drk, r.nt) for r in
+            (df.withColumn("rn", F.row_number().over(w))
+               .withColumn("rk", F.rank().over(w))
+               .withColumn("drk", F.dense_rank().over(w))
+               .withColumn("nt", F.ntile(3).over(w))).collect()}
+    got = {(r.id, r.rn, r.rk, r.drk, r.nt) for r in
+           sw.with_grouped_ranks(
+               df, ["g"], [("v", "desc"), ("id", "asc")],
+               row_number_col="rn", rank_col="rk",
+               dense_rank_col="drk", ntile=(3, "nt"),
+               buckets=5).collect()}
+    assert got == want
