@@ -15296,3 +15296,308 @@ SELECT n0 AS n_control, n1 AS n_treat,
                  THEN 1 ELSE 0 END AS BIGINT) AS significant
 FROM w
 """)
+
+
+# ---------------------------------------------------------------- B643
+# Log-line parse round-trip: combined-format lines CONSTRUCTED from
+# typed columns, then re-parsed with one regexp — parse(format(x)) = x
+# pins the extraction groups (the ingestion-pipeline property).
+_q("q601_log_parse_roundtrip", """
+WITH src AS (SELECT event_id, user_id, event_type,
+                    CAST(ROUND(value * 100) AS BIGINT) AS cents
+             FROM events WHERE event_id < 300),
+     line AS (SELECT event_id,
+                     'uid=' || CAST(user_id AS STRING) || ' act="'
+                     || event_type || '" val=' || CAST(cents AS STRING)
+                       AS log_line
+              FROM src),
+     parsed AS (SELECT event_id,
+                       CAST(REGEXP_EXTRACT(log_line,
+                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            1) AS BIGINT) AS p_uid,
+                       REGEXP_EXTRACT(log_line,
+                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            2) AS p_act,
+                       CAST(REGEXP_EXTRACT(log_line,
+                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            3) AS BIGINT) AS p_val
+                FROM line)
+SELECT src.event_id,
+       CAST(CASE WHEN src.user_id = parsed.p_uid
+                  AND src.event_type = parsed.p_act
+                  AND src.cents = parsed.p_val
+                 THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok,
+       parsed.p_act AS parsed_action
+FROM src JOIN parsed ON parsed.event_id = src.event_id
+ORDER BY src.event_id
+""")
+
+# ---------------------------------------------------------------- B644
+# IPv4 dotted-quad arithmetic: synthetic addresses → 32-bit ints →
+# /16 CIDR containment counts — the networking join done with integer
+# math (neither engine needs an inet type).
+_q("q602_ipv4_cidr", """
+WITH ip AS (SELECT c_custkey AS id,
+                   CONCAT('10.', CAST(c_custkey % 8 AS STRING), '.',
+                          CAST((c_custkey * 7) % 256 AS STRING), '.',
+                          CAST((c_custkey * 13) % 256 AS STRING))
+                     AS addr
+            FROM customer WHERE c_custkey <= 1000),
+     n AS (SELECT id, addr,
+                  CAST(SPLIT_PART(addr, '.', 1) AS BIGINT) * 16777216
+                  + CAST(SPLIT_PART(addr, '.', 2) AS BIGINT) * 65536
+                  + CAST(SPLIT_PART(addr, '.', 3) AS BIGINT) * 256
+                  + CAST(SPLIT_PART(addr, '.', 4) AS BIGINT) AS ip_int
+           FROM ip),
+     blk AS (SELECT id, addr, ip_int,
+                    ip_int - (ip_int % 65536) AS cidr16_base
+             FROM n)
+SELECT cidr16_base, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(MIN(ip_int) AS BIGINT) AS lo_ip,
+       CAST(MAX(ip_int) AS BIGINT) AS hi_ip
+FROM blk GROUP BY cidr16_base
+HAVING COUNT(*) >= 2 ORDER BY cidr16_base
+""")
+
+# ---------------------------------------------------------------- B645
+# URL canonicalization: strip utm_* tracking params and fragments,
+# lowercase the host — dedup counts before vs after (the crawl-dedup
+# normalizer).
+_q("q603_url_canonicalization",
+   oracle="""
+WITH u AS (SELECT doc_id,
+                  CONCAT('https://Site', CAST(doc_id % 7 AS STRING),
+                         '.example.com/p/', CAST(doc_id % 50 AS STRING),
+                         CASE WHEN doc_id % 3 = 0
+                              THEN '?utm_source=x&utm_campaign=y'
+                              WHEN doc_id % 3 = 1 THEN '?ref=keep'
+                              ELSE '' END,
+                         CASE WHEN doc_id % 2 = 0 THEN '#frag'
+                              ELSE '' END) AS url
+           FROM documents),
+     c AS (SELECT doc_id, url,
+                  LOWER(REGEXP_REPLACE(
+                    REGEXP_REPLACE(
+                      REGEXP_REPLACE(url, '#.*$', '', 'g'),
+                      '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                    '\\\\?$', '')) AS canon
+           FROM u)
+SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS distinct_canonical,
+       CAST(COUNT(DISTINCT url) - COUNT(DISTINCT canon) AS BIGINT)
+         AS collapsed
+FROM c
+""",
+   engine_sql="""
+WITH u AS (SELECT doc_id,
+                  CONCAT('https://Site', CAST(doc_id % 7 AS STRING),
+                         '.example.com/p/', CAST(doc_id % 50 AS STRING),
+                         CASE WHEN doc_id % 3 = 0
+                              THEN '?utm_source=x&utm_campaign=y'
+                              WHEN doc_id % 3 = 1 THEN '?ref=keep'
+                              ELSE '' END,
+                         CASE WHEN doc_id % 2 = 0 THEN '#frag'
+                              ELSE '' END) AS url
+           FROM documents),
+     c AS (SELECT doc_id, url,
+                  LOWER(REGEXP_REPLACE(
+                    REGEXP_REPLACE(
+                      REGEXP_REPLACE(url, '#.*$', ''),
+                      '[?&]utm_[a-z]+=[^&#]*', ''),
+                    '\\\\?$', '')) AS canon
+           FROM u)
+SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS distinct_canonical,
+       CAST(COUNT(DISTINCT url) - COUNT(DISTINCT canon) AS BIGINT)
+         AS collapsed
+FROM c
+""")
+
+# ---------------------------------------------------------------- B646
+# Short-ID encoding: order keys rendered base-36 — engine
+# CONV(…, 10, 36) vs oracle TO_BASE, hash-compared digit for digit.
+_q("q604_base36_ids",
+   oracle="""
+WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)
+SELECT o_orderkey,
+       LOWER(TO_BASE(o_orderkey, 36)) AS short_id,
+       CAST(LENGTH(TO_BASE(o_orderkey, 36)) AS BIGINT) AS id_len
+FROM k ORDER BY o_orderkey
+""",
+   engine_sql="""
+WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)
+SELECT o_orderkey,
+       LOWER(CONV(CAST(o_orderkey AS STRING), 10, 36)) AS short_id,
+       CAST(LENGTH(CONV(CAST(o_orderkey AS STRING), 10, 36)) AS BIGINT)
+         AS id_len
+FROM k ORDER BY o_orderkey
+""")
+
+# ---------------------------------------------------------------- B647
+# k-anonymity audit: quasi-identifier groups (segment × nation ×
+# balance band) smaller than k=5 — the privacy-release gate, with the
+# violating-group inventory.
+_q("q605_k_anonymity", """
+WITH qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                   CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+            FROM customer),
+     g AS (SELECT seg, nat, bal_band, CAST(COUNT(*) AS BIGINT) AS n
+           FROM qi GROUP BY seg, nat, bal_band)
+SELECT seg, CAST(nat AS BIGINT) AS nation, bal_band, n
+FROM g WHERE n < 5 ORDER BY seg, nation, bal_band
+""")
+
+# ---------------------------------------------------------------- B648
+# l-diversity companion: of the k-anonymous groups, how many carry
+# fewer than l=2 distinct sensitive values (order priority) — the
+# second privacy gate.
+_q("q606_l_diversity", """
+WITH j AS (SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+                  CAST(FLOOR(c.c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+                  o.o_orderpriority AS sens
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+     g AS (SELECT seg, nat, bal_band,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_div
+           FROM j GROUP BY seg, nat, bal_band)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS k_anonymous,
+       CAST(SUM(CASE WHEN n >= 5 AND l_div < 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS l_diversity_violations
+FROM g
+""")
+
+# ---------------------------------------------------------------- B649
+# DP noise calibration table: Laplace scale b = Δ/ε for ε ∈
+# {0.1, 0.5, 1, 2} at the count query's sensitivity 1, with the
+# inverse-CDF noise magnitude at the 95th percentile — the
+# privacy-engineering sizing arithmetic (deterministic, no sampling).
+_q("q607_dp_calibration",
+   oracle="""
+WITH eps AS (SELECT UNNEST([0.1, 0.5, 1.0, 2.0]) AS e)
+SELECT e AS epsilon,
+       FLOOR(1.0 / e * 10000) / 10000.0 AS laplace_scale,
+       FLOOR(-(1.0 / e) * LN(2 * (1 - 0.95)) * 10000) / 10000.0
+         AS noise_p95
+FROM eps ORDER BY epsilon
+""",
+   engine_sql="""
+WITH eps AS (SELECT EXPLODE(ARRAY(0.1D, 0.5D, 1.0D, 2.0D)) AS e)
+SELECT e AS epsilon,
+       FLOOR(1.0 / e * 10000) / 10000.0 AS laplace_scale,
+       FLOOR(-(1.0 / e) * LN(2 * (1 - 0.95)) * 10000) / 10000.0
+         AS noise_p95
+FROM eps ORDER BY epsilon
+""")
+
+# ---------------------------------------------------------------- B650
+# User-agent family extraction: constructed UA strings classified by
+# regexp family rules with version capture — the access-log
+# enrichment shape.
+_q("q608_ua_parse", """
+WITH ua AS (SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN
+                     CONCAT('Mozilla/5.0 Chrome/',
+                            CAST(90 + event_id % 10 AS STRING), '.0')
+                        WHEN event_id % 3 = 1 THEN
+                     CONCAT('Mozilla/5.0 Firefox/',
+                            CAST(100 + event_id % 10 AS STRING), '.0')
+                        ELSE
+                     CONCAT('curl/', CAST(7 + event_id % 2 AS STRING),
+                            '.88') END AS agent
+            FROM events WHERE event_id < 400),
+     p AS (SELECT event_id, agent,
+                  CASE WHEN agent LIKE '%Chrome/%' THEN 'chrome'
+                       WHEN agent LIKE '%Firefox/%' THEN 'firefox'
+                       WHEN agent LIKE 'curl/%' THEN 'curl'
+                       ELSE 'other' END AS family,
+                  CAST(REGEXP_EXTRACT(agent, '/([0-9]+)', 1) AS BIGINT)
+                    AS major
+           FROM ua)
+SELECT family, major, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY family, major ORDER BY family, major
+""")
+
+# ---------------------------------------------------------------- B651
+# Nested-JSON flatten: two-level constructed JSON exploded to typed
+# columns via schema'd parsing — the semi-structured landing-zone
+# flatten in one pass.
+_q("q609_nested_json_flatten",
+   oracle="""
+WITH j AS (SELECT event_id,
+                  CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
+                         ',"kind":"', event_type, '"},"vals":[',
+                         CAST(CAST(ROUND(value * 100) AS BIGINT)
+                              AS STRING), ',7]}') AS payload
+           FROM events WHERE event_id < 300)
+SELECT event_id,
+       CAST(json_extract(payload, '$.meta.uid') AS BIGINT) AS uid,
+       json_extract_string(payload, '$.meta.kind') AS kind,
+       CAST(json_extract(payload, '$.vals[0]') AS BIGINT) AS v0,
+       CAST(json_extract(payload, '$.vals[1]') AS BIGINT) AS v1
+FROM j ORDER BY event_id
+""",
+   engine_sql="""
+WITH j AS (SELECT event_id,
+                  CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
+                         ',"kind":"', event_type, '"},"vals":[',
+                         CAST(CAST(ROUND(value * 100) AS BIGINT)
+                              AS STRING), ',7]}') AS payload
+           FROM events WHERE event_id < 300),
+     p AS (SELECT event_id,
+                  FROM_JSON(payload,
+                    'meta STRUCT<uid: BIGINT, kind: STRING>, vals ARRAY<BIGINT>')
+                    AS js
+           FROM j)
+SELECT event_id,
+       js.meta.uid AS uid, js.meta.kind AS kind,
+       js.vals[0] AS v0, js.vals[1] AS v1
+FROM p ORDER BY event_id
+""")
+
+# ---------------------------------------------------------------- B652
+# DST detection per IANA zone: UTC offsets in January vs July derived
+# from CONVERT_TZ round-trips — zones whose offsets differ observe
+# daylight saving (both engines share the IANA database).
+_q("q610_dst_detection",
+   oracle="""
+WITH z AS (SELECT UNNEST(['America/New_York', 'Europe/Berlin',
+                          'Asia/Tokyo', 'Australia/Sydney',
+                          'UTC']) AS zone),
+     o AS (SELECT zone,
+                  CAST((EPOCH(TIMESTAMP '2024-01-15 12:00:00')
+                        - EPOCH(TIMEZONE(zone,
+                           TIMESTAMP '2024-01-15 12:00:00'))) / 3600
+                       AS BIGINT) AS off_jan,
+                  CAST((EPOCH(TIMESTAMP '2024-07-15 12:00:00')
+                        - EPOCH(TIMEZONE(zone,
+                           TIMESTAMP '2024-07-15 12:00:00'))) / 3600
+                       AS BIGINT) AS off_jul
+           FROM z)
+SELECT zone, off_jan AS utc_offset_jan_h, off_jul AS utc_offset_jul_h,
+       CAST(CASE WHEN off_jan <> off_jul THEN 1 ELSE 0 END AS BIGINT)
+         AS observes_dst
+FROM o ORDER BY zone
+""",
+   engine_sql="""
+WITH z AS (SELECT EXPLODE(ARRAY('America/New_York', 'Europe/Berlin',
+                                'Asia/Tokyo', 'Australia/Sydney',
+                                'UTC')) AS zone),
+     o AS (SELECT zone,
+                  CAST((UNIX_MICROS(CAST(CONVERT_TIMEZONE('UTC', zone,
+                         TIMESTAMP_NTZ'2024-01-15 12:00:00')
+                         AS TIMESTAMP))
+                        - UNIX_MICROS(TIMESTAMP'2024-01-15 12:00:00'))
+                       / 3600000000 AS BIGINT) AS off_jan,
+                  CAST((UNIX_MICROS(CAST(CONVERT_TIMEZONE('UTC', zone,
+                         TIMESTAMP_NTZ'2024-07-15 12:00:00')
+                         AS TIMESTAMP))
+                        - UNIX_MICROS(TIMESTAMP'2024-07-15 12:00:00'))
+                       / 3600000000 AS BIGINT) AS off_jul
+           FROM z)
+SELECT zone, off_jan AS utc_offset_jan_h, off_jul AS utc_offset_jul_h,
+       CAST(CASE WHEN off_jan <> off_jul THEN 1 ELSE 0 END AS BIGINT)
+         AS observes_dst
+FROM o ORDER BY zone
+""")
