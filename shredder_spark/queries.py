@@ -15601,3 +15601,290 @@ SELECT zone, off_jan AS utc_offset_jan_h, off_jul AS utc_offset_jul_h,
          AS observes_dst
 FROM o ORDER BY zone
 """)
+
+
+# ---------------------------------------------------------------- B653
+# Image aspect-ratio bucketing: hash-derived (width, height) metadata
+# classified portrait/landscape/square with AR-band counts — the
+# vision-batch geometry rollup (resize-bucket planning input).
+_q("q611_aspect_buckets",
+   oracle="""
+WITH m AS (SELECT doc_id,
+                  256 + CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                       || ':w'), 1, 3) AS BIGINT) % 1792 AS w,
+                  256 + CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                       || ':h'), 1, 3) AS BIGINT) % 1792 AS h
+           FROM documents),
+     c AS (SELECT doc_id, w, h,
+                  CASE WHEN w * 10 > h * 12 THEN 'landscape'
+                       WHEN h * 10 > w * 12 THEN 'portrait'
+                       ELSE 'square-ish' END AS orient,
+                  CAST(FLOOR(w * 4.0 / h) AS BIGINT) AS ar_band
+           FROM m)
+SELECT orient, ar_band, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(h) AS BIGINT) AS max_h
+FROM c GROUP BY orient, ar_band ORDER BY orient, ar_band
+""",
+   engine_sql="""
+WITH m AS (SELECT doc_id,
+                  256 + CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                       || ':w'), 1, 3), 16, 10) AS BIGINT) % 1792 AS w,
+                  256 + CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                       || ':h'), 1, 3), 16, 10) AS BIGINT) % 1792 AS h
+           FROM documents),
+     c AS (SELECT doc_id, w, h,
+                  CASE WHEN w * 10 > h * 12 THEN 'landscape'
+                       WHEN h * 10 > w * 12 THEN 'portrait'
+                       ELSE 'square-ish' END AS orient,
+                  CAST(FLOOR(w * 4.0 / h) AS BIGINT) AS ar_band
+           FROM m)
+SELECT orient, ar_band, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(h) AS BIGINT) AS max_h
+FROM c GROUP BY orient, ar_band ORDER BY orient, ar_band
+""")
+
+# ---------------------------------------------------------------- B654
+# Audio resample planning: per-clip 44.1 kHz → 16 kHz output sample
+# counts (exact integer scaling) plus padding to 400-sample windows —
+# the preprocessing batch-shape calculator.
+_q("q612_resample_plan", """
+WITH a AS (SELECT doc_id,
+                  CAST(n_chars AS BIGINT) * 441 AS src_samples
+           FROM documents),
+     p AS (SELECT doc_id, src_samples,
+                  CAST(FLOOR(src_samples * 16000.0 / 44100) AS BIGINT)
+                    AS dst_samples
+           FROM a)
+SELECT doc_id, src_samples, dst_samples,
+       CAST(CEIL(dst_samples / 400.0) * 400 - dst_samples AS BIGINT)
+         AS pad_samples,
+       CAST(CEIL(dst_samples / 400.0) AS BIGINT) AS n_windows
+FROM p ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------- B655
+# Video frame-sampling plan: clip durations → sample timestamps every
+# 2 s capped at 8 frames (sequence explode) — the decode-work manifest
+# a frame-extraction stage consumes.
+_q("q613_frame_sampling",
+   oracle="""
+WITH v AS (SELECT doc_id,
+                  CAST(n_chars AS BIGINT) % 30 + 2 AS dur_s
+           FROM documents WHERE doc_id < 200),
+     f AS (SELECT v.doc_id, v.dur_s, g.i AS frame_idx,
+                  g.i * 2 AS ts_s
+           FROM v, UNNEST(GENERATE_SERIES(0,
+                   LEAST(CAST((v.dur_s - 1) // 2 AS BIGINT), 7))) AS g(i))
+SELECT doc_id, CAST(dur_s AS BIGINT) AS duration_s,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(ts_s AS BIGINT) AS sample_at_s
+FROM f ORDER BY doc_id, frame_idx
+""",
+   engine_sql="""
+WITH v AS (SELECT doc_id,
+                  CAST(n_chars AS BIGINT) % 30 + 2 AS dur_s
+           FROM documents WHERE doc_id < 200),
+     f AS (SELECT v.doc_id, v.dur_s, i AS frame_idx, i * 2 AS ts_s
+           FROM v LATERAL VIEW EXPLODE(SEQUENCE(0,
+                  CAST(LEAST((v.dur_s - 1) DIV 2, 7) AS INT))) g AS i)
+SELECT doc_id, CAST(dur_s AS BIGINT) AS duration_s,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(ts_s AS BIGINT) AS sample_at_s
+FROM f ORDER BY doc_id, frame_idx
+""")
+
+# ---------------------------------------------------------------- B656
+# Caption–embedding pairing audit: every caption (document) should
+# have its embedding row and vice versa — missing-pair counts plus
+# caption-length stats for the paired set (cross-modal integrity).
+_q("q614_pairing_audit", """
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+     e AS (SELECT vec_id FROM embeddings)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_captions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_embeddings,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d.doc_id))
+         AS captions_missing_embedding,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+         AS embeddings_missing_caption,
+       (SELECT CAST(SUM(d.n_chars) AS BIGINT) FROM d
+        JOIN e ON e.vec_id = d.doc_id) AS paired_caption_chars
+""")
+
+# ---------------------------------------------------------------- B657
+# Modality-mix report per source: text tokens, hash-flagged
+# image/audio attachment counts, and audio seconds — the corpus
+# composition table a multimodal training plan starts from.
+_q("q615_modality_mix",
+   oracle="""
+WITH m AS (SELECT doc_id, source,
+                  CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS toks,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(doc_id AS VARCHAR) || ':img'), 1, 2)
+                       AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS has_img,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5(
+                       CAST(doc_id AS VARCHAR) || ':aud'), 1, 2)
+                       AS BIGINT) % 8 = 0
+                       THEN n_chars % 120 + 5 ELSE 0 END AS audio_s
+           FROM documents)
+SELECT source, CAST(SUM(toks) AS BIGINT) AS text_tokens,
+       CAST(SUM(has_img) AS BIGINT) AS n_images,
+       CAST(SUM(audio_s) AS BIGINT) AS audio_seconds
+FROM m GROUP BY source ORDER BY source
+""",
+   engine_sql="""
+WITH m AS (SELECT doc_id, source,
+                  CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS toks,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(doc_id AS STRING) || ':img'), 1, 2), 16, 10)
+                       AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS has_img,
+                  CASE WHEN CAST(CONV(SUBSTR(MD5(
+                       CAST(doc_id AS STRING) || ':aud'), 1, 2), 16, 10)
+                       AS BIGINT) % 8 = 0
+                       THEN n_chars % 120 + 5 ELSE 0 END AS audio_s
+           FROM documents)
+SELECT source, CAST(SUM(toks) AS BIGINT) AS text_tokens,
+       CAST(SUM(has_img) AS BIGINT) AS n_images,
+       CAST(SUM(audio_s) AS BIGINT) AS audio_seconds
+FROM m GROUP BY source ORDER BY source
+""")
+
+# ---------------------------------------------------------------- B658
+# Modality-alignment score distribution: cosine between each vector
+# and its offset-paired partner (i, i + n/2), bucketed 0.1 — the
+# CLIP-score-style alignment histogram on exact quantized dots.
+_q("q616_alignment_scores",
+   oracle="""
+WITH n2 AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS half
+            FROM embeddings),
+     v AS (SELECT vec_id, g.i AS i,
+                  CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                       AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)),
+     d AS (SELECT a.vec_id AS i, SUM(a.q * b.q) AS dot,
+                  SUM(a.q * a.q) AS na, SUM(b.q * b.q) AS nb
+           FROM v a JOIN n2 ON TRUE
+           JOIN v b ON b.vec_id = a.vec_id + n2.half AND b.i = a.i
+           WHERE a.vec_id < n2.half
+           GROUP BY a.vec_id),
+     s AS (SELECT i, dot / (SQRT(CAST(na AS DOUBLE))
+                           * SQRT(CAST(nb AS DOUBLE))) AS cos
+           FROM d)
+SELECT CAST(FLOOR((cos + 1) * 5) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY bucket ORDER BY bucket
+""",
+   engine_sql="""
+WITH n2 AS (SELECT CAST(COUNT(*) AS BIGINT) DIV 2 AS half
+            FROM embeddings),
+     v AS (SELECT vec_id, pos AS i,
+                  CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+           FROM embeddings
+           LATERAL VIEW POSEXPLODE(embedding) t AS pos, val),
+     d AS (SELECT a.vec_id AS i, SUM(a.q * b.q) AS dot,
+                  SUM(a.q * a.q) AS na, SUM(b.q * b.q) AS nb
+           FROM v a JOIN n2 ON TRUE
+           JOIN v b ON b.vec_id = a.vec_id + n2.half AND b.i = a.i
+           WHERE a.vec_id < n2.half
+           GROUP BY a.vec_id),
+     s AS (SELECT i, dot / (SQRT(CAST(na AS DOUBLE))
+                           * SQRT(CAST(nb AS DOUBLE))) AS cos
+           FROM d)
+SELECT CAST(FLOOR((cos + 1) * 5) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY bucket ORDER BY bucket
+""")
+
+# ---------------------------------------------------------------- B659
+# Hour-of-day load profile: event share per hour with the peak-hour
+# concentration — the capacity-planning daily shape.
+_q("q617_hourly_load", """
+WITH h AS (SELECT EXTRACT(HOUR FROM ts) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY EXTRACT(HOUR FROM ts)),
+     t AS (SELECT SUM(n) AS nt, MAX(n) AS peak FROM h)
+SELECT CAST(h.hr AS BIGINT) AS hour, h.n,
+       FLOOR(h.n * 1000000.0 / t.nt) / 1000000.0 AS share,
+       CAST(CASE WHEN h.n = t.peak THEN 1 ELSE 0 END AS BIGINT)
+         AS is_peak
+FROM h CROSS JOIN t ORDER BY hour
+""")
+
+# ---------------------------------------------------------------- B660
+# Seasonal subseries summary: per-DOW median and IQR of daily revenue
+# (the subseries-plot source table), exact DISC quantiles on cents.
+_q("q618_dow_subseries",
+   oracle="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  (ISODOW(CAST(o_orderdate AS DATE)) - 1) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p25_cents,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS median_cents,
+       CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p75_cents
+FROM d GROUP BY dow ORDER BY dow
+""",
+   engine_sql="""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  PMOD(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 5, 7) AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p25_cents,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS median_cents,
+       CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)
+         AS p75_cents
+FROM d GROUP BY dow ORDER BY dow
+""")
+
+# ---------------------------------------------------------------- B661
+# Stale-partition detector: (year, month) partitions whose latest
+# activity trails the corpus max by more than 24 months — the
+# archive/tiering candidate list.
+_q("q619_stale_partitions", """
+WITH p AS (SELECT EXTRACT(YEAR FROM l_shipdate) AS y,
+                  EXTRACT(MONTH FROM l_shipdate) AS m,
+                  MAX(CAST(l_shipdate AS DATE)) AS last_act,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+     mx AS (SELECT MAX(last_act) AS gmax FROM p)
+SELECT CAST(p.y AS BIGINT) AS y, CAST(p.m AS BIGINT) AS m, p.n,
+       p.last_act
+FROM p CROSS JOIN mx
+WHERE p.last_act < mx.gmax - INTERVAL 24 MONTH
+ORDER BY y, m
+""")
+
+# ---------------------------------------------------------------- B662
+# Catalog health panel: rows, key-distinctness and a byte proxy for
+# three tables in one UNION ALL report — the nightly catalog summary.
+_q("q620_catalog_panel", """
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey)
+                 THEN 1 ELSE 0 END AS BIGINT) AS key_unique
+FROM orders
+UNION ALL
+SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+       CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT c_custkey)
+                 THEN 1 ELSE 0 END AS BIGINT) AS key_unique
+FROM customer
+UNION ALL
+SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_keys,
+       CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT doc_id)
+                 THEN 1 ELSE 0 END AS BIGINT) AS key_unique
+FROM documents
+ORDER BY tbl
+""")
