@@ -15888,3 +15888,381 @@ SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM documents
 ORDER BY tbl
 """)
+
+
+# ---------------------------------------------------------------- B663
+# Comparable-base growth: 1995→1996 revenue growth restricted to
+# customers ACTIVE IN BOTH years (the "same-store sales" control for
+# mix shift), next to the naive all-customer growth.
+_q("q621_comparable_growth", """
+WITH y AS (SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+           GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)),
+     comp AS (SELECT a.o_custkey, a.rc AS r95, b.rc AS r96
+              FROM y a JOIN y b ON b.o_custkey = a.o_custkey
+              WHERE a.yr = 1995 AND b.yr = 1996),
+     naive AS (SELECT SUM(CASE WHEN yr = 1995 THEN rc ELSE 0 END) AS r95,
+                      SUM(CASE WHEN yr = 1996 THEN rc ELSE 0 END) AS r96
+               FROM y)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS comparable_custs,
+       FLOOR((SELECT SUM(r96 - r95) FROM comp) * 1000000.0
+             / (SELECT SUM(r95) FROM comp)) / 1000000.0
+         AS comparable_growth,
+       FLOOR((SELECT (r96 - r95) * 1000000.0 / r95 FROM naive))
+         / 1000000.0 AS naive_growth
+""")
+
+# ---------------------------------------------------------------- B664
+# Return rate by customer-tenure band: does the R-flag share fall
+# with account age (first-order year bands) — cohort-quality signal.
+_q("q622_returns_by_tenure", """
+WITH fo AS (SELECT o_custkey,
+                   MIN(EXTRACT(YEAR FROM o_orderdate)) AS y0
+            FROM orders GROUP BY o_custkey),
+     li AS (SELECT o.o_custkey, l.l_returnflag
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+     j AS (SELECT CAST(fo.y0 AS BIGINT) AS cohort_year,
+                  CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM li JOIN fo ON fo.o_custkey = li.o_custkey)
+SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS returned,
+       FLOOR(SUM(r) * 1000000.0 / COUNT(*)) / 1000000.0 AS return_rate
+FROM j GROUP BY cohort_year ORDER BY cohort_year
+""")
+
+# ---------------------------------------------------------------- B665
+# Price stickiness: parts whose observed distinct yearly unit price
+# (floored cents) changed at most once across their life — the
+# pricing-governance screen.
+_q("q623_price_stickiness", """
+WITH py AS (SELECT l_partkey AS part,
+                   EXTRACT(YEAR FROM l_shipdate) AS yr,
+                   CAST(FLOOR(
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     * 1.0 / SUM(CAST(ROUND(l_quantity) AS BIGINT)))
+                     AS BIGINT) AS unit_cents
+            FROM lineitem WHERE l_partkey <= 500
+            GROUP BY l_partkey, EXTRACT(YEAR FROM l_shipdate)),
+     s AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_years,
+                  CAST(COUNT(DISTINCT unit_cents) AS BIGINT) AS n_prices
+           FROM py GROUP BY part HAVING COUNT(*) >= 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n_prices <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sticky_parts,
+       FLOOR(SUM(CASE WHEN n_prices <= 2 THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS sticky_share
+FROM s
+""")
+
+# ---------------------------------------------------------------- B666
+# Brand-affinity matrix: customer-set Jaccard between brand pairs
+# (which brands share buyers) — the assortment/cannibalization view,
+# exact distinct-customer counts.
+_q("q624_brand_affinity", """
+WITH bc AS (SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS cust
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey),
+     n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM bc GROUP BY brand),
+     ov AS (SELECT a.brand AS b1, b.brand AS b2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM bc a JOIN bc b
+              ON b.cust = a.cust AND a.brand < b.brand
+            GROUP BY a.brand, b.brand)
+SELECT ov.b1, ov.b2, ov.shared,
+       FLOOR(ov.shared * 1000000.0
+             / (na.nc + nb.nc - ov.shared)) / 1000000.0
+         AS customer_jaccard
+FROM ov JOIN n na ON na.brand = ov.b1
+        JOIN n nb ON nb.brand = ov.b2
+ORDER BY customer_jaccard DESC, b1, b2 LIMIT 15
+""")
+
+# ---------------------------------------------------------------- B667
+# Readability-grade mix per source: q372's Flesch-Kincaid-style grade
+# banded into easy/medium/hard shares — the curriculum-mix view.
+_q("q625_readability_mix",
+   oracle="""
+WITH d AS (SELECT source,
+                  CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) AS words,
+                  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS chars
+           FROM documents),
+     g AS (SELECT source,
+                  0.39 * words + 11.8 * (chars / words / 3.0) - 15.59
+                    AS grade
+           FROM d),
+     b AS (SELECT source,
+                  CASE WHEN grade < 8 THEN 'easy'
+                       WHEN grade < 20 THEN 'medium'
+                       ELSE 'hard' END AS band
+           FROM g)
+SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY source, band ORDER BY source, band
+""",
+   engine_sql="""
+WITH d AS (SELECT source,
+                  CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE) AS words,
+                  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS chars
+           FROM documents),
+     g AS (SELECT source,
+                  0.39 * words + 11.8 * (chars / words / 3.0) - 15.59
+                    AS grade
+           FROM d),
+     b AS (SELECT source,
+                  CASE WHEN grade < 8 THEN 'easy'
+                       WHEN grade < 20 THEN 'medium'
+                       ELSE 'hard' END AS band
+           FROM g)
+SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY source, band ORDER BY source, band
+""")
+
+# ---------------------------------------------------------------- B668
+# Trigram coverage curve: share of all trigram OCCURRENCES covered by
+# the top-N distinct trigrams, N ∈ {100, 500, 1000} — the
+# dictionary-sizing curve at phrase granularity.
+_q("q626_ngram_coverage",
+   oracle="""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text,' ') AS tok FROM documents),
+     g AS (SELECT ARRAY_TO_STRING(tok[i : i + 2], ' ') AS gram
+           FROM t, UNNEST(GENERATE_SERIES(1, LEN(tok) - 2)) AS u(i)),
+     f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
+           GROUP BY gram),
+     r AS (SELECT gram, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rk
+           FROM f),
+     n AS (SELECT SUM(c) AS total FROM f),
+     sz AS (SELECT UNNEST([100, 500, 1000]) AS topn)
+SELECT CAST(sz.topn AS BIGINT) AS top_n,
+       FLOOR(SUM(CASE WHEN r.rk <= sz.topn THEN r.c ELSE 0 END)
+             * 1000000.0 / MAX(n.total)) / 1000000.0 AS coverage
+FROM sz CROSS JOIN r CROSS JOIN n
+GROUP BY sz.topn ORDER BY top_n
+""",
+   engine_sql="""
+WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
+     g AS (SELECT ARRAY_JOIN(SLICE(tok, i, 3), ' ') AS gram
+           FROM t LATERAL VIEW EXPLODE(
+                  SEQUENCE(1, SIZE(tok) - 2)) u AS i),
+     f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
+           GROUP BY gram),
+     r AS (SELECT gram, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rk
+           FROM f),
+     n AS (SELECT SUM(c) AS total FROM f),
+     sz AS (SELECT EXPLODE(ARRAY(100, 500, 1000)) AS topn)
+SELECT CAST(sz.topn AS BIGINT) AS top_n,
+       FLOOR(SUM(CASE WHEN r.rk <= sz.topn THEN r.c ELSE 0 END)
+             * 1000000.0 / MAX(n.total)) / 1000000.0 AS coverage
+FROM sz CROSS JOIN r CROSS JOIN n
+GROUP BY sz.topn ORDER BY top_n
+""")
+
+# ---------------------------------------------------------------- B669
+# Token-length histogram + per-language mean length: the tokenizer-
+# design input table (length counts exact).
+_q("q627_token_length_hist",
+   oracle="""
+WITH t AS (SELECT lang, LENGTH(tok) AS l FROM documents,
+             UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+           WHERE tok <> '')
+SELECT lang, CAST(l AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY lang, l ORDER BY lang, token_len
+""",
+   engine_sql="""
+WITH t AS (SELECT lang, LENGTH(tok) AS l
+           FROM (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS tok
+                 FROM documents) x
+           WHERE tok <> '')
+SELECT lang, CAST(l AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY lang, l ORDER BY lang, token_len
+""")
+
+# ---------------------------------------------------------------- B670
+# Mergeable variance states: per-half (n, Σx, Σx²) partial states
+# merged by pure algebra must equal the direct whole-table variance —
+# the incremental-stats maintenance identity, self-verified in-query.
+_q("q628_variance_state_merge", """
+WITH h AS (SELECT CASE WHEN EXTRACT(YEAR FROM o_orderdate) < 1996
+                       THEN 'a' ELSE 'b' END AS half,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders),
+     st AS (SELECT half, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(x * x) AS sxx
+            FROM h GROUP BY half),
+     merged AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx
+                FROM st),
+     direct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                       SUM(x * x) AS sxx
+                FROM h)
+SELECT m.n AS n_rows,
+       FLOOR((CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+             / (m.n - 1) * 100) / 100.0 AS var_merged,
+       FLOOR((CAST(d.sxx AS DOUBLE) - CAST(d.sx AS DOUBLE) * d.sx / d.n)
+             / (d.n - 1) * 100) / 100.0 AS var_direct,
+       CAST(CASE WHEN m.sx = d.sx AND m.sxx = d.sxx AND m.n = d.n
+                 THEN 1 ELSE 0 END AS BIGINT) AS states_identical
+FROM merged m CROSS JOIN direct d
+""")
+
+# ---------------------------------------------------------------- B671
+# Naive-Bayes language classifier in pure SQL: add-1 token likelihoods
+# trained on the hash-split 80% train half, log-probs QUANTIZED TO
+# INTEGER micro-nats so the per-doc argmax sums are engine-exact, then
+# test-half accuracy per declared language.
+_q("q629_naive_bayes_langid",
+   oracle="""
+WITH sp AS (SELECT doc_id, lang, text,
+                   CASE WHEN CAST('0x' || SUBSTR(MD5(
+                        CAST(doc_id AS VARCHAR) || ':nb'), 1, 8)
+                        AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     tr AS (SELECT lang, tok FROM sp,
+              UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            WHERE part = 'train'),
+     cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tr GROUP BY lang, tok),
+     tot AS (SELECT lang, SUM(c) AS nt FROM cnt GROUP BY lang),
+     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+     lp AS (SELECT cnt.lang, cnt.tok,
+                   CAST(FLOOR(LN((cnt.c + 1.0) / (tot.nt + voc.v))
+                              * 1000000) AS BIGINT) AS lp_micro
+            FROM cnt JOIN tot ON tot.lang = cnt.lang CROSS JOIN voc),
+     te AS (SELECT doc_id, lang AS true_lang, tok FROM sp,
+              UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            WHERE part = 'test'),
+     sc AS (SELECT te.doc_id, te.true_lang, lp.lang AS cand,
+                   SUM(lp.lp_micro) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM te JOIN lp ON lp.tok = te.tok
+            GROUP BY te.doc_id, te.true_lang, lp.lang),
+     pred AS (SELECT doc_id, true_lang, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rk
+              FROM sc)
+SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS correct,
+       FLOOR(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS accuracy
+FROM pred WHERE rk = 1 GROUP BY true_lang ORDER BY true_lang
+""",
+   engine_sql="""
+WITH sp AS (SELECT doc_id, lang, text,
+                   CASE WHEN CAST(CONV(SUBSTR(MD5(
+                        CAST(doc_id AS STRING) || ':nb'), 1, 8), 16, 10)
+                        AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     tr AS (SELECT lang, tok
+            FROM (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM sp WHERE part = 'train') x),
+     cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tr GROUP BY lang, tok),
+     tot AS (SELECT lang, SUM(c) AS nt FROM cnt GROUP BY lang),
+     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+     lp AS (SELECT cnt.lang, cnt.tok,
+                   CAST(FLOOR(LN((cnt.c + 1.0) / (tot.nt + voc.v))
+                              * 1000000) AS BIGINT) AS lp_micro
+            FROM cnt JOIN tot ON tot.lang = cnt.lang CROSS JOIN voc),
+     te AS (SELECT doc_id, true_lang, tok
+            FROM (SELECT doc_id, lang AS true_lang,
+                         EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM sp WHERE part = 'test') x),
+     sc AS (SELECT te.doc_id, te.true_lang, lp.lang AS cand,
+                   SUM(lp.lp_micro) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM te JOIN lp ON lp.tok = te.tok
+            GROUP BY te.doc_id, te.true_lang, lp.lang),
+     pred AS (SELECT doc_id, true_lang, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rk
+              FROM sc)
+SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS correct,
+       FLOOR(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*)) / 1000000.0 AS accuracy
+FROM pred WHERE rk = 1 GROUP BY true_lang ORDER BY true_lang
+""")
+
+# ---------------------------------------------------------------- B672
+# Confusion matrix of the q629 classifier: declared × predicted
+# language counts over the test half — the per-class error geography.
+_q("q630_nb_confusion",
+   oracle="""
+WITH sp AS (SELECT doc_id, lang, text,
+                   CASE WHEN CAST('0x' || SUBSTR(MD5(
+                        CAST(doc_id AS VARCHAR) || ':nb'), 1, 8)
+                        AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     tr AS (SELECT lang, tok FROM sp,
+              UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            WHERE part = 'train'),
+     cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tr GROUP BY lang, tok),
+     tot AS (SELECT lang, SUM(c) AS nt FROM cnt GROUP BY lang),
+     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+     lp AS (SELECT cnt.lang, cnt.tok,
+                   CAST(FLOOR(LN((cnt.c + 1.0) / (tot.nt + voc.v))
+                              * 1000000) AS BIGINT) AS lp_micro
+            FROM cnt JOIN tot ON tot.lang = cnt.lang CROSS JOIN voc),
+     te AS (SELECT doc_id, lang AS true_lang, tok FROM sp,
+              UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+            WHERE part = 'test'),
+     sc AS (SELECT te.doc_id, te.true_lang, lp.lang AS cand,
+                   SUM(lp.lp_micro) AS score
+            FROM te JOIN lp ON lp.tok = te.tok
+            GROUP BY te.doc_id, te.true_lang, lp.lang),
+     pred AS (SELECT doc_id, true_lang, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rk
+              FROM sc)
+SELECT true_lang, cand AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1
+GROUP BY true_lang, cand ORDER BY true_lang, predicted_lang
+""",
+   engine_sql="""
+WITH sp AS (SELECT doc_id, lang, text,
+                   CASE WHEN CAST(CONV(SUBSTR(MD5(
+                        CAST(doc_id AS STRING) || ':nb'), 1, 8), 16, 10)
+                        AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents),
+     tr AS (SELECT lang, tok
+            FROM (SELECT lang, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM sp WHERE part = 'train') x),
+     cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tr GROUP BY lang, tok),
+     tot AS (SELECT lang, SUM(c) AS nt FROM cnt GROUP BY lang),
+     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+     lp AS (SELECT cnt.lang, cnt.tok,
+                   CAST(FLOOR(LN((cnt.c + 1.0) / (tot.nt + voc.v))
+                              * 1000000) AS BIGINT) AS lp_micro
+            FROM cnt JOIN tot ON tot.lang = cnt.lang CROSS JOIN voc),
+     te AS (SELECT doc_id, true_lang, tok
+            FROM (SELECT doc_id, lang AS true_lang,
+                         EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM sp WHERE part = 'test') x),
+     sc AS (SELECT te.doc_id, te.true_lang, lp.lang AS cand,
+                   SUM(lp.lp_micro) AS score
+            FROM te JOIN lp ON lp.tok = te.tok
+            GROUP BY te.doc_id, te.true_lang, lp.lang),
+     pred AS (SELECT doc_id, true_lang, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) AS rk
+              FROM sc)
+SELECT true_lang, cand AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1
+GROUP BY true_lang, cand ORDER BY true_lang, predicted_lang
+""")
