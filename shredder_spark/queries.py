@@ -16266,3 +16266,250 @@ SELECT true_lang, cand AS predicted_lang,
 FROM pred WHERE rk = 1
 GROUP BY true_lang, cand ORDER BY true_lang, predicted_lang
 """)
+
+
+# ---------------------------------------------------------------- B673
+# Skyline (Pareto frontier) query: parts not dominated on (cheaper,
+# bigger) — the classic NOT EXISTS dominance shape over a bounded
+# block, the multi-criteria shortlist.
+_q("q631_skyline", """
+WITH p AS (SELECT p_partkey, p_size,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+           FROM part WHERE p_partkey <= 400)
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       price_c AS price_cents
+FROM p a
+WHERE NOT EXISTS (SELECT 1 FROM p b
+                  WHERE b.price_c <= a.price_c
+                    AND b.p_size >= a.p_size
+                    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+ORDER BY p_partkey
+""")
+
+# ---------------------------------------------------------------- B674
+# Temporal snapshot diff: per-user state at tx ≤ 300 vs tx ≤ 500
+# (latest event wins in each) — added / changed / unchanged report,
+# the flashback-diff shape without a time-travel store.
+_q("q632_snapshot_diff", """
+WITH v1 AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rk
+            FROM events WHERE event_id <= 300),
+     v2 AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rk
+            FROM events WHERE event_id <= 500),
+     s1 AS (SELECT user_id, event_type AS st FROM v1 WHERE rk = 1),
+     s2 AS (SELECT user_id, event_type AS st FROM v2 WHERE rk = 1)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       s1.st AS state_at_300, s2.st AS state_at_500,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s1.st <> s2.st THEN 'changed'
+            ELSE 'unchanged' END AS verdict
+FROM s1 FULL JOIN s2 ON s2.user_id = s1.user_id
+ORDER BY user_id
+""")
+
+# ---------------------------------------------------------------- B675
+# Benford goodness-of-fit statistic: chi-square of observed first
+# digits against the Benford expectation (the verdict q278's
+# distribution table feeds).
+_q("q633_benford_gof", """
+WITH d AS (SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100)
+                       AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS dig
+           FROM orders WHERE o_totalprice > 0),
+     o AS (SELECT dig, CAST(COUNT(*) AS DOUBLE) AS n FROM d
+           WHERE dig BETWEEN 1 AND 9 GROUP BY dig),
+     t AS (SELECT SUM(n) AS nt FROM o),
+     e AS (SELECT o.dig, o.n,
+                  t.nt * LN(1 + 1.0 / o.dig) / LN(10) AS expect
+           FROM o CROSS JOIN t)
+SELECT FLOOR(SUM((n - expect) * (n - expect) / expect) * 10000)
+         / 10000.0 AS chi2_8df,
+       CAST(CASE WHEN SUM((n - expect) * (n - expect) / expect) > 15.51
+                 THEN 1 ELSE 0 END AS BIGINT) AS rejects_benford_95
+FROM e
+""")
+
+# ---------------------------------------------------------------- B676
+# Map-pivot: per-flag status→count MAP column (the sparse-pivot
+# ergonomics row), projected back to deterministic sorted entries for
+# the hash compare.
+_q("q634_map_pivot",
+   oracle="""
+WITH c AS (SELECT l_returnflag AS flag, l_linestatus AS st,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT flag,
+       STRING_AGG(st || ':' || CAST(n AS VARCHAR), ',' ORDER BY st)
+         AS status_map
+FROM c GROUP BY flag ORDER BY flag
+""",
+   engine_sql="""
+WITH c AS (SELECT l_returnflag AS flag, l_linestatus AS st,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY l_returnflag, l_linestatus),
+     m AS (SELECT flag,
+                  MAP_FROM_ENTRIES(SORT_ARRAY(COLLECT_LIST(
+                    STRUCT(st, n)))) AS mp
+           FROM c GROUP BY flag)
+SELECT flag,
+       ARRAY_JOIN(TRANSFORM(MAP_KEYS(mp),
+                            k -> CONCAT(k, ':',
+                                        CAST(mp[k] AS STRING))), ',')
+         AS status_map
+FROM m ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B677
+# JSON-lines export shape: per-priority JSON array of the top-3 order
+# records (engine TO_JSON(COLLECT_LIST(STRUCT)) vs DuckDB
+# json_group_array) — the API-handoff serialization.
+_q("q635_json_group_export",
+   oracle="""
+WITH r AS (SELECT o_orderpriority AS pri, o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey) AS rk
+           FROM orders),
+     t AS (SELECT pri, o_orderkey AS k, cents FROM r WHERE rk <= 3)
+SELECT pri,
+       '[' || STRING_AGG('{"k":' || CAST(k AS VARCHAR) || ',"cents":'
+              || CAST(cents AS VARCHAR) || '}', ',' ORDER BY k) || ']'
+         AS top3_json
+FROM t GROUP BY pri ORDER BY pri
+""",
+   engine_sql="""
+WITH r AS (SELECT o_orderpriority AS pri, o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey) AS rk
+           FROM orders),
+     t AS (SELECT pri, o_orderkey AS k, cents FROM r WHERE rk <= 3)
+SELECT pri,
+       TO_JSON(SORT_ARRAY(COLLECT_LIST(STRUCT(k, cents)))) AS top3_json
+FROM t GROUP BY pri ORDER BY pri
+""")
+
+# ---------------------------------------------------------------- B678
+# Rank-biserial effect size from the Mann-Whitney U (q327's
+# companion): r = 2U/(n₁n₂) − 1 — how big the two-segment balance
+# difference actually is.
+_q("q636_rank_biserial", """
+WITH v AS (SELECT c_mktsegment AS seg,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+     r AS (SELECT seg, c,
+                  RANK() OVER (ORDER BY c)
+                    + (COUNT(*) OVER (PARTITION BY c) - 1) / 2.0 AS rk
+           FROM v),
+     a AS (SELECT
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n2,
+             SUM(CASE WHEN seg = 'BUILDING' THEN rk ELSE 0 END) AS r1
+           FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_building,
+       CAST(n2 AS BIGINT) AS n_machinery,
+       FLOOR((2 * (r1 - n1 * (n1 + 1) / 2) / (n1 * n2) - 1) * 1000000)
+         / 1000000.0 AS rank_biserial_r
+FROM a
+""")
+
+# ---------------------------------------------------------------- B679
+# Cold-start popularity fallback: customers with no purchase history
+# get the global top-5 parts — fallback coverage and the served list,
+# the recsys cold-start path.
+_q("q637_popularity_fallback", """
+WITH hist AS (SELECT DISTINCT o.o_custkey FROM orders o),
+     cold AS (SELECT c.c_custkey FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM hist h
+                                WHERE h.o_custkey = c.c_custkey)),
+     pop AS (SELECT l_partkey,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                       l_partkey) AS rk
+             FROM lineitem GROUP BY l_partkey)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cold) AS n_cold_customers,
+       pop.l_partkey AS recommended_part,
+       CAST(pop.rk AS BIGINT) AS rank, pop.n AS popularity
+FROM pop WHERE pop.rk <= 5 ORDER BY rank
+""")
+
+# ---------------------------------------------------------------- B680
+# 2-D histogram (quantity × price bands): the heat-map source grid
+# with exact integer band ids — joint-distribution observability.
+_q("q638_hist2d", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100)
+                                  AS BIGINT) / 1000000) AS BIGINT)
+                    AS price_10k
+           FROM lineitem)
+SELECT CAST(FLOOR(q / 10.0) AS BIGINT) AS qty_band, price_10k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY CAST(FLOOR(q / 10.0) AS BIGINT), price_10k
+ORDER BY qty_band, price_10k
+""")
+
+# ---------------------------------------------------------------- B681
+# Empirical copula grid: the joint distribution of (quantity, price)
+# mapped to quintile bands via DISC cutoffs (scale-safe — no global
+# rank window), 5×5 dependence-structure counts.
+_q("q639_copula_grid", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+     cut AS (SELECT
+               PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY x) AS x1,
+               PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY x) AS x2,
+               PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY x) AS x3,
+               PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY x) AS x4,
+               PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY y) AS y1,
+               PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY y) AS y2,
+               PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY y) AS y3,
+               PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY y) AS y4
+             FROM v),
+     b AS (SELECT CASE WHEN v.x <= cut.x1 THEN 1
+                       WHEN v.x <= cut.x2 THEN 2
+                       WHEN v.x <= cut.x3 THEN 3
+                       WHEN v.x <= cut.x4 THEN 4 ELSE 5 END AS bx,
+                  CASE WHEN v.y <= cut.y1 THEN 1
+                       WHEN v.y <= cut.y2 THEN 2
+                       WHEN v.y <= cut.y3 THEN 3
+                       WHEN v.y <= cut.y4 THEN 4 ELSE 5 END AS by
+           FROM v CROSS JOIN cut)
+SELECT CAST(bx AS BIGINT) AS qty_quintile,
+       CAST(by AS BIGINT) AS price_quintile,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bx, by ORDER BY qty_quintile, price_quintile
+""")
+
+# ---------------------------------------------------------------- B682
+# Greedy ratio knapsack: parts selected by value/cost ratio under a
+# 1000-unit size budget via ranked running sum — the set-based greedy
+# approximation (no loop), with the taken-set summary.
+_q("q640_greedy_knapsack", """
+WITH it AS (SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS val,
+                   CAST(p_size AS BIGINT) AS cost
+            FROM part WHERE p_size > 0),
+     r AS (SELECT p_partkey, val, cost,
+                  ROW_NUMBER() OVER (
+                    ORDER BY CAST(val AS DOUBLE) / cost DESC,
+                             p_partkey) AS rk
+           FROM it),
+     c AS (SELECT p_partkey, val, cost, rk,
+                  SUM(cost) OVER (ORDER BY rk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cost
+           FROM r)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_taken,
+       CAST(SUM(cost) AS BIGINT) AS budget_used,
+       CAST(SUM(val) AS BIGINT) AS value_cents,
+       CAST(MAX(rk) AS BIGINT) AS last_rank
+FROM c WHERE cum_cost <= 1000
+""")
