@@ -16513,3 +16513,356 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_taken,
        CAST(MAX(rk) AS BIGINT) AS last_rank
 FROM c WHERE cum_cost <= 1000
 """)
+
+
+# ---------------------------------------------------------------- B683
+# Treemap export: region → nation → segment hierarchy with node ids,
+# parent ids and exact sizes — the drill-down visualization source in
+# one long-form table.
+_q("q641_treemap_source", """
+WITH leaf AS (SELECT r.r_name AS region, n.n_name AS nation,
+                     c.c_mktsegment AS seg,
+                     SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              GROUP BY r.r_name, n.n_name, c.c_mktsegment)
+SELECT region AS node, CAST(NULL AS STRING) AS parent,
+       CAST(SUM(v) AS BIGINT) AS size_cents
+FROM leaf GROUP BY region
+UNION ALL
+SELECT region || '/' || nation AS node, region AS parent,
+       CAST(SUM(v) AS BIGINT) AS size_cents
+FROM leaf GROUP BY region, nation
+UNION ALL
+SELECT region || '/' || nation || '/' || seg AS node,
+       region || '/' || nation AS parent,
+       CAST(v AS BIGINT) AS size_cents
+FROM leaf
+ORDER BY node
+""")
+
+# ---------------------------------------------------------------- B684
+# Sparkline arrays: each brand's ordered monthly revenue as an array
+# column (ordered struct collect) — the timeseries-export shape a BI
+# cell renders.
+_q("q642_sparkline_arrays",
+   oracle="""
+WITH m AS (SELECT p.p_brand AS brand,
+                  CAST(DATE_TRUNC('month', l.l_shipdate) AS DATE) AS mon,
+                  CAST(FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1995
+           GROUP BY p.p_brand, DATE_TRUNC('month', l.l_shipdate))
+SELECT brand,
+       ARRAY_TO_STRING(LIST(CAST(k AS VARCHAR) ORDER BY mon), ',')
+         AS spark_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM m GROUP BY brand ORDER BY brand
+""",
+   engine_sql="""
+WITH m AS (SELECT p.p_brand AS brand,
+                  CAST(DATE_TRUNC('month', l.l_shipdate) AS DATE) AS mon,
+                  CAST(FLOOR(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1995
+           GROUP BY p.p_brand, DATE_TRUNC('month', l.l_shipdate))
+SELECT brand,
+       ARRAY_JOIN(TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(mon, k))),
+                            s -> CAST(s.k AS STRING)), ',')
+         AS spark_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM m GROUP BY brand ORDER BY brand
+""")
+
+# ---------------------------------------------------------------- B685
+# Missing-value imputation: nulls injected via NULLIF, numeric filled
+# with the segment mean (exact cents) and categorical with the global
+# mode — fill counts reported beside the imputed aggregate.
+_q("q643_imputation", """
+WITH src AS (SELECT c_custkey, c_mktsegment,
+                    NULLIF(CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                           CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                           % 97 * 97
+                           + CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                           % 97) AS bal,
+                    NULLIF(c_mktsegment, 'MACHINERY') AS seg_n
+             FROM customer),
+     segmean AS (SELECT c_mktsegment,
+                        CAST(FLOOR(SUM(bal) * 1.0 / COUNT(bal))
+                             AS BIGINT) AS m
+                 FROM src GROUP BY c_mktsegment),
+     mode_v AS (SELECT seg_n FROM src WHERE seg_n IS NOT NULL
+                GROUP BY seg_n ORDER BY COUNT(*) DESC, seg_n LIMIT 1),
+     f AS (SELECT src.c_custkey,
+                  COALESCE(src.bal, segmean.m) AS bal_f,
+                  COALESCE(src.seg_n, mode_v.seg_n) AS seg_f,
+                  CASE WHEN src.bal IS NULL THEN 1 ELSE 0 END AS num_i,
+                  CASE WHEN src.seg_n IS NULL THEN 1 ELSE 0 END AS cat_i
+           FROM src JOIN segmean
+             ON segmean.c_mktsegment = src.c_mktsegment
+           CROSS JOIN mode_v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(num_i) AS BIGINT) AS numeric_imputed,
+       CAST(SUM(cat_i) AS BIGINT) AS categorical_imputed,
+       CAST(SUM(bal_f) AS BIGINT) AS filled_balance_cents
+FROM f
+""")
+
+# ---------------------------------------------------------------- B686
+# One-hot encoding: market segment expanded to indicator columns with
+# the exactly-one-hot invariant verified in-query.
+_q("q644_one_hot", """
+SELECT c_custkey,
+       CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+            AS BIGINT) AS seg_auto,
+       CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+            AS BIGINT) AS seg_building,
+       CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END
+            AS BIGINT) AS seg_furniture,
+       CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END
+            AS BIGINT) AS seg_household,
+       CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+            AS BIGINT) AS seg_machinery,
+       CAST(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+                 'FURNITURE','HOUSEHOLD','MACHINERY')
+                 THEN 1 ELSE 0 END AS BIGINT) AS one_hot_ok
+FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
+""")
+
+# ---------------------------------------------------------------- B687
+# Ordinal + frequency encodings: order priority mapped to its rank
+# order and to its corpus frequency — the two lightweight categorical
+# encoders, in one pass.
+_q("q645_ordinal_freq_encoding", """
+WITH f AS (SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS freq
+           FROM orders GROUP BY o_orderpriority),
+     t AS (SELECT SUM(freq) AS nt FROM f)
+SELECT f.o_orderpriority,
+       CAST(CAST(SUBSTRING(f.o_orderpriority, 1, 1) AS BIGINT)
+            AS BIGINT) AS ordinal_enc,
+       f.freq,
+       FLOOR(f.freq * 1000000.0 / t.nt) / 1000000.0 AS freq_enc
+FROM f CROSS JOIN t ORDER BY o_orderpriority
+""")
+
+# ---------------------------------------------------------------- B688
+# Out-of-fold target encoding: 3 hash folds, each row's segment mean
+# computed EXCLUDING its own fold (exact per-fold sums subtracted) —
+# the leakage-safe categorical encoder.
+_q("q646_oof_target_encoding",
+   oracle="""
+WITH s AS (SELECT o_orderkey, o_custkey,
+                  CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)
+                       || ':fold'), 1, 4) AS BIGINT) % 3 AS fold,
+                  c.c_mktsegment AS seg,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     fs AS (SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(v) AS sv
+            FROM s GROUP BY seg, fold),
+     tot AS (SELECT seg, SUM(n) AS nt, SUM(sv) AS st FROM fs
+             GROUP BY seg),
+     enc AS (SELECT fs.seg, fs.fold,
+                    CAST(FLOOR((tot.st - fs.sv) * 1.0
+                               / (tot.nt - fs.n)) AS BIGINT) AS oof_mean
+             FROM fs JOIN tot ON tot.seg = fs.seg)
+SELECT seg, CAST(fold AS BIGINT) AS fold, oof_mean
+FROM enc ORDER BY seg, fold
+""",
+   engine_sql="""
+WITH s AS (SELECT o_orderkey, o_custkey,
+                  CAST(CONV(SUBSTR(MD5(CAST(o_orderkey AS STRING)
+                       || ':fold'), 1, 4), 16, 10) AS BIGINT) % 3
+                    AS fold,
+                  c.c_mktsegment AS seg,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     fs AS (SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(v) AS sv
+            FROM s GROUP BY seg, fold),
+     tot AS (SELECT seg, SUM(n) AS nt, SUM(sv) AS st FROM fs
+             GROUP BY seg),
+     enc AS (SELECT fs.seg, fs.fold,
+                    CAST(FLOOR((tot.st - fs.sv) * 1.0
+                               / (tot.nt - fs.n)) AS BIGINT) AS oof_mean
+             FROM fs JOIN tot ON tot.seg = fs.seg)
+SELECT seg, CAST(fold AS BIGINT) AS fold, oof_mean
+FROM enc ORDER BY seg, fold
+""")
+
+# ---------------------------------------------------------------- B689
+# Two-way interaction strength (ANOVA-lite): SS explained by the
+# segment × priority interaction beyond the additive model — cell
+# means vs row/column effects, exact integer sums in.
+_q("q647_interaction_anova", """
+WITH v AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+              FROM v GROUP BY a, b),
+     ra AS (SELECT a, SUM(n) AS n, SUM(sx) AS sx FROM cell GROUP BY a),
+     rb AS (SELECT b, SUM(n) AS n, SUM(sx) AS sx FROM cell GROUP BY b),
+     g AS (SELECT SUM(n) AS n, SUM(sx) AS sx FROM cell),
+     dev AS (SELECT cell.a, cell.b, cell.n,
+                    CAST(cell.sx AS DOUBLE) / cell.n
+                    - CAST(ra.sx AS DOUBLE) / ra.n
+                    - CAST(rb.sx AS DOUBLE) / rb.n
+                    + CAST(g.sx AS DOUBLE) / g.n AS inter
+             FROM cell JOIN ra ON ra.a = cell.a
+                       JOIN rb ON rb.b = cell.b
+                       CROSS JOIN g)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       FLOOR(SUM(n * inter * inter) / 10000) / 100.0
+         AS interaction_ss_dollars2
+FROM dev
+""")
+
+# ---------------------------------------------------------------- B690
+# Calibration fit: OLS intercept/slope of observed outcome on
+# predicted score over score deciles (DISC cutoff bands) — slope ≈ 1,
+# intercept ≈ 0 means calibrated; exact band aggregates.
+_q("q648_calibration_fit",
+   oracle="""
+WITH s AS (SELECT CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)
+                       || ':cal'), 1, 8) AS BIGINT) % 1000 AS score,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     b AS (SELECT score // 100 AS band,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(y) AS ny, SUM(score) AS ssc
+           FROM s GROUP BY score // 100),
+     pts AS (SELECT CAST(ssc AS DOUBLE) / (n * 1000) AS px,
+                    CAST(ny AS DOUBLE) / n AS py
+             FROM b),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(px) AS sx,
+                  SUM(py) AS sy, SUM(px * py) AS sxy,
+                  SUM(px * px) AS sxx
+           FROM pts)
+SELECT CAST(k AS BIGINT) AS n_bands,
+       FLOOR((k * sxy - sx * sy) / (k * sxx - sx * sx) * 10000)
+         / 10000.0 AS cal_slope,
+       FLOOR((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+             * 10000) / 10000.0 AS cal_intercept
+FROM m
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(CONV(SUBSTR(MD5(CAST(o_orderkey AS STRING)
+                       || ':cal'), 1, 8), 16, 10) AS BIGINT) % 1000
+                    AS score,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+           FROM orders),
+     b AS (SELECT score DIV 100 AS band,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(y) AS ny, SUM(score) AS ssc
+           FROM s GROUP BY score DIV 100),
+     pts AS (SELECT CAST(ssc AS DOUBLE) / (n * 1000) AS px,
+                    CAST(ny AS DOUBLE) / n AS py
+             FROM b),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(px) AS sx,
+                  SUM(py) AS sy, SUM(px * py) AS sxy,
+                  SUM(px * px) AS sxx
+           FROM pts)
+SELECT CAST(k AS BIGINT) AS n_bands,
+       FLOOR((k * sxy - sx * sy) / (k * sxx - sx * sx) * 10000)
+         / 10000.0 AS cal_slope,
+       FLOOR((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+             * 10000) / 10000.0 AS cal_intercept
+FROM m
+""")
+
+# ---------------------------------------------------------------- B691
+# Exact 2-feature Shapley attribution: coalition values = mean order
+# total with/without knowing segment and priority (group-mean
+# predictive value), Shapley = average marginal contribution — the
+# closed-form fair split of explained value.
+_q("q649_shapley_2feature", """
+WITH v AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                  SUM(x * x) AS sxx
+           FROM v),
+     va AS (SELECT SUM(d) AS ss FROM (
+              SELECT a, SUM(x * x)
+                     - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*) AS d
+              FROM v GROUP BY a) t),
+     vb AS (SELECT SUM(d) AS ss FROM (
+              SELECT b, SUM(x * x)
+                     - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*) AS d
+              FROM v GROUP BY b) t),
+     vab AS (SELECT SUM(d) AS ss FROM (
+               SELECT a, b, SUM(x * x)
+                      - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*) AS d
+               FROM v GROUP BY a, b) t),
+     tot AS (SELECT CAST(g.sxx AS DOUBLE)
+                    - CAST(g.sx AS DOUBLE) * g.sx / g.n AS ss0,
+                    va.ss AS ssa, vb.ss AS ssb, vab.ss AS ssab
+             FROM g CROSS JOIN va CROSS JOIN vb CROSS JOIN vab)
+SELECT FLOOR(((ss0 - ssa) + (ssb - ssab)) / 2 / 10000) / 100.0
+         AS shapley_segment_dollars2,
+       FLOOR(((ss0 - ssb) + (ssa - ssab)) / 2 / 10000) / 100.0
+         AS shapley_priority_dollars2,
+       FLOOR((ss0 - ssab) / 10000) / 100.0 AS total_explained
+FROM tot
+""")
+
+# ---------------------------------------------------------------- B692
+# Kitchen-sink compatibility canary: one statement through CTEs,
+# window, GROUPING SETS, arrays, JSON, intervals and conditional
+# aggregation — the single-query smoke a migration runs first.
+_q("q650_kitchen_sink_canary", engine_sql="""
+WITH base AS (SELECT o_orderkey, o_orderpriority,
+                     CAST(o_orderdate AS DATE) AS d,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders WHERE o_orderkey < 2000),
+     w AS (SELECT o_orderpriority, d, c,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY c DESC, d) AS rk
+           FROM base),
+     g AS (SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN rk <= 3 THEN c ELSE 0 END)
+                       AS BIGINT) AS top3_cents,
+                  CAST(MAX(d) + INTERVAL 30 DAY AS DATE) AS review_by,
+                  CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_total
+           FROM w
+           GROUP BY GROUPING SETS ((o_orderpriority), ()))
+SELECT COALESCE(o_orderpriority, 'ALL') AS pri, n, top3_cents,
+       review_by, is_total,
+       SIZE(SPLIT(COALESCE(o_orderpriority, 'ALL'), '-')) AS n_parts
+FROM g ORDER BY is_total, pri
+""",
+   oracle="""
+WITH base AS (SELECT o_orderkey, o_orderpriority,
+                     CAST(o_orderdate AS DATE) AS d,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders WHERE o_orderkey < 2000),
+     w AS (SELECT o_orderpriority, d, c,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY c DESC, d) AS rk
+           FROM base),
+     g AS (SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN rk <= 3 THEN c ELSE 0 END)
+                       AS BIGINT) AS top3_cents,
+                  CAST(MAX(d) + INTERVAL 30 DAY AS DATE) AS review_by,
+                  CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_total
+           FROM w
+           GROUP BY GROUPING SETS ((o_orderpriority), ()))
+SELECT COALESCE(o_orderpriority, 'ALL') AS pri, n, top3_cents,
+       review_by, is_total,
+       CAST(LEN(STRING_SPLIT(COALESCE(o_orderpriority, 'ALL'), '-'))
+            AS INT) AS n_parts
+FROM g ORDER BY is_total, pri
+""")
