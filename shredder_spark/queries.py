@@ -16866,3 +16866,334 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS pri, n, top3_cents,
             AS INT) AS n_parts
 FROM g ORDER BY is_total, pri
 """)
+
+
+# ---------------------------------------------------------------- B693
+# Ratio-of-medians vs median-of-ratios: the two ratio estimators
+# disagree under skew — both computed exactly (DISC medians on
+# integer cents / per-row integer ratios).
+_q("q651_ratio_estimators", """
+WITH j AS (SELECT o.o_orderkey,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS oc,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS lc
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderkey, o.o_totalprice),
+     r AS (SELECT oc, lc,
+                  CAST(FLOOR(oc * 10000.0 / lc) AS BIGINT) AS ratio_bp
+           FROM j WHERE lc > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       FLOOR(CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY oc)
+                  AS DOUBLE) * 10000
+             / PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY lc))
+         / 10000.0 AS ratio_of_medians,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY ratio_bp)
+            AS DOUBLE) / 10000.0 AS median_of_ratios
+FROM r
+""")
+
+# ---------------------------------------------------------------- B694
+# Trimmed correlation: Pearson r on rows inside both variables'
+# [p5, p95] DISC bands — the outlier-robust dependence estimate from
+# exact integer moments of the trimmed set.
+_q("q652_trimmed_correlation", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100)
+                                  AS BIGINT) / 100) AS BIGINT) AS y
+           FROM lineitem),
+     cut AS (SELECT
+               PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY x) AS xlo,
+               PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY x) AS xhi,
+               PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY y) AS ylo,
+               PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY y) AS yhi
+             FROM v),
+     t AS (SELECT v.x, v.y FROM v CROSS JOIN cut
+           WHERE v.x BETWEEN cut.xlo AND cut.xhi
+             AND v.y BETWEEN cut.ylo AND cut.yhi),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                  SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                  SUM(y * y) AS syy
+           FROM t)
+SELECT n AS n_kept,
+       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) * 10000) / 10000.0
+         AS trimmed_r
+FROM m
+""")
+
+# ---------------------------------------------------------------- B695
+# Partial correlation r_xy·z (quantity ↔ price controlling for line
+# number): three pairwise correlations from ONE exact-moment pass,
+# composed by the closed form.
+_q("q653_partial_correlation", """
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(FLOOR(CAST(ROUND(l_extendedprice * 100)
+                                  AS BIGINT) / 100) AS BIGINT) AS y,
+                  CAST(l_linenumber AS BIGINT) AS z
+           FROM lineitem),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                  SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+                  SUM(y * z) AS syz,
+                  SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                  SUM(z * z) AS szz
+           FROM v),
+     c AS (SELECT
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) AS rxy,
+             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * szz
+                       - CAST(sz AS DOUBLE) * sz)) AS rxz,
+             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+             / (SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                * SQRT(CAST(n AS DOUBLE) * szz
+                       - CAST(sz AS DOUBLE) * sz)) AS ryz
+           FROM m)
+SELECT FLOOR(rxy * 10000) / 10000.0 AS r_xy,
+       FLOOR((rxy - rxz * ryz)
+             / (SQRT(1 - rxz * rxz) * SQRT(1 - ryz * ryz)) * 10000)
+         / 10000.0 AS partial_r_xy_given_z
+FROM c
+""")
+
+# ---------------------------------------------------------------- B696
+# Cohen's d standardized mean difference (pooled SD) between two
+# segments' balances — the effect-size companion to q424's t-test,
+# exact cent moments.
+_q("q654_cohens_d", """
+WITH s AS (SELECT c_mktsegment AS seg,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+     g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS sx,
+                  SUM(c * c) AS sxx
+           FROM s GROUP BY seg),
+     w AS (SELECT
+             (SELECT n FROM g WHERE seg = 'BUILDING') AS n1,
+             (SELECT n FROM g WHERE seg = 'MACHINERY') AS n2,
+             (SELECT CAST(sx AS DOUBLE) / n FROM g
+              WHERE seg = 'BUILDING') AS m1,
+             (SELECT CAST(sx AS DOUBLE) / n FROM g
+              WHERE seg = 'MACHINERY') AS m2,
+             (SELECT CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+              FROM g WHERE seg = 'BUILDING') AS ssq1,
+             (SELECT CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+              FROM g WHERE seg = 'MACHINERY') AS ssq2)
+SELECT CAST(n1 AS BIGINT) AS n_building,
+       CAST(n2 AS BIGINT) AS n_machinery,
+       FLOOR((m1 - m2) / SQRT((ssq1 + ssq2) / (n1 + n2 - 2)) * 10000)
+         / 10000.0 AS cohens_d
+FROM w
+""")
+
+# ---------------------------------------------------------------- B697
+# Odds ratio with Woolf 95% CI: the 2×2 of (high-balance customer ×
+# urgent order) — exact cell counts, closed-form log-CI.
+_q("q655_odds_ratio", """
+WITH t AS (SELECT CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS y
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     c2 AS (SELECT
+              CAST(SUM(e * y) AS DOUBLE) AS a,
+              CAST(SUM(e * (1 - y)) AS DOUBLE) AS b,
+              CAST(SUM((1 - e) * y) AS DOUBLE) AS c,
+              CAST(SUM((1 - e) * (1 - y)) AS DOUBLE) AS d
+            FROM t)
+SELECT CAST(a AS BIGINT) AS exp_event, CAST(b AS BIGINT) AS exp_none,
+       CAST(c AS BIGINT) AS unexp_event,
+       CAST(d AS BIGINT) AS unexp_none,
+       FLOOR((a * d) / (b * c) * 10000) / 10000.0 AS odds_ratio,
+       FLOOR(EXP(LN((a * d) / (b * c))
+                 - 1.96 * SQRT(1/a + 1/b + 1/c + 1/d)) * 10000)
+         / 10000.0 AS or_ci_lo,
+       FLOOR(EXP(LN((a * d) / (b * c))
+                 + 1.96 * SQRT(1/a + 1/b + 1/c + 1/d)) * 10000)
+         / 10000.0 AS or_ci_hi
+FROM c2
+""")
+
+# ---------------------------------------------------------------- B698
+# Relative risk and number-needed-to-treat from the same 2×2 — the
+# intervention-impact arithmetic beside q655's odds ratio.
+_q("q656_risk_ratio_nnt", """
+WITH t AS (SELECT CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS y
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     c2 AS (SELECT
+              CAST(SUM(e * y) AS DOUBLE) AS a,
+              CAST(SUM(e) AS DOUBLE) AS ne,
+              CAST(SUM((1 - e) * y) AS DOUBLE) AS c,
+              CAST(SUM(1 - e) AS DOUBLE) AS nu
+            FROM t)
+SELECT FLOOR((a / ne) * 1000000) / 1000000.0 AS risk_exposed,
+       FLOOR((c / nu) * 1000000) / 1000000.0 AS risk_unexposed,
+       FLOOR((a / ne) / (c / nu) * 10000) / 10000.0 AS relative_risk,
+       FLOOR(ABS(1.0 / (a / ne - c / nu)) * 100) / 100.0 AS nnt
+FROM c2
+""")
+
+# ---------------------------------------------------------------- B699
+# Poisson rate with normal-approximation CI per event type: events
+# per day ± 1.96·√n/T — the incident-rate dashboard row.
+_q("q657_poisson_rate_ci", """
+WITH d AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM events GROUP BY event_type),
+     t AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+             AS days
+           FROM events)
+SELECT d.event_type, CAST(d.n AS BIGINT) AS n_events,
+       FLOOR(d.n / t.days * 10000) / 10000.0 AS rate_per_day,
+       FLOOR((d.n - 1.96 * SQRT(d.n)) / t.days * 10000) / 10000.0
+         AS ci_lo,
+       FLOOR((d.n + 1.96 * SQRT(d.n)) / t.days * 10000) / 10000.0
+         AS ci_hi
+FROM d CROSS JOIN t ORDER BY d.event_type
+""")
+
+# ---------------------------------------------------------------- B700
+# Agresti–Coull interval for rare rates: the add-z²/2 adjustment that
+# keeps near-zero proportions honest where the Wald interval
+# collapses — beside the raw rate per segment.
+_q("q658_agresti_coull", """
+WITH s AS (SELECT c.c_mktsegment AS seg,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CASE WHEN o.o_totalprice > 450000
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS x
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment),
+     adj AS (SELECT seg, n, x,
+                    (x + 1.9208) / (n + 3.8416) AS p_adj,
+                    n + 3.8416 AS n_adj
+             FROM s)
+SELECT seg, CAST(x AS BIGINT) AS rare_events, CAST(n AS BIGINT) AS n,
+       FLOOR(x / n * 1000000) / 1000000.0 AS raw_rate,
+       FLOOR(GREATEST(p_adj - 1.96 * SQRT(p_adj * (1 - p_adj) / n_adj),
+                      0.0) * 1000000) / 1000000.0 AS ac_lo,
+       FLOOR((p_adj + 1.96 * SQRT(p_adj * (1 - p_adj) / n_adj))
+             * 1000000) / 1000000.0 AS ac_hi
+FROM adj ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B701
+# Eta-squared effect size for the q425 ANOVA: SSB/SST — how much of
+# order-value variance the priority factor actually explains.
+_q("q659_eta_squared", """
+WITH v AS (SELECT o_orderpriority AS grp,
+                  CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders),
+     g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+           FROM v GROUP BY grp),
+     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                    SUM(x * x) AS sxx
+             FROM v),
+     ss AS (SELECT
+              (SELECT SUM(CAST(g.sx AS DOUBLE) * g.sx / g.n) FROM g)
+              - CAST(tot.sx AS DOUBLE) * tot.sx / tot.n AS ssb,
+              CAST(tot.sxx AS DOUBLE)
+              - CAST(tot.sx AS DOUBLE) * tot.sx / tot.n AS sst
+            FROM tot)
+SELECT FLOOR(ssb / 10000) / 100.0 AS ssb_dollars2,
+       FLOOR(sst / 10000) / 100.0 AS sst_dollars2,
+       FLOOR(ssb / sst * 1000000) / 1000000.0 AS eta_squared
+FROM ss
+""")
+
+# ---------------------------------------------------------------- B702
+# Omnibus test battery: the segment-difference z, priority ANOVA F,
+# and assignment-SRM chi² in ONE verdict row — the one-glance
+# statistical health panel over shapes proven by q424/q425/q505.
+_q("q660_test_battery",
+   oracle="""
+WITH bal AS (SELECT
+               AVG(CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN c_acctbal END) AS m1,
+               VAR_SAMP(CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN c_acctbal END) AS v1,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 END) AS DOUBLE) AS n1,
+               AVG(CASE WHEN c_mktsegment = 'MACHINERY'
+                   THEN c_acctbal END) AS m2,
+               VAR_SAMP(CASE WHEN c_mktsegment = 'MACHINERY'
+                        THEN c_acctbal END) AS v2,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY'
+                          THEN 1 END) AS DOUBLE) AS n2
+             FROM customer),
+     an AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(CAST(o_totalprice AS DOUBLE)) AS m,
+                   VAR_SAMP(CAST(o_totalprice AS DOUBLE)) AS v
+            FROM (SELECT o_orderpriority AS grp, o_totalprice
+                  FROM orders) x GROUP BY grp),
+     ant AS (SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm,
+                    CAST(COUNT(*) AS DOUBLE) AS k
+             FROM an),
+     srm AS (SELECT CAST(SUM(CASE WHEN CAST('0x' || SUBSTR(MD5(
+                      CAST(c_custkey AS VARCHAR) || ':srm'), 1, 8)
+                      AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      AS n0,
+                    CAST(COUNT(*) AS DOUBLE) AS nt
+             FROM customer),
+     ssb AS (SELECT SUM(an.n * POWER(an.m - ant.gm, 2)) AS v
+             FROM an CROSS JOIN ant),
+     ssw AS (SELECT SUM((n - 1) * v) AS v FROM an)
+SELECT FLOOR((bal.m1 - bal.m2)
+             / SQRT(bal.v1 / bal.n1 + bal.v2 / bal.n2) * 10000)
+         / 10000.0 AS welch_z,
+       FLOOR(ssb.v / (ant.k - 1)
+             / (ssw.v / (ant.nt - ant.k))
+             * 10000) / 10000.0 AS anova_f,
+       FLOOR((POWER(srm.n0 - srm.nt / 2, 2) / (srm.nt / 2)
+              + POWER((srm.nt - srm.n0) - srm.nt / 2, 2) / (srm.nt / 2))
+             * 10000) / 10000.0 AS srm_chi2
+FROM bal CROSS JOIN ant CROSS JOIN srm CROSS JOIN ssb CROSS JOIN ssw
+""",
+   engine_sql="""
+WITH bal AS (SELECT
+               AVG(CASE WHEN c_mktsegment = 'BUILDING'
+                   THEN c_acctbal END) AS m1,
+               VAR_SAMP(CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN c_acctbal END) AS v1,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 END) AS DOUBLE) AS n1,
+               AVG(CASE WHEN c_mktsegment = 'MACHINERY'
+                   THEN c_acctbal END) AS m2,
+               VAR_SAMP(CASE WHEN c_mktsegment = 'MACHINERY'
+                        THEN c_acctbal END) AS v2,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY'
+                          THEN 1 END) AS DOUBLE) AS n2
+             FROM customer),
+     an AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(CAST(o_totalprice AS DOUBLE)) AS m,
+                   VAR_SAMP(CAST(o_totalprice AS DOUBLE)) AS v
+            FROM (SELECT o_orderpriority AS grp, o_totalprice
+                  FROM orders) x GROUP BY grp),
+     ant AS (SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm,
+                    CAST(COUNT(*) AS DOUBLE) AS k
+             FROM an),
+     srm AS (SELECT CAST(SUM(CASE WHEN CAST(CONV(SUBSTR(MD5(
+                      CAST(c_custkey AS STRING) || ':srm'), 1, 8),
+                      16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS n0,
+                    CAST(COUNT(*) AS DOUBLE) AS nt
+             FROM customer),
+     ssb AS (SELECT SUM(an.n * POWER(an.m - ant.gm, 2)) AS v
+             FROM an CROSS JOIN ant),
+     ssw AS (SELECT SUM((n - 1) * v) AS v FROM an)
+SELECT FLOOR((bal.m1 - bal.m2)
+             / SQRT(bal.v1 / bal.n1 + bal.v2 / bal.n2) * 10000)
+         / 10000.0 AS welch_z,
+       FLOOR(ssb.v / (ant.k - 1)
+             / (ssw.v / (ant.nt - ant.k))
+             * 10000) / 10000.0 AS anova_f,
+       FLOOR((POWER(srm.n0 - srm.nt / 2, 2) / (srm.nt / 2)
+              + POWER((srm.nt - srm.n0) - srm.nt / 2, 2) / (srm.nt / 2))
+             * 10000) / 10000.0 AS srm_chi2
+FROM bal CROSS JOIN ant CROSS JOIN srm CROSS JOIN ssb CROSS JOIN ssw
+""")
