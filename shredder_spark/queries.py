@@ -17197,3 +17197,313 @@ SELECT FLOOR((bal.m1 - bal.m2)
              * 10000) / 10000.0 AS srm_chi2
 FROM bal CROSS JOIN ant CROSS JOIN srm CROSS JOIN ssb CROSS JOIN ssw
 """)
+
+
+# ---------------------------------------------------------------- B703
+# Rolling 30-day skewness of daily revenue from exact integer
+# Σx/Σx²/Σx³ window sums — the distribution-shape monitor beside the
+# Bollinger mean/σ bands.
+_q("q661_rolling_skewness", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     w AS (SELECT day,
+                  SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
+                  SUM(k * k * k) OVER w30 AS s3,
+                  COUNT(*) OVER w30 AS n,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d
+           WINDOW w30 AS (ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+     m AS (SELECT day,
+                  CAST(s1 AS DOUBLE) / n AS mu,
+                  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                    / n AS var_p,
+                  CAST(s3 AS DOUBLE) AS c3, CAST(s1 AS DOUBLE) AS c1,
+                  CAST(s2 AS DOUBLE) AS c2, CAST(n AS DOUBLE) AS nn
+           FROM w WHERE rn >= 30)
+SELECT day,
+       FLOOR((c3 / nn - 3 * mu * c2 / nn + 2 * mu * mu * mu)
+             / POWER(var_p, 1.5) * 10000) / 10000.0 AS skew30
+FROM m WHERE var_p > 0 ORDER BY day
+""")
+
+# ---------------------------------------------------------------- B712
+# Rolling 30-day coefficient of variation (σ/μ) of daily revenue —
+# the relative-volatility companion to the Bollinger/skew monitors,
+# exact integer window moments.
+_q("q662_rolling_cv", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100) AS BIGINT)
+                    AS k
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     w AS (SELECT day,
+                  SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
+                  COUNT(*) OVER w30 AS n,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d
+           WINDOW w30 AS (ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT day,
+       FLOOR(SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+             / (CAST(s1 AS DOUBLE) / n) * 10000) / 10000.0 AS cv30
+FROM w WHERE rn >= 30 ORDER BY day
+""")
+
+
+# ---------------------------------------------------------------- B704
+# New-user growth curve: first-seen users per day and the cumulative
+# acquisition curve — exact first-day rollup + calendar-bounded
+# running sum.
+_q("q663_acquisition_curve", """
+WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id),
+     d AS (SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+           FROM fu GROUP BY d0)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM d ORDER BY day
+""")
+
+# ---------------------------------------------------------------- B705
+# Activity half-life: log-linear fit of per-user event counts vs days
+# since first touch → decay λ and half-life ln2/λ — the engagement-
+# decay estimate from exact (day-index, log-count) pairs.
+_q("q664_activity_halflife",
+   oracle="""
+WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id),
+     a AS (SELECT DATEDIFF('day', fu.d0, CAST(e.ts AS DATE)) AS age_d
+           FROM events e JOIN fu ON fu.user_id = e.user_id),
+     c AS (SELECT age_d, CAST(COUNT(*) AS BIGINT) AS n FROM a
+           WHERE age_d BETWEEN 0 AND 20 GROUP BY age_d),
+     f AS (SELECT CAST(age_d AS DOUBLE) AS x,
+                  LN(CAST(n AS DOUBLE)) AS y
+           FROM c),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx,
+                  SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM f)
+SELECT CAST(k AS BIGINT) AS n_days,
+       FLOOR(-(k * sxy - sx * sy) / (k * sxx - sx * sx) * 1000000)
+         / 1000000.0 AS decay_lambda,
+       FLOOR(0.693147 / GREATEST(-(k * sxy - sx * sy)
+             / (k * sxx - sx * sx), 1e-9) * 100) / 100.0
+         AS half_life_days
+FROM m
+""",
+   engine_sql="""
+WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id),
+     a AS (SELECT DATEDIFF(CAST(e.ts AS DATE), fu.d0) AS age_d
+           FROM events e JOIN fu ON fu.user_id = e.user_id),
+     c AS (SELECT age_d, CAST(COUNT(*) AS BIGINT) AS n FROM a
+           WHERE age_d BETWEEN 0 AND 20 GROUP BY age_d),
+     f AS (SELECT CAST(age_d AS DOUBLE) AS x,
+                  LN(CAST(n AS DOUBLE)) AS y
+           FROM c),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx,
+                  SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM f)
+SELECT CAST(k AS BIGINT) AS n_days,
+       FLOOR(-(k * sxy - sx * sy) / (k * sxx - sx * sx) * 1000000)
+         / 1000000.0 AS decay_lambda,
+       FLOOR(0.693147 / GREATEST(-(k * sxy - sx * sy)
+             / (k * sxx - sx * sx), 1e-9) * 100) / 100.0
+         AS half_life_days
+FROM m
+""")
+
+# ---------------------------------------------------------------- B706
+# DAU/MAU stickiness: daily actives over trailing-30-day distinct
+# actives — engine uses the scale-correct day-offset explode rewrite
+# (q498's shape); the oracle states it as a range self-join.
+_q("q665_dau_mau",
+   oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+     dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud
+             GROUP BY day),
+     mau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+               AS mau
+             FROM (SELECT DISTINCT day FROM ud) d
+             JOIN ud u ON u.day <= d.day
+                      AND u.day > d.day - INTERVAL 30 DAY
+             GROUP BY d.day)
+SELECT dau.day, dau.dau, mau.mau,
+       FLOOR(dau.dau * 1000000.0 / mau.mau) / 1000000.0 AS stickiness
+FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day
+""",
+   engine_sql="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+     dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud
+             GROUP BY day),
+     x AS (SELECT user_id, DATE_ADD(day, off) AS day
+           FROM ud LATERAL VIEW EXPLODE(SEQUENCE(0, 29)) t AS off),
+     mau AS (SELECT d.day, CAST(COUNT(DISTINCT x.user_id) AS BIGINT)
+               AS mau
+             FROM (SELECT DISTINCT day FROM ud) d
+             JOIN x ON x.day = d.day
+             GROUP BY d.day)
+SELECT dau.day, dau.dau, mau.mau,
+       FLOOR(dau.dau * 1000000.0 / mau.mau) / 1000000.0 AS stickiness
+FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day
+""")
+
+# ---------------------------------------------------------------- B707
+# Hill tail-index estimator: α from the top-k order statistics of
+# order values (k = 100 by rank), Σ ln(xᵢ/x_min) over the tail —
+# the power-law heaviness measure.
+_q("q666_hill_estimator", """
+WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                     o_orderkey) AS rk
+           FROM orders),
+     top AS (SELECT c FROM v WHERE rk <= 100),
+     xm AS (SELECT MIN(c) AS cmin FROM top)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
+       CAST(xm.cmin AS BIGINT) AS tail_threshold_cents,
+       FLOOR(COUNT(*) / SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin))
+             * 10000) / 10000.0 AS hill_alpha
+FROM top CROSS JOIN xm GROUP BY xm.cmin
+""")
+
+# ---------------------------------------------------------------- B708
+# Gumbel fit of monthly maxima (method of moments): block maxima →
+# scale β = s√6/π, location μ = m − 0.5772β, plus the 12-month
+# return level — the extreme-value capacity estimate.
+_q("q667_gumbel_maxima", """
+WITH mm AS (SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS mon,
+                   CAST(FLOOR(MAX(CAST(ROUND(l_extendedprice * 100)
+                                       AS BIGINT)) / 100) AS BIGINT)
+                     AS mx
+            FROM lineitem GROUP BY DATE_TRUNC('month', l_shipdate)),
+     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(mx) AS sx,
+                  SUM(mx * mx) AS sxx
+           FROM mm),
+     p AS (SELECT n,
+                  CAST(sx AS DOUBLE) / n AS mean_mx,
+                  SQRT((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                    AS sd_mx
+           FROM m),
+     fit AS (SELECT n, mean_mx, sd_mx,
+                    sd_mx * 0.779697 AS beta
+             FROM p)
+SELECT CAST(n AS BIGINT) AS n_months,
+       FLOOR((mean_mx - 0.5772 * beta) * 100) / 100.0 AS gumbel_mu,
+       FLOOR(beta * 100) / 100.0 AS gumbel_beta,
+       FLOOR((mean_mx - 0.5772 * beta
+              - beta * LN(-LN(CAST(11 AS DOUBLE) / 12))) * 100) / 100.0
+         AS return_level_12mo
+FROM fit
+""")
+
+# ---------------------------------------------------------------- B709
+# Mean-excess function at DISC thresholds (p50–p95): E[X−u | X>u] —
+# rising mean excess diagnoses heavy tails (the EVT triage plot
+# source), exact integer sums per threshold.
+_q("q668_mean_excess", """
+WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+     cut AS (SELECT
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS u1,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS u2,
+               PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY c) AS u3,
+               PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY c) AS u4
+             FROM v),
+     agg AS (SELECT
+               SUM(CASE WHEN v.c > cut.u1 THEN v.c - cut.u1 END) AS e1,
+               SUM(CASE WHEN v.c > cut.u1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN v.c > cut.u2 THEN v.c - cut.u2 END) AS e2,
+               SUM(CASE WHEN v.c > cut.u2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN v.c > cut.u3 THEN v.c - cut.u3 END) AS e3,
+               SUM(CASE WHEN v.c > cut.u3 THEN 1 ELSE 0 END) AS n3,
+               SUM(CASE WHEN v.c > cut.u4 THEN v.c - cut.u4 END) AS e4,
+               SUM(CASE WHEN v.c > cut.u4 THEN 1 ELSE 0 END) AS n4
+             FROM v CROSS JOIN cut)
+SELECT 'p50' AS threshold,
+       FLOOR(CAST(e1 AS DOUBLE) / n1 / 100) / 1.0
+         AS mean_excess_dollars
+FROM agg
+UNION ALL
+SELECT 'p75' AS threshold,
+       FLOOR(CAST(e2 AS DOUBLE) / n2 / 100) / 1.0
+         AS mean_excess_dollars
+FROM agg
+UNION ALL
+SELECT 'p90' AS threshold,
+       FLOOR(CAST(e3 AS DOUBLE) / n3 / 100) / 1.0
+         AS mean_excess_dollars
+FROM agg
+UNION ALL
+SELECT 'p95' AS threshold,
+       FLOOR(CAST(e4 AS DOUBLE) / n4 / 100) / 1.0
+         AS mean_excess_dollars
+FROM agg
+ORDER BY threshold
+""")
+
+# ---------------------------------------------------------------- B710
+# Tail-heaviness comparison across segments: p99/p90 ratio per
+# segment vs the pooled ratio — which customer books carry the
+# heavier upside tail, all DISC-exact.
+_q("q669_tail_comparison", """
+WITH v AS (SELECT c.c_mktsegment AS seg,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS c
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     s AS (SELECT seg,
+                  PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY c) AS p90,
+                  PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c) AS p99
+           FROM v GROUP BY seg),
+     t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY c) AS p90,
+                  PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c) AS p99
+           FROM v)
+SELECT s.seg,
+       FLOOR(CAST(s.p99 AS DOUBLE) / s.p90 * 10000) / 10000.0
+         AS seg_tail_ratio,
+       FLOOR(CAST(t.p99 AS DOUBLE) / t.p90 * 10000) / 10000.0
+         AS pooled_tail_ratio
+FROM s CROSS JOIN t ORDER BY s.seg
+""")
+
+# ---------------------------------------------------------------- B711
+# Rolling 30-day kurtosis (4th-moment excess) from exact integer
+# window sums at a scale where Σx⁴ stays far inside BIGINT — the
+# fat-tail monitor beside q661's skewness.
+_q("q670_rolling_kurtosis", """
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 1000000) AS BIGINT)
+                    AS k
+           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+     w AS (SELECT day,
+                  SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
+                  SUM(k * k * k) OVER w30 AS s3,
+                  SUM(k * k * k * k) OVER w30 AS s4,
+                  COUNT(*) OVER w30 AS n,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d
+           WINDOW w30 AS (ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+     m AS (SELECT day, CAST(n AS DOUBLE) AS nn,
+                  CAST(s1 AS DOUBLE) AS c1, CAST(s2 AS DOUBLE) AS c2,
+                  CAST(s3 AS DOUBLE) AS c3, CAST(s4 AS DOUBLE) AS c4
+           FROM w WHERE rn >= 30),
+     mom AS (SELECT day, nn, c1 / nn AS mu,
+                    c2 / nn - (c1 / nn) * (c1 / nn) AS m2,
+                    c4 / nn - 4 * (c1 / nn) * c3 / nn
+                    + 6 * (c1 / nn) * (c1 / nn) * c2 / nn
+                    - 3 * POWER(c1 / nn, 4) AS m4
+             FROM m)
+SELECT day,
+       FLOOR((m4 / (m2 * m2) - 3) * 10000) / 10000.0 AS excess_kurt30
+FROM mom WHERE m2 > 0 ORDER BY day
+""")
