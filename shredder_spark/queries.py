@@ -17507,3 +17507,297 @@ SELECT day,
        FLOOR((m4 / (m2 * m2) - 3) * 10000) / 10000.0 AS excess_kurt30
 FROM mom WHERE m2 > 0 ORDER BY day
 """)
+
+
+# ---------------------------------------------------------------- B713
+# Weighted percentiles (p50/p90) by running-weight crossing — the
+# general-τ upgrade of q318's weighted median, quantity-weighted
+# order values, all integer cumulative weights.
+_q("q671_weighted_percentiles", """
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS w
+           FROM lineitem),
+     r AS (SELECT c, w,
+                  SUM(w) OVER (ORDER BY c, w
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cw,
+                  SUM(w) OVER () AS tw
+           FROM v)
+SELECT
+  (SELECT CAST(MIN(c) AS BIGINT) FROM r WHERE cw * 2 >= tw)
+    AS weighted_p50_cents,
+  (SELECT CAST(MIN(c) AS BIGINT) FROM r WHERE cw * 10 >= tw * 9)
+    AS weighted_p90_cents
+""")
+
+# ---------------------------------------------------------------- B714
+# One raking (IPF) step: reweight rows so segment shares match inline
+# target margins — the survey-weighting adjustment, exact integer
+# micro-weights.
+_q("q672_raking_step", """
+WITH tgt AS (SELECT * FROM (VALUES
+               ('AUTOMOBILE', 20), ('BUILDING', 20), ('FURNITURE', 20),
+               ('HOUSEHOLD', 20), ('MACHINERY', 20)) AS t(seg, pct)),
+     act AS (SELECT c_mktsegment AS seg,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM customer GROUP BY c_mktsegment),
+     tot AS (SELECT SUM(n) AS nt FROM act),
+     w AS (SELECT act.seg, act.n,
+                  CAST(FLOOR(tgt.pct * tot.nt * 10000.0
+                             / (100 * act.n)) AS BIGINT) AS micro_w
+           FROM act JOIN tgt ON tgt.seg = act.seg CROSS JOIN tot)
+SELECT seg, n AS n_rows, micro_w,
+       CAST(n * micro_w AS BIGINT) AS weighted_micro_total
+FROM w ORDER BY seg
+""")
+
+# ---------------------------------------------------------------- B715
+# Chao1 species-richness estimate: observed vocabulary + n₁²/(2n₂)
+# from singleton/doubleton token counts — how many word types the
+# corpus has NOT yet shown (q410's Good–Turing companion).
+_q("q673_chao1_richness",
+   oracle="""
+WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents, UNNEST(STRING_SPLIT(text,' ')) AS u(tok)
+           GROUP BY tok),
+     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS f1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS f2
+           FROM f)
+SELECT v AS observed_types,
+       CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+       FLOOR(v + f1 * f1 / (2 * GREATEST(f2, 1)) * 100) / 100.0
+         AS chao1_estimate
+FROM s
+""",
+   engine_sql="""
+WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT EXPLODE(SPLIT(text, ' ')) AS tok
+                 FROM documents) x
+           GROUP BY tok),
+     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS f1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS f2
+           FROM f)
+SELECT v AS observed_types,
+       CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+       FLOOR(v + f1 * f1 / (2 * GREATEST(f2, 1)) * 100) / 100.0
+         AS chao1_estimate
+FROM s
+""")
+
+# ---------------------------------------------------------------- B716
+# Delete-one-group jackknife: leave-one-segment-out pseudo-means of
+# order value and the jackknife variance of the overall mean — the
+# grouped-resampling uncertainty estimate, exact totals throughout.
+_q("q674_jackknife_variance", """
+WITH g AS (SELECT c.c_mktsegment AS seg,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)) AS s
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment),
+     t AS (SELECT SUM(n) AS nt, SUM(s) AS st,
+                  CAST(COUNT(*) AS BIGINT) AS k
+           FROM g),
+     pseudo AS (SELECT g.seg,
+                       CAST(t.st - g.s AS DOUBLE) / (t.nt - g.n) AS loo
+                FROM g CROSS JOIN t),
+     m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(loo) AS sl,
+                  SUM(loo * loo) AS sll
+           FROM pseudo)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       FLOOR(sl / k * 100) / 100.0 AS mean_loo_dollars,
+       FLOOR((k - 1) / k * (sll - sl * sl / k) * 10000) / 10000.0
+         AS jackknife_var
+FROM m
+""")
+
+# ---------------------------------------------------------------- B717
+# Lincoln–Petersen capture–recapture: two independent hash samples'
+# overlap → estimated population size vs the true count — the
+# mark-recapture estimator verified against its own ground truth.
+_q("q675_capture_recapture",
+   oracle="""
+WITH s1 AS (SELECT doc_id FROM documents
+            WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                  || ':cap1'), 1, 8) AS BIGINT) % 10 < 4),
+     s2 AS (SELECT doc_id FROM documents
+            WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                  || ':cap2'), 1, 8) AS BIGINT) % 10 < 4),
+     ov AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m
+            FROM s1 JOIN s2 ON s2.doc_id = s1.doc_id),
+     c AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM s1) AS n1,
+                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM s2) AS n2,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                    AS truth)
+SELECT CAST(c.n1 AS BIGINT) AS marked, CAST(c.n2 AS BIGINT) AS recaught,
+       CAST(ov.m AS BIGINT) AS overlap,
+       CAST(FLOOR(c.n1 * c.n2 / GREATEST(ov.m, 1)) AS BIGINT)
+         AS lp_estimate,
+       c.truth AS true_population
+FROM c CROSS JOIN ov
+""",
+   engine_sql="""
+WITH s1 AS (SELECT doc_id FROM documents
+            WHERE CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                  || ':cap1'), 1, 8), 16, 10) AS BIGINT) % 10 < 4),
+     s2 AS (SELECT doc_id FROM documents
+            WHERE CAST(CONV(SUBSTR(MD5(CAST(doc_id AS STRING)
+                  || ':cap2'), 1, 8), 16, 10) AS BIGINT) % 10 < 4),
+     ov AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m
+            FROM s1 JOIN s2 ON s2.doc_id = s1.doc_id),
+     c AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM s1) AS n1,
+                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM s2) AS n2,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                    AS truth)
+SELECT CAST(c.n1 AS BIGINT) AS marked, CAST(c.n2 AS BIGINT) AS recaught,
+       CAST(ov.m AS BIGINT) AS overlap,
+       CAST(FLOOR(c.n1 * c.n2 / GREATEST(ov.m, 1)) AS BIGINT)
+         AS lp_estimate,
+       c.truth AS true_population
+FROM c CROSS JOIN ov
+""")
+
+# ---------------------------------------------------------------- B718
+# Longest above/below-median streaks per flag: gaps-and-islands on
+# the sign series — the streak-length extremes a run-based monitor
+# tracks (q472's runs test counts them; this finds the longest).
+_q("q676_longest_streaks", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100) AS BIGINT) AS k
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     med AS (SELECT flag,
+                    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY k) AS m
+             FROM d GROUP BY flag),
+     s AS (SELECT d.flag, d.day,
+                  CASE WHEN d.k > med.m THEN 1 ELSE 0 END AS up
+           FROM d JOIN med ON med.flag = d.flag WHERE d.k <> med.m),
+     g AS (SELECT flag, day, up,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day)
+                  - ROW_NUMBER() OVER (PARTITION BY flag, up
+                                       ORDER BY day) AS grp
+           FROM s),
+     runs AS (SELECT flag, up, grp, CAST(COUNT(*) AS BIGINT) AS len
+              FROM g GROUP BY flag, up, grp)
+SELECT flag,
+       CAST(MAX(CASE WHEN up = 1 THEN len ELSE 0 END) AS BIGINT)
+         AS longest_up_streak,
+       CAST(MAX(CASE WHEN up = 0 THEN len ELSE 0 END) AS BIGINT)
+         AS longest_down_streak
+FROM runs GROUP BY flag ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B719
+# Running-record counting: new all-time-high days per flag vs the
+# ~ln(n) expectation under exchangeability — too many records means
+# trend, all integer comparisons.
+_q("q677_record_counting", """
+WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) / 100) AS BIGINT) AS k
+           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+     r AS (SELECT flag, day, k,
+                  MAX(k) OVER (PARTITION BY flag ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prior_max,
+                  COUNT(*) OVER (PARTITION BY flag) AS n
+           FROM d)
+SELECT flag, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN prior_max IS NULL OR k > prior_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       FLOOR(LN(CAST(MAX(n) AS DOUBLE)) * 100) / 100.0
+         AS expected_records_ln_n
+FROM r GROUP BY flag ORDER BY flag
+""")
+
+# ---------------------------------------------------------------- B720
+# Turning-point randomness check: local extrema count vs the
+# 2(n−2)/3 expectation — the nonparametric trend screen from LAG/LEAD
+# sign geometry.
+_q("q678_turning_points", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100)
+                                      AS BIGINT)) / 100000) AS BIGINT)
+                    AS k
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+     s AS (SELECT day, k,
+                  LAG(k) OVER (ORDER BY day) AS pk,
+                  LEAD(k) OVER (ORDER BY day) AS nk,
+                  COUNT(*) OVER () AS n
+           FROM d),
+     t AS (SELECT n,
+                  CASE WHEN (k > pk AND k > nk)
+                         OR (k < pk AND k < nk) THEN 1 ELSE 0 END AS tp
+           FROM s WHERE pk IS NOT NULL AND nk IS NOT NULL)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(tp) AS BIGINT) AS turning_points,
+       FLOOR(2.0 * (MAX(n) - 2) / 3 * 100) / 100.0 AS expected_tp
+FROM t
+""")
+
+# ---------------------------------------------------------------- B721
+# Theil index of inequality (entropy-based, decomposable): customer
+# spend concentration per segment — the between/within-decomposable
+# alternative to Gini (q296), exact integer spends in.
+_q("q679_theil_index", """
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                  SUM(CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT) / 100) AS BIGINT)) AS v
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_mktsegment, o.o_custkey),
+     m AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+           FROM s GROUP BY seg),
+     t AS (SELECT s.seg,
+                  SUM((CAST(s.v AS DOUBLE) / m.sv)
+                      * LN(CAST(s.v AS DOUBLE) * m.n / m.sv)) AS theil
+           FROM s JOIN m ON m.seg = s.seg
+           WHERE s.v > 0 GROUP BY s.seg)
+SELECT seg, FLOOR(theil * 10000) / 10000.0 AS theil_index
+FROM t ORDER BY seg
+""")
+
+
+# ---------------------------------------------------------------- B722
+# Parquet round-trip checksum: the ENGINE writes the filtered orders
+# to parquet, reads it back and computes an orderless md5-derived
+# checksum; the oracle computes the same checksum directly — a sink
+# round-trip gated by the driver's hash compare.
+def _q680_builder(spark: SparkSession) -> DataFrame:
+    import tempfile
+
+    from shredder_spark import catalog
+    orders = catalog.load_table(spark, catalog.CURRENT_SF_DIR, "orders")
+    sel = (orders.filter(F.col("o_totalprice") > 100000)
+           .select("o_orderkey",
+                   F.round(F.col("o_totalprice") * 100).cast("long")
+                   .alias("cents")))
+    path = tempfile.mkdtemp(prefix="q680_roundtrip_") + "/orders"
+    sel.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (back.select(
+        F.conv(F.substring(F.md5(F.concat_ws(":",
+               F.col("o_orderkey").cast("string"),
+               F.col("cents").cast("string"))), 1, 8), 16, 10)
+        .cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("h").cast("long").alias("checksum")))
+
+
+_q("q680_parquet_roundtrip_checksum",
+   oracle="""
+WITH sel AS (SELECT o_orderkey,
+                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders WHERE o_totalprice > 100000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)
+                 || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM sel
+""",
+   builder=_q680_builder)
