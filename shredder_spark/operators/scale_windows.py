@@ -248,7 +248,13 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
     instead. Leading order expression must be non-null.
     """
     bucket = _bucket_col(df, order, buckets, bucket_by)
-    tagged = df.withColumn("_sw_b", bucket)
+    # The composite group key is rendered ONCE, Spark-side (_sw_g), and
+    # that exact string travels through the boundary aggregate to the
+    # driver — Python str() re-derivation would disagree with Spark's
+    # CAST(… AS STRING) for booleans (True vs true) and some float
+    # formats, silently falling back to offset 0.
+    tagged = (df.withColumn("_sw_b", bucket)
+              .withColumn("_sw_g", _group_key(groups, with_bucket=False)))
     w = Window.partitionBy(*groups, "_sw_b").orderBy(*_ordering(order))
     tagged = tagged.withColumn("_sw_rn", F.row_number().over(w))
     need_rank = rank_col is not None
@@ -261,27 +267,28 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
     aggs = [F.count(F.lit(1)).alias("n")]
     if need_dense:
         aggs.append(F.max("_sw_drk").alias("d"))
-    rows = tagged.groupBy(*groups, "_sw_b").agg(*aggs).collect()
+    rows = tagged.groupBy("_sw_g", "_sw_b").agg(*aggs).collect()
     sep = "\x1f"
-    by_group: dict[tuple, list] = {}
+    by_group: dict[str, list] = {}
     for r in rows:
-        gk = tuple(str(r[g]) for g in groups)
-        by_group.setdefault(gk, []).append(r)
+        by_group.setdefault(r._sw_g, []).append(r)
     n_off: dict[str, int] = {}
     d_off: dict[str, int] = {}
     g_cnt: dict[str, int] = {}
     for gk, cells in by_group.items():
         cum_n = cum_d = 0
         for r in sorted(cells, key=lambda row: row._sw_b):
-            key = sep.join(gk + (str(r._sw_b),))
+            # bucket ids are Spark ints: str() and CAST agree on those
+            key = gk + sep + str(r._sw_b)
             n_off[key] = cum_n
             cum_n += r.n
             if need_dense:
                 d_off[key] = cum_d
                 cum_d += r.d
-        g_cnt[sep.join(gk)] = cum_n
+        g_cnt[gk] = cum_n
 
-    cell_key = _group_key(groups, with_bucket=True)
+    cell_key = F.concat_ws(sep, F.col("_sw_g"),
+                           F.col("_sw_b").cast("string"))
     out = tagged
     base = _str_lookup(n_off, cell_key, "long", 0)
     grn = (base + F.col("_sw_rn")).cast("long")
@@ -297,8 +304,7 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
              + F.col("_sw_drk")).cast("long"))
     if ntile is not None:
         n_tiles, tile_col = ntile
-        cnt = _str_lookup(g_cnt, _group_key(groups, with_bucket=False),
-                          "long", 0)
+        cnt = _str_lookup(g_cnt, F.col("_sw_g"), "long", 0)
         q = F.floor(cnt / n_tiles)
         r = cnt % n_tiles
         big = r * (q + 1)
@@ -306,7 +312,7 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
                 .when(grn <= big, F.floor((grn - 1) / (q + 1)) + 1)
                 .otherwise(r + F.floor((grn - big - 1) / q) + 1))
         out = out.withColumn(tile_col, tile.cast("long"))
-    drop = [c for c in ("_sw_b", "_sw_rn", "_sw_rk", "_sw_drk")
+    drop = [c for c in ("_sw_b", "_sw_g", "_sw_rn", "_sw_rk", "_sw_drk")
             if c in out.columns]
     return out.drop(*drop)
 

@@ -17568,7 +17568,7 @@ WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
            FROM f)
 SELECT v AS observed_types,
        CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
-       FLOOR(v + f1 * f1 / (2 * GREATEST(f2, 1)) * 100) / 100.0
+       FLOOR((v + f1 * f1 / (2 * GREATEST(f2, 1))) * 100) / 100.0
          AS chao1_estimate
 FROM s
 """,
@@ -17585,7 +17585,7 @@ WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
            FROM f)
 SELECT v AS observed_types,
        CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
-       FLOOR(v + f1 * f1 / (2 * GREATEST(f2, 1)) * 100) / 100.0
+       FLOOR((v + f1 * f1 / (2 * GREATEST(f2, 1))) * 100) / 100.0
          AS chao1_estimate
 FROM s
 """)

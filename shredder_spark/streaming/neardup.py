@@ -30,6 +30,17 @@ layout operators when small files accumulate. Dropped docs' bands
 stay in state ON PURPOSE: the drop policy is "near-dup of anything
 seen", matching the batch tier (see test for the A~B, B~C, A≁C
 chain: B and C both drop).
+
+Restart/replay safety: foreachBatch is at-least-once, so an epoch can
+be re-run after its state append succeeded but before its output
+write did. State is therefore written per-epoch (``epoch_<id>``
+subdirectory, overwrite mode — idempotent under replay) and the
+CURRENT epoch's subdirectory is excluded from the state read, so a
+replayed batch sees exactly the pre-epoch state instead of matching
+itself (which would jaccard-1.0-drop every replayed doc). State
+existence is probed through the Hadoop FileSystem API for the
+configured scheme — not ``os.path`` — so ``hdfs://``/object-store
+state dirs behave the same as local paths.
 """
 
 from __future__ import annotations
@@ -68,16 +79,42 @@ class IncrementalNearDup:
         self._hashes_path = os.path.join(state_dir, "hashes")
 
     # -- state ----------------------------------------------------------
-    def _read(self, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+    def _state_parts(self, path: str, exclude_epoch) -> list:
+        """List state pieces under ``path`` via the Hadoop FileSystem
+        for the path's OWN scheme (s3a://, hdfs://, file:// all work —
+        no driver-local ``os.path`` probe). Returns epoch subdirs
+        (minus the excluded one) plus any legacy flat parquet files
+        appended by pre-epoch versions of this module."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return []
+        skip = None if exclude_epoch is None else f"epoch_{exclude_epoch}"
+        parts = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name != skip:
+                    parts.append(str(st.getPath()))
+            elif name.endswith(".parquet"):
+                parts.append(str(st.getPath()))
+        return parts
 
-    def state_bands(self) -> DataFrame:
-        return self._read(self._bands_path, _BANDS_SCHEMA)
+    def _read(self, path: str, schema: str, exclude_epoch) -> DataFrame:
+        parts = self._state_parts(path, exclude_epoch)
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        return (self.spark.read.schema(schema)
+                .option("recursiveFileLookup", "true").parquet(*parts))
 
-    def state_hashes(self) -> DataFrame:
-        return self._read(self._hashes_path, _HASHES_SCHEMA)
+    def state_bands(self, exclude_epoch=None) -> DataFrame:
+        return self._read(self._bands_path, _BANDS_SCHEMA, exclude_epoch)
+
+    def state_hashes(self, exclude_epoch=None) -> DataFrame:
+        return self._read(self._hashes_path, _HASHES_SCHEMA,
+                          exclude_epoch)
 
     # -- per-batch ------------------------------------------------------
     def _banded(self, sig: DataFrame) -> DataFrame:
@@ -109,10 +146,17 @@ class IncrementalNearDup:
                 .filter(F.col("jaccard") >= self.threshold))
 
     def process_batch(self, batch: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      epoch_id: Optional[int] = None) -> DataFrame:
         """Admit/drop one micro-batch; returns the admitted rows of
         ``batch`` (all original columns). Appends the WHOLE batch to
-        state afterwards (drop policy is vs seen, not vs admitted)."""
+        state afterwards (drop policy is vs seen, not vs admitted).
+
+        With ``epoch_id`` set (the streaming path), the state write is
+        an idempotent overwrite of ``epoch_<id>/`` and the state read
+        excludes that subdir, so at-least-once replays of the same
+        epoch see the pre-epoch state and admit the same docs. Without
+        it (direct batch use), state is appended flat as before."""
         src = batch.select(F.col(id_col).cast("long").alias("id"),
                            F.col(text_col).alias("_text"))
         hashes = src.select(
@@ -127,14 +171,18 @@ class IncrementalNearDup:
         hashes = hashes.localCheckpoint(eager=True)
 
         # 1) vs the seen corpus: equi-join on (band, bh), ids only.
-        st_bands = self.state_bands()
+        # The id filter is belt-and-braces vs self-match (ids are
+        # globally unique, and epoch exclusion already keeps a
+        # replayed batch out of its own state view).
+        st_bands = self.state_bands(exclude_epoch=epoch_id)
         vs_state = (new_bands.alias("n")
                     .join(st_bands.alias("s"), ["band", "bh"])
+                    .filter(F.col("n.id") != F.col("s.id"))
                     .select(F.col("n.id").alias("i"),
                             F.col("s.id").alias("j"))
                     .dropDuplicates(["i", "j"]))
-        dropped_state = (self._verified(vs_state, hashes,
-                                        self.state_hashes())
+        dropped_state = (self._verified(
+            vs_state, hashes, self.state_hashes(exclude_epoch=epoch_id))
                          .select(F.col("i").alias("id")))
 
         # 2) within the batch: lower id wins, same bucket pairing as
@@ -155,9 +203,18 @@ class IncrementalNearDup:
         admitted = (src.select("id").join(drop, "id", "left_anti")
                     .withColumnRenamed("id", id_col))
 
-        # 3) append the whole batch to state (restart-safe: parquet).
-        new_bands.write.mode("append").parquet(self._bands_path)
-        hashes.write.mode("append").parquet(self._hashes_path)
+        # 3) persist the whole batch to state (restart-safe parquet).
+        # Epoch-keyed overwrite = idempotent under foreachBatch replay;
+        # flat append only for the direct (non-streaming) batch path.
+        if epoch_id is not None:
+            sub = f"epoch_{epoch_id}"
+            (new_bands.write.mode("overwrite")
+             .parquet(os.path.join(self._bands_path, sub)))
+            (hashes.write.mode("overwrite")
+             .parquet(os.path.join(self._hashes_path, sub)))
+        else:
+            new_bands.write.mode("append").parquet(self._bands_path)
+            hashes.write.mode("append").parquet(self._hashes_path)
         return batch.join(admitted.select(F.col(id_col).cast("long")
                                           .alias(id_col)),
                           id_col, "left_semi")
@@ -180,7 +237,8 @@ def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
             state["op"] = IncrementalNearDup(
                 bdf.sparkSession, state_dir, num_perm=num_perm,
                 bands=bands, threshold=threshold, seed=seed)
-        admitted = state["op"].process_batch(bdf, id_col, text_col)
+        admitted = state["op"].process_batch(bdf, id_col, text_col,
+                                             epoch_id=epoch_id)
         admitted.write.mode("append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(_sink).outputMode("update")

@@ -98,6 +98,30 @@ def test_restart_resumes_state(spark, docs, tmp_path):
     assert (a1 | a2) == keepers
 
 
+def test_mid_epoch_replay_idempotent(spark, docs, tmp_path):
+    """foreachBatch is at-least-once: an epoch can re-run after its
+    state write landed but before its output write. The replayed
+    batch must admit the SAME docs (not match itself in state and
+    drop everything), and state must not double-count."""
+    state = str(tmp_path / "state")
+    b1, b2 = _batches(docs, 2)
+    op = IncrementalNearDup(spark, state, **LSH)
+    a1 = {r.doc_id for r in op.process_batch(b1, epoch_id=0).collect()}
+    first = {r.doc_id for r in op.process_batch(b2, epoch_id=1).collect()}
+    # simulate the replay: fresh operator (post-crash), same epoch id
+    op2 = IncrementalNearDup(spark, state, **LSH)
+    replay = {r.doc_id for r in op2.process_batch(b2, epoch_id=1).collect()}
+    assert replay == first
+    # state holds each doc's bands exactly once (overwrite, not append)
+    n_ids = op2.state_bands().select("id").distinct().count()
+    assert op2.state_bands().count() == n_ids * LSH["bands"]
+    # and the combined admitted set still equals the batch-tier keepers
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert (a1 | replay) == keepers
+
+
 def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
     root = tempfile.mkdtemp(prefix="neardup_stream_")
     try:

@@ -153,6 +153,24 @@ def test_grouped_ranks_tiny_groups(spark):
             == {(r.id, r.nt) for r in want.collect()})
 
 
+def test_grouped_ranks_boolean_and_float_group_keys(spark):
+    # Python str() and Spark CAST(… AS STRING) render booleans (True
+    # vs true) and small floats differently; the offset lookup must
+    # use Spark's rendering end-to-end or it silently falls back to
+    # offset 0 and mis-ranks every row past bucket 0.
+    df = (spark.range(400)
+          .withColumn("gb", (F.col("id") % 2 == 0))
+          .withColumn("gf", (F.col("id") % 3).cast("double") / 100000.0)
+          .withColumn("v", (F.col("id") * 7919 % 97).cast("double")))
+    w = Window.partitionBy("gb", "gf").orderBy("v", "id")
+    want = df.withColumn("rn", F.row_number().over(w))
+    got = sw.with_grouped_ranks(df, ["gb", "gf"],
+                                [("v", "asc"), ("id", "asc")],
+                                row_number_col="rn", buckets=8)
+    assert ({(r.id, r.rn) for r in got.collect()}
+            == {(r.id, r.rn) for r in want.collect()})
+
+
 def test_low_cardinality_guard_trips_on_declared_q21(spark):
     df = _grouped_ties_df(spark)
     w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
