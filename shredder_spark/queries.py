@@ -3820,6 +3820,29 @@ FROM s GROUP BY split, lang ORDER BY split, lang
 # Output-shard planning: size-balanced round-robin (largest docs
 # first, row_number % n_shards) — per-shard token totals prove the
 # balance; fully deterministic so the texts are shared.
+def _q240_builder(spark: SparkSession) -> DataFrame:
+    # Scale tier: the global ROW_NUMBER over all documents becomes the
+    # two-phase bucketed rank (operators/scale_windows.py) — no
+    # unpartitioned Window anywhere in the plan; equivalence vs the
+    # oracle text rides the standard oracle gate.
+    from shredder_spark.operators.scale_windows import with_global_rank
+
+    docs = spark.table("documents")
+    sized = docs.select(
+        "doc_id",
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_tok"))
+    r = with_global_rank(sized, [("n_tok", "desc"), ("doc_id", "asc")],
+                         out_col="rn")
+    return (r.select(((F.col("rn") - 1) % 8).cast("long").alias("shard"),
+                     "n_tok")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("tokens"))
+            .orderBy("shard"))
+
+
 _q("q240_shard_plan", """
 WITH sized AS (SELECT doc_id,
                       LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tok
@@ -3831,7 +3854,7 @@ SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS tokens
 FROM ranked GROUP BY shard ORDER BY shard
-""")
+""", builder=_q240_builder)
 
 # ------------------------------------------------- XML, constructor
 # datetime batch, token-budget prefix selection (q241-q243).
@@ -4683,10 +4706,11 @@ WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS wt,
                              16, 10) AS DOUBLE) + 1) / 4294967296.0 AS u
            FROM orders),
      k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w),
-     r AS (SELECT o_orderkey, wt,
-                  ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rn
-           FROM k)
-SELECT o_orderkey, ROUND(wt, 2) AS wt FROM r WHERE rn <= 100
+     -- pure top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
+     -- (per-partition heaps, no single-task global sort/window)
+     top AS (SELECT o_orderkey, wt FROM k
+             ORDER BY k DESC, o_orderkey LIMIT 100)
+SELECT o_orderkey, ROUND(wt, 2) AS wt FROM top
 ORDER BY o_orderkey
 """)
 
@@ -5302,7 +5326,8 @@ LIMIT 15
 # pooled sort. The default aggregate-window frame (RANGE to current
 # row) is peer-inclusive in both engines, which is exactly the
 # tie-correct ECDF.
-_q("q295_ks_statistic", """
+_q("q295_ks_statistic",
+   oracle="""
 WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
@@ -5313,6 +5338,27 @@ WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
                   SUM(g1) OVER (ORDER BY c) AS f1,
                   SUM(g2) OVER (ORDER BY c) AS f2
            FROM s)
+SELECT ROUND(MAX(ABS(f1 / n.n1 - f2 / n.n2)), 4) AS ks_d,
+       CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
+FROM e CROSS JOIN n GROUP BY n.n1, n.n2
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('click', 'view')),
+     -- ECDF steps only move at distinct values: aggregate per cents
+     -- value FIRST (map-side combine, bounded by the value domain,
+     -- not the row count), then the cumulative window runs over that
+     -- tiny aggregate instead of every raw event row. The oracle's
+     -- peer-inclusive RANGE frame gives identical f1/f2 per value.
+     d AS (SELECT c, SUM(g1) AS d1, SUM(g2) AS d2 FROM s GROUP BY c),
+     n AS (SELECT CAST(SUM(d1) AS DOUBLE) AS n1,
+                  CAST(SUM(d2) AS DOUBLE) AS n2 FROM d),
+     e AS (SELECT c,
+                  SUM(d1) OVER (ORDER BY c) AS f1,
+                  SUM(d2) OVER (ORDER BY c) AS f2
+           FROM d)
 SELECT ROUND(MAX(ABS(f1 / n.n1 - f2 / n.n2)), 4) AS ks_d,
        CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2
 FROM e CROSS JOIN n GROUP BY n.n1, n.n2
@@ -6235,7 +6281,8 @@ FROM slopes
 # Mann-Whitney U rank-sum test between click and view values: average
 # ranks over integer cents (ties → .5 ranks, exact in doubles) — the
 # nonparametric complement of q295's KS distance.
-_q("q328_mann_whitney_u", """
+_q("q328_mann_whitney_u",
+   oracle="""
 WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
                   event_type AS g
            FROM events WHERE event_type IN ('click', 'view')),
@@ -6250,6 +6297,30 @@ WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
                          AS DOUBLE) AS n2,
                     SUM(CASE WHEN g = 'click' THEN ar ELSE 0 END) AS r1
              FROM avg_r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       r1 - n1 * (n1 + 1) / 2 AS u1,
+       ROUND((r1 - n1 * (n1 + 1) / 2) / (n1 * n2), 4) AS auc
+FROM agg
+""",
+   engine_sql="""
+WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  event_type AS g
+           FROM events WHERE event_type IN ('click', 'view')),
+     -- average ranks are constant within a tie group: aggregate per
+     -- cents value FIRST (bounded by the value domain), then derive
+     -- RANK = rows-before + 1 and the tie-averaged rank from the
+     -- per-value counts — the cumulative window never sees raw rows.
+     d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cnt1
+           FROM s GROUP BY c),
+     r AS (SELECT c, cnt, cnt1,
+                  SUM(cnt) OVER (ORDER BY c) - cnt + 1 AS rk
+           FROM d),
+     agg AS (SELECT CAST(SUM(cnt1) AS DOUBLE) AS n1,
+                    CAST(SUM(cnt - cnt1) AS DOUBLE) AS n2,
+                    SUM(cnt1 * (rk + (cnt - 1) / 2.0)) AS r1
+             FROM r)
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        r1 - n1 * (n1 + 1) / 2 AS u1,
        ROUND((r1 - n1 * (n1 + 1) / 2) / (n1 * n2), 4) AS auc
@@ -13801,6 +13872,27 @@ FROM k GROUP BY sig ORDER BY n_errors DESC, sig
 # scale by their exact percentile rank (the image-processing
 # transform applied to tabular data), with a uniformity check over
 # 10 output buckets.
+def _q559_builder(spark: SparkSession) -> DataFrame:
+    # Scale tier: PERCENT_RANK over every customer row becomes the
+    # two-phase bucketed global rank. The order key (c, c_custkey) is
+    # unique, so RANK == ROW_NUMBER and pr = (rn-1)/(N-1) exactly as
+    # the oracle computes it (same double op order).
+    from shredder_spark.operators.scale_windows import with_global_rank
+
+    cust = spark.table("customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c"))
+    n = cust.count()
+    r = with_global_rank(cust, [("c", "asc"), ("c_custkey", "asc")],
+                         out_col="rn")
+    pr = (F.col("rn") - 1) / (n - 1)
+    return (r.select(F.floor(F.floor(pr * 100) / 10.0).cast("long")
+                     .alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("bucket"))
+
+
 _q("q559_histogram_equalization", """
 WITH v AS (SELECT c_custkey,
                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
@@ -13815,7 +13907,7 @@ WITH v AS (SELECT c_custkey,
                   CAST(COUNT(*) AS BIGINT) AS n
            FROM m GROUP BY CAST(FLOOR(equalized / 10.0) AS BIGINT))
 SELECT bucket, n FROM b ORDER BY bucket
-""")
+""", builder=_q559_builder)
 
 # ---------------------------------------------------------------- B602
 # SLA attainment scorecard per priority: ship-within-30d rate, p95
@@ -14544,6 +14636,40 @@ FROM s ORDER BY doc_id
 # Packing-efficiency report: greedy 128-token context packing
 # (q236's bucket trick) scored — bins used, mean fill, waste share —
 # the packing observability view.
+def _q584_builder(spark: SparkSession) -> DataFrame:
+    # Scale tier: the global running token sum becomes the two-phase
+    # bucketed running sum (doc_id is the leading key — numeric and
+    # unique, so range bucketing is clean). Double prefix sums are
+    # exact below 2^53 total tokens, far beyond the declared use.
+    from shredder_spark.operators.scale_windows import (
+        with_global_running_sum,
+    )
+
+    docs = spark.table("documents")
+    d = docs.select(
+        "doc_id",
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_tok"))
+    r = with_global_running_sum(d, [("doc_id", "asc")], F.col("n_tok"),
+                                out_col="run")
+    b = r.select("n_tok",
+                 F.floor((F.col("run") - F.col("n_tok")) / 128.0)
+                 .cast("long").alias("bin"))
+    fill = (b.groupBy("bin")
+            .agg(F.sum("n_tok").alias("toks"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return fill.agg(
+        F.count(F.lit(1)).cast("long").alias("bins_used"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (F.floor(F.sum("toks") * 1000000.0
+                 / (F.count(F.lit(1)) * 128)) / 1000000.0)
+        .alias("mean_fill"),
+        (F.floor(F.sum(F.when(F.col("toks") > 128, F.col("toks") - 128)
+                       .otherwise(0)) * 1000000.0 / F.sum("toks"))
+         / 1000000.0).alias("overflow_share"))
+
+
 _q("q584_packing_efficiency", """
 WITH d AS (SELECT doc_id,
                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
@@ -14567,7 +14693,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS bins_used,
        FLOOR(SUM(CASE WHEN toks > 128 THEN toks - 128 ELSE 0 END)
              * 1000000.0 / SUM(toks)) / 1000000.0 AS overflow_share
 FROM fill
-""")
+""", builder=_q584_builder)
 
 # ---------------------------------------------------------------- B627
 # Dedup-threshold sensitivity: keeper counts at Jaccard thresholds
@@ -16397,7 +16523,8 @@ FROM t GROUP BY pri ORDER BY pri
 # Rank-biserial effect size from the Mann-Whitney U (q327's
 # companion): r = 2U/(n₁n₂) − 1 — how big the two-segment balance
 # difference actually is.
-_q("q636_rank_biserial", """
+_q("q636_rank_biserial",
+   oracle="""
 WITH v AS (SELECT c_mktsegment AS seg,
                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
            FROM customer
@@ -16412,6 +16539,31 @@ WITH v AS (SELECT c_mktsegment AS seg,
              CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
                   AS DOUBLE) AS n2,
              SUM(CASE WHEN seg = 'BUILDING' THEN rk ELSE 0 END) AS r1
+           FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_building,
+       CAST(n2 AS BIGINT) AS n_machinery,
+       FLOOR((2 * (r1 - n1 * (n1 + 1) / 2) / (n1 * n2) - 1) * 1000000)
+         / 1000000.0 AS rank_biserial_r
+FROM a
+""",
+   engine_sql="""
+WITH v AS (SELECT c_mktsegment AS seg,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+     -- tie-averaged ranks from per-cents counts (q328's trick): the
+     -- cumulative window runs over the bounded per-value aggregate,
+     -- never the raw customer rows.
+     d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cnt1
+           FROM v GROUP BY c),
+     r AS (SELECT c, cnt, cnt1,
+                  SUM(cnt) OVER (ORDER BY c) - cnt + 1 AS rk
+           FROM d),
+     a AS (SELECT CAST(SUM(cnt1) AS DOUBLE) AS n1,
+                  CAST(SUM(cnt - cnt1) AS DOUBLE) AS n2,
+                  SUM(cnt1 * (rk + (cnt - 1) / 2.0)) AS r1
            FROM r)
 SELECT CAST(n1 AS BIGINT) AS n_building,
        CAST(n2 AS BIGINT) AS n_machinery,
@@ -16492,7 +16644,8 @@ FROM b GROUP BY bx, by ORDER BY qty_quintile, price_quintile
 # Greedy ratio knapsack: parts selected by value/cost ratio under a
 # 1000-unit size budget via ranked running sum — the set-based greedy
 # approximation (no loop), with the taken-set summary.
-_q("q640_greedy_knapsack", """
+_q("q640_greedy_knapsack",
+   oracle="""
 WITH it AS (SELECT p_partkey,
                    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS val,
                    CAST(p_size AS BIGINT) AS cost
@@ -16502,6 +16655,35 @@ WITH it AS (SELECT p_partkey,
                     ORDER BY CAST(val AS DOUBLE) / cost DESC,
                              p_partkey) AS rk
            FROM it),
+     c AS (SELECT p_partkey, val, cost, rk,
+                  SUM(cost) OVER (ORDER BY rk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cost
+           FROM r)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_taken,
+       CAST(SUM(cost) AS BIGINT) AS budget_used,
+       CAST(SUM(val) AS BIGINT) AS value_cents,
+       CAST(MAX(rk) AS BIGINT) AS last_rank
+FROM c WHERE cum_cost <= 1000
+""",
+   engine_sql="""
+WITH it AS (SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS val,
+                   CAST(p_size AS BIGINT) AS cost
+            FROM part WHERE p_size > 0),
+     -- every cost is >= 1, so any row inside the 1000-unit budget has
+     -- greedy rank <= 1000: the top-1000 by ratio (TakeOrdered, no
+     -- global sort) provably contains the whole taken set, and ranks
+     -- within it equal the global ranks. The windows then range over
+     -- a 1000-row bounded relation.
+     top AS (SELECT p_partkey, val, cost FROM it
+             ORDER BY CAST(val AS DOUBLE) / cost DESC, p_partkey
+             LIMIT 1000),
+     r AS (SELECT p_partkey, val, cost,
+                  ROW_NUMBER() OVER (
+                    ORDER BY CAST(val AS DOUBLE) / cost DESC,
+                             p_partkey) AS rk
+           FROM top),
      c AS (SELECT p_partkey, val, cost, rk,
                   SUM(cost) OVER (ORDER BY rk
                                   ROWS BETWEEN UNBOUNDED PRECEDING
@@ -17361,12 +17543,26 @@ FROM dau JOIN mau ON mau.day = dau.day ORDER BY dau.day
 # Hill tail-index estimator: α from the top-k order statistics of
 # order values (k = 100 by rank), Σ ln(xᵢ/x_min) over the tail —
 # the power-law heaviness measure.
-_q("q666_hill_estimator", """
+_q("q666_hill_estimator",
+   oracle="""
 WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
                                      o_orderkey) AS rk
            FROM orders),
      top AS (SELECT c FROM v WHERE rk <= 100),
+     xm AS (SELECT MIN(c) AS cmin FROM top)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
+       CAST(xm.cmin AS BIGINT) AS tail_threshold_cents,
+       FLOOR(COUNT(*) / SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin))
+             * 10000) / 10000.0 AS hill_alpha
+FROM top CROSS JOIN xm GROUP BY xm.cmin
+""",
+   engine_sql="""
+WITH top AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+             FROM orders
+             -- top-k order statistics via TakeOrderedAndProject:
+             -- per-partition heaps, no global rank window
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
      xm AS (SELECT MIN(c) AS cmin FROM top)
 SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
        CAST(xm.cmin AS BIGINT) AS tail_threshold_cents,
@@ -17513,7 +17709,8 @@ FROM mom WHERE m2 > 0 ORDER BY day
 # Weighted percentiles (p50/p90) by running-weight crossing — the
 # general-τ upgrade of q318's weighted median, quantity-weighted
 # order values, all integer cumulative weights.
-_q("q671_weighted_percentiles", """
+_q("q671_weighted_percentiles",
+   oracle="""
 WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
                   CAST(ROUND(l_quantity) AS BIGINT) AS w
            FROM lineitem),
@@ -17528,6 +17725,24 @@ SELECT
     AS weighted_p50_cents,
   (SELECT CAST(MIN(c) AS BIGINT) FROM r WHERE cw * 10 >= tw * 9)
     AS weighted_p90_cents
+""",
+   engine_sql="""
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS w
+           FROM lineitem),
+     -- the running weight first crosses a tau threshold inside the
+     -- FIRST cents group whose group-END cumulative crosses it, so
+     -- MIN(c) is identical computed from per-value weight sums — the
+     -- cumulative window runs over the bounded per-cents aggregate,
+     -- and the raw-row running sum never exists.
+     d AS (SELECT c, SUM(w) AS wc FROM v GROUP BY c),
+     t AS (SELECT SUM(wc) AS tw FROM d),
+     r AS (SELECT c, SUM(wc) OVER (ORDER BY c) AS cw FROM d)
+SELECT
+  (SELECT CAST(MIN(c) AS BIGINT) FROM r CROSS JOIN t
+   WHERE cw * 2 >= tw) AS weighted_p50_cents,
+  (SELECT CAST(MIN(c) AS BIGINT) FROM r CROSS JOIN t
+   WHERE cw * 10 >= tw * 9) AS weighted_p90_cents
 """)
 
 # ---------------------------------------------------------------- B714
