@@ -165,6 +165,27 @@ def with_global_running_sum(df: DataFrame, order: OrderSpec, value: Column, *,
             .drop("_sw_b", "_sw_v", "_sw_local", "_sw_lsum"))
 
 
+def with_global_rank_and_running_sum(
+        df: DataFrame, order: OrderSpec, value: Column, *,
+        rank_col: str = "global_rank", sum_col: str = "running_sum",
+        buckets: int = 32,
+        bucket_by: Optional[Column] = None) -> DataFrame:
+    """Exact global ROW_NUMBER AND running SUM(value) over the same
+    ORDER BY in ONE bucketed window pass + one offsets collect —
+    for rank-curve shapes (vocab coverage, Lorenz/gains curves) that
+    need both, without paying the input subtree twice."""
+    bucket = _bucket_col(df, order, buckets, bucket_by)
+    tagged = _tag_local(df, bucket, order, value)
+    n_off, s_off, _ = _offsets(tagged, with_sum=True)
+    return (tagged
+            .withColumn(rank_col,
+                        (_lookup(n_off, "long", 0)
+                         + F.col("_sw_local")).cast("long"))
+            .withColumn(sum_col, _lookup(s_off, "double", 0.0)
+                        + F.col("_sw_lsum"))
+            .drop("_sw_b", "_sw_v", "_sw_local", "_sw_lsum"))
+
+
 def with_global_ntile(df: DataFrame, order: OrderSpec, n: int, *,
                       out_col: str = "ntile",
                       buckets: int = 32,

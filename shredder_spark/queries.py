@@ -4294,6 +4294,31 @@ ORDER BY c_custkey, tag
 # Vocabulary coverage curve: tokens ranked by frequency, cumulative
 # share of the corpus — the "how big a vocab covers X% of tokens"
 # planning metric. One explode + one agg + one window.
+def _q260_builder(spark: SparkSession) -> DataFrame:
+    # Scale tier: token TYPES grow ~n^beta (Heaps), so the global
+    # rank + running share over the vocabulary is itself unbounded at
+    # 100 TB. One combined two-phase pass (bucketed rank AND running
+    # sum, operators/scale_windows.py) replaces both global windows;
+    # the corpus total is a scalar aggregate. Count sums are integer-
+    # valued doubles < 2^53, so bucketed addition order is exact.
+    from shredder_spark.operators.scale_windows import (
+        with_global_rank_and_running_sum,
+    )
+
+    tf = (spark.table("documents")
+          .select(F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("tok")
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    total = tf.agg(F.sum("c")).collect()[0][0]
+    r = with_global_rank_and_running_sum(
+        tf, [("c", "desc"), ("tok", "asc")], F.col("c"),
+        rank_col="vocab_rank", sum_col="_cum")
+    return (r.select("vocab_rank", "tok",
+                     F.round(F.col("_cum") / F.lit(total), 4)
+                     .alias("cum_share"))
+            .orderBy("vocab_rank"))
+
+
 _q("q260_vocab_coverage",
    oracle="""
 WITH tf AS (SELECT u.tok, CAST(COUNT(*) AS DOUBLE) AS c
@@ -4318,7 +4343,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY tf.c DESC, tf.tok) AS vocab_rank,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              / tot.t, 4) AS cum_share
 FROM tf CROSS JOIN tot ORDER BY vocab_rank
-""")
+""", builder=_q260_builder)
 
 # ------------------------------------------------- seeded sampling,
 # leave-one-out stats, hierarchical shares (q261-q263).
@@ -14798,13 +14823,18 @@ GROUP BY sizes.v ORDER BY vocab_size
 WITH t AS (SELECT EXPLODE(SPLIT(text, ' ')) AS tok FROM documents),
      f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t
            GROUP BY tok),
-     r AS (SELECT tok, c,
-                  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
-           FROM f),
+     -- the sweep only asks about the top-30 vocabulary, but token
+     -- TYPES grow ~n^beta (Heaps): rank the 30-row TakeOrdered
+     -- prefix instead of the whole vocabulary, and recover the
+     -- OOV mass as total - in-vocab mass (exact integer sums).
+     top AS (SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT 30),
+     r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+           FROM top),
      n AS (SELECT SUM(c) AS total FROM f),
      sizes AS (SELECT EXPLODE(SEQUENCE(10, 30, 10)) AS v)
 SELECT CAST(sizes.v AS BIGINT) AS vocab_size,
-       FLOOR(SUM(CASE WHEN r.rk > sizes.v THEN r.c ELSE 0 END)
+       FLOOR((MAX(n.total)
+              - SUM(CASE WHEN r.rk <= sizes.v THEN r.c ELSE 0 END))
              * 1000000.0 / MAX(n.total)) / 1000000.0 AS oov_rate
 FROM sizes CROSS JOIN r CROSS JOIN n
 GROUP BY sizes.v ORDER BY vocab_size
@@ -16175,9 +16205,12 @@ WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
                   SEQUENCE(1, SIZE(tok) - 2)) u AS i),
      f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
            GROUP BY gram),
-     r AS (SELECT gram, c,
-                  ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rk
-           FROM f),
+     -- coverage only reads the top-1000 grams; distinct trigrams
+     -- grow even faster than unigram types, so rank the TakeOrdered
+     -- top-1000 prefix, never the whole gram vocabulary.
+     top AS (SELECT gram, c FROM f ORDER BY c DESC, gram LIMIT 1000),
+     r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rk
+           FROM top),
      n AS (SELECT SUM(c) AS total FROM f),
      sz AS (SELECT EXPLODE(ARRAY(100, 500, 1000)) AS topn)
 SELECT CAST(sz.topn AS BIGINT) AS top_n,

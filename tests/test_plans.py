@@ -228,6 +228,7 @@ GLOBAL_WINDOW_REWRITES = [
     # builders route through operators/scale_windows.py, SQL rewrites
     # are top-k (TakeOrdered) or bounded-aggregate shapes.
     "q240_shard_plan",
+    "q260_vocab_coverage",
     "q275_weighted_sample_ares",
     "q559_histogram_equalization",
     "q584_packing_efficiency",

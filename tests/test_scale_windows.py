@@ -185,3 +185,19 @@ def test_q421_scale_tier_matches_q21(spark):
     problems = compare_query(spark, SF_DIR, query)
     assert not problems, "; ".join(problems)
     sw.assert_no_low_cardinality_window(query.run(spark, SF_DIR))
+
+
+def test_global_rank_and_running_sum_combined(spark):
+    # the one-pass combined primitive must agree with both globals
+    df = _ties_df(spark)
+    w = Window.orderBy("v", "id")
+    want = (df.withColumn("rk", F.row_number().over(w))
+            .withColumn("s", F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    got = sw.with_global_rank_and_running_sum(
+        df, [("v", "asc"), ("id", "asc")], F.col("v"),
+        rank_col="rk", sum_col="s", buckets=8)
+    assert ({(r.id, r.rk, round(r.s, 6)) for r in got.collect()}
+            == {(r.id, r.rk, round(r.s, 6)) for r in want.collect()})
+    sw.assert_no_unpartitioned_window(got)
