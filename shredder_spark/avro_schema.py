@@ -67,6 +67,10 @@ class FixedField:
 class FixedSchema:
     name: str
     fields: tuple[FixedField, ...]
+    # schema-declared text encoding: "ascii" marks a single-byte feed
+    # (the reference's mainframe-extract shape), letting the source
+    # skip rune-offset slicing; None/"utf8" = rune-correct default.
+    encoding: str | None = None
 
     @property
     def row_width(self) -> int:
@@ -129,4 +133,5 @@ def parse_avro_fixed_schema(schema_json: str | dict) -> FixedSchema:
         fields.append(FixedField(name, type_name, int(length)))
     if not fields:
         raise ValueError("schema has no fields")
-    return FixedSchema(obj.get("name", "record"), tuple(fields))
+    return FixedSchema(obj.get("name", "record"), tuple(fields),
+                       obj.get("encoding"))

@@ -151,3 +151,36 @@ def test_ascii_mode_on_multibyte_shifts_only_downstream(spark, fixture_dir):
         spark, str(fixture_dir / "f3.txt"),
         fixtures.F3_UTF8_SCHEMA).orderBy("Id").collect()
     assert rows[0].Note != rune_rows[0].Note
+
+
+def test_schema_declared_ascii_encoding(spark, tmp_path):
+    """A schema carrying "encoding": "ascii" selects byte slicing with
+    no per-call opt-in — same values, leaner plan (no rune guard)."""
+    import json
+
+    from shredder_spark.sources.fixedwidth import read_fixed_width
+
+    mk = lambda enc: {"type": "record", "name": "t",
+                      **({"encoding": enc} if enc else {}),
+                      "fields": [
+                          {"name": "a", "type": "string", "len": 3},
+                          {"name": "b", "type": "int", "len": 4}]}
+    p = tmp_path / "f.txt"
+    p.write_bytes(b"abc  12\r\nxyz 345\r\n")
+    declared = read_fixed_width(spark, str(p), json.dumps(mk("ascii")))
+    default = read_fixed_width(spark, str(p), json.dumps(mk(None)))
+    explicit = read_fixed_width(spark, str(p), json.dumps(mk(None)),
+                                encoding="ascii")
+    rows = {(r.a, r.b) for r in declared.collect()}
+    assert rows == {("abc", 12), ("xyz", 345)}
+    assert rows == {(r.a, r.b) for r in default.collect()}
+    # declared-ascii plan matches the explicit-ascii plan (byte path)
+    import re
+
+    norm = lambda df: re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString())
+    assert norm(declared) == norm(explicit)
+    # an explicit utf8 override beats the schema declaration
+    utf8 = read_fixed_width(spark, str(p), json.dumps(mk("ascii")),
+                            encoding="utf8")
+    assert rows == {(r.a, r.b) for r in utf8.collect()}

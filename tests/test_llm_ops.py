@@ -164,6 +164,43 @@ def test_multimodal_binary_pipeline(spark, tmp_path):
         extract_image_features(df, decoder=unavailable_decoder).collect()
 
 
+def test_multimodal_pil_real_codec(spark, tmp_path):
+    """Real-codec path: with Pillow installed, pil_image_decoder /
+    pil_image_resizer run through the same mapInPandas plumbing as the
+    fakes. Skips where the environment has no Pillow (this container);
+    passes unchanged wherever it does."""
+    from shredder_spark.operators.multimodal import (
+        pil_available, pil_image_decoder, pil_image_resizer,
+        read_binary_dir, resize_images)
+
+    if not pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    from PIL import Image
+    import io
+
+    media = tmp_path / "pm"
+    media.mkdir()
+    for i in range(3):
+        buf = io.BytesIO()
+        Image.new("RGB", (40 + i, 20 + i), (i * 40, 100, 200)).save(
+            buf, format="PNG")
+        (media / f"p_{i}.png").write_bytes(buf.getvalue())
+    df = read_binary_dir(spark, str(media), glob="*.png")
+
+    feats = {r.path.rsplit("/", 1)[-1]: r for r in
+             extract_image_features(df, decoder=pil_image_decoder)
+             .collect()}
+    for i in range(3):
+        r = feats[f"p_{i}.png"]
+        assert (r.width, r.height) == (40 + i, 20 + i)
+        assert 0.0 <= r.mean_luma <= 255.0
+
+    out = resize_images(df, 16, 8, resizer=pil_image_resizer).collect()
+    for r in out:
+        with Image.open(io.BytesIO(bytes(r.content))) as im:
+            assert im.size == (16, 8)
+
+
 def test_cosine_pairs_exact_symmetric_bounds(spark, embeddings):
     block = embeddings.filter(F.col("vec_id") < 50)
     pairs = S.cosine_pairs_exact(block, 0.25).collect()
