@@ -239,6 +239,41 @@ def minhash_lsh_pairs(
     )
 
 
+def oversized_lsh_buckets(df: DataFrame, id_col: str, text_col: str, *,
+                          num_perm: int = 64, bands: int = 16,
+                          seed: int = 1,
+                          max_bucket_size: int = 200) -> DataFrame:
+    """(band, bh) buckets whose member count exceeds ``max_bucket_size``
+    — the skew BLOCKLIST. ``minhash_lsh_pairs(max_bucket_size=K)``
+    generates pairs from exactly the buckets this relation excludes,
+    so feeding it to the incremental tier (``IncrementalNearDup(
+    exclude_buckets=...)``) makes both tiers decide over the SAME
+    pair universe: the admitted-set equality contract then holds
+    capped, which is the production shape (the cap cannot be computed
+    online — final bucket sizes aren't known mid-stream — so it
+    becomes an explicit blocklist input, exactly how production
+    pipelines ship known-degenerate signature lists)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = (df.select(F.col(id_col).alias("_id"),
+                     token_hashes(F.col(text_col)).alias("_hs"))
+           .select("_id",
+                   minhash_from_hashes(F.col("_hs"), num_perm,
+                                       seed).alias("_sig")))
+    banded = sig.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.xxhash64(F.slice("_sig", i * rows + 1,
+                                        rows)).alias("bh"))
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("b.band", "b.bh")
+    return (banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bh"))
+
+
 def simhash_from_hashes(hashes: Column) -> Column:
     """64-bit SimHash from a (projected) token-hash array.
 

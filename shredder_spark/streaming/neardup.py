@@ -18,9 +18,15 @@ batch ``dedupe_keepers`` drop-higher-id policy with arrival order as
 the total order, so replaying a corpus in id order through ANY batch
 partitioning reproduces the batch keeper set exactly (pinned in
 ``tests/test_incremental_neardup.py``). Two caveats, documented not
-hidden: the batch tier's ``max_bucket_size`` skew cap is not applied
-to the state join (uncapped state buckets can only DROP more, never
-admit a near-dup), and ids must be globally unique.
+hidden: ids must be globally unique, and the batch tier's
+``max_bucket_size`` skew cap cannot be computed online (final bucket
+sizes are unknown mid-stream) — by default the state join is uncapped
+(which can only DROP more, never admit a near-dup); for EXACT
+equality with a capped batch run, pass ``exclude_buckets=`` the
+(band, bh) blocklist from ``operators.dedup.oversized_lsh_buckets``
+built at the same cap, which restricts both tiers to the same pair
+universe (pinned capped at sf0.001 in the tests and swept at sf1 in
+``tools/scale_sweep.py``).
 
 Scale shape: each batch runs one (batch-bands × state-bands)
 equi-join on (band, bh) — ids only, token arrays never ride the
@@ -66,7 +72,14 @@ class IncrementalNearDup:
 
     def __init__(self, spark: SparkSession, state_dir: str, *,
                  num_perm: int = 64, bands: int = 16,
-                 threshold: float = 0.8, seed: int = 1) -> None:
+                 threshold: float = 0.8, seed: int = 1,
+                 exclude_buckets: Optional[DataFrame] = None) -> None:
+        """``exclude_buckets``: optional (band, bh) skew blocklist —
+        see ``operators.dedup.oversized_lsh_buckets``. Bands in it are
+        dropped from candidate generation AND state, reproducing the
+        batch tier's ``max_bucket_size`` cap (which cannot be computed
+        online) as an explicit input; with the blocklist built at the
+        batch tier's cap, capped-batch == blocklisted-incremental."""
         assert num_perm % bands == 0
         self.spark = spark
         self.state_dir = state_dir
@@ -75,6 +88,7 @@ class IncrementalNearDup:
         self.rows = num_perm // bands
         self.threshold = threshold
         self.seed = seed
+        self.exclude_buckets = exclude_buckets
         self._bands_path = os.path.join(state_dir, "bands")
         self._hashes_path = os.path.join(state_dir, "hashes")
 
@@ -167,7 +181,11 @@ class IncrementalNearDup:
         sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
                .select("id", minhash_from_hashes(
                    F.col("_hs"), self.num_perm, self.seed).alias("_sig")))
-        new_bands = self._banded(sig).localCheckpoint(eager=True)
+        new_bands = self._banded(sig)
+        if self.exclude_buckets is not None:
+            new_bands = new_bands.join(self.exclude_buckets,
+                                       ["band", "bh"], "left_anti")
+        new_bands = new_bands.localCheckpoint(eager=True)
         hashes = hashes.localCheckpoint(eager=True)
 
         # 1) vs the seen corpus: equi-join on (band, bh), ids only.

@@ -122,6 +122,36 @@ def test_mid_epoch_replay_idempotent(spark, docs, tmp_path):
     assert (a1 | replay) == keepers
 
 
+def test_capped_equality_via_blocklist(spark, docs, tmp_path):
+    """Capped contract (the sf1 production shape): batch with
+    max_bucket_size=K equals the incremental fed the K-blocklist —
+    both decide over the same pair universe. K is chosen small enough
+    that the blocklist is non-empty (the cap really bites here)."""
+    from shredder_spark.operators.dedup import oversized_lsh_buckets
+
+    cap = 3
+    src = docs.select("doc_id", "text")
+    blocklist = oversized_lsh_buckets(
+        src, "doc_id", "text", max_bucket_size=cap,
+        num_perm=LSH["num_perm"], bands=LSH["bands"], seed=LSH["seed"])
+    assert blocklist.count() > 0  # the cap must actually exclude work
+    keepers = {r.doc_id for r in
+               dedupe_keepers(src, "doc_id", "text",
+                              max_bucket_size=cap, **LSH).collect()}
+    op = IncrementalNearDup(spark, str(tmp_path / "state"),
+                            exclude_buckets=blocklist, **LSH)
+    admitted = set()
+    for b in _batches(src, 3):
+        admitted |= {r.doc_id for r in op.process_batch(b).collect()}
+    assert admitted == keepers
+    # and the cap changes the answer vs uncapped (the contract is not
+    # vacuous at this K)
+    uncapped = {r.doc_id for r in
+                dedupe_keepers(src, "doc_id", "text",
+                               max_bucket_size=10**9, **LSH).collect()}
+    assert keepers != uncapped
+
+
 def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
     root = tempfile.mkdtemp(prefix="neardup_stream_")
     try:

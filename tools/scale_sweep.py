@@ -104,33 +104,40 @@ def main() -> None:
 
         # incremental near-dup tier: 4 arrival batches vs one batch
         # dedup — admitted-set equality plus the incremental overhead
-        # ratio (state join cost amortized per batch). The equality
-        # contract needs UNCAPPED buckets on the batch side (the
-        # incremental state join has no skew cap), and sf1's derived
-        # cross-replica band collisions make uncapped in-array pair
-        # generation blow the heap — so this comparison runs at
-        # sf0.01/sf0.1 only; q110 (capped, production shape) carries
-        # the sf1 timing evidence.
+        # ratio (state join cost amortized per batch). sf0.01/sf0.1
+        # compare UNCAPPED (the strictest contract); at sf1 the
+        # derived cross-replica band collisions make uncapped in-array
+        # pair generation blow the heap, so sf1 compares the CAPPED
+        # production shape: batch with max_bucket_size=200 vs the
+        # incremental fed the matching oversized-bucket blocklist —
+        # both tiers then decide over the same pair universe
+        # (operators/dedup.py::oversized_lsh_buckets).
         import shutil
         import tempfile
 
         import pyspark.sql.functions as F
 
-        from shredder_spark.operators.dedup import dedupe_keepers
+        from shredder_spark.operators.dedup import (
+            dedupe_keepers, oversized_lsh_buckets)
         from shredder_spark.streaming.neardup import IncrementalNearDup
 
-        if sf == "1":
-            out["sfs"][sf] = stats
-            continue
         lsh = dict(num_perm=64, bands=16, threshold=0.5, seed=1)
         src = docs.select("doc_id", "text")
+        cap = 200 if sf == "1" else 10**9
+        blocklist = None
+        if sf == "1":
+            blocklist = oversized_lsh_buckets(
+                src, "doc_id", "text", max_bucket_size=cap,
+                num_perm=lsh["num_perm"], bands=lsh["bands"],
+                seed=lsh["seed"]).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         keepers = {r.doc_id for r in dedupe_keepers(
-            src, "doc_id", "text", max_bucket_size=10**9, **lsh).collect()}
+            src, "doc_id", "text", max_bucket_size=cap, **lsh).collect()}
         batch_s = time.perf_counter() - t0
         state = tempfile.mkdtemp(prefix=f"neardup_sweep_{sf}_")
         try:
-            op = IncrementalNearDup(spark, state, **lsh)
+            op = IncrementalNearDup(spark, state,
+                                    exclude_buckets=blocklist, **lsh)
             ids = sorted(r.doc_id for r in src.select("doc_id").collect())
             cuts = [ids[len(ids) * k // 4] for k in (1, 2, 3)] + [ids[-1] + 1]
             admitted: set = set()
@@ -148,6 +155,8 @@ def main() -> None:
         stats["neardup_incremental_s"] = round(inc_s, 3)
         stats["neardup_equal"] = bool(admitted == keepers)
         stats["neardup_keepers"] = len(keepers)
+        stats["neardup_contract"] = (
+            "capped-200+blocklist" if sf == "1" else "uncapped")
         out["sfs"][sf] = stats
 
     # oracle re-check at sf1 (engine vs DuckDB on the same derived files)
