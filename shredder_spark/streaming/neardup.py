@@ -130,6 +130,40 @@ class IncrementalNearDup:
         return self._read(self._hashes_path, _HASHES_SCHEMA,
                           exclude_epoch)
 
+    def compact_state(self) -> None:
+        """Fold accumulated epoch subdirectories (and legacy flat
+        files) into one ``compact_<n>`` layout, sorted and partitioned
+        by ``bh`` so the per-batch state scans read clustered,
+        well-sized files instead of one small file per epoch.
+
+        Crash safety without atomic rename (object stores): the
+        compacted copy is written FIRST, old parts are deleted after.
+        A crash in between leaves duplicate state rows, which are
+        harmless to the drop decision (candidates are de-duplicated,
+        and a doc matching a duplicated state row still matches) and
+        are folded away by the next compaction."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for path, schema, n_parts in (
+                (self._bands_path, _BANDS_SCHEMA, 32),
+                (self._hashes_path, _HASHES_SCHEMA, 32)):
+            parts = self._state_parts(path, None)
+            if len(parts) <= 1:
+                continue
+            gen = sum(1 for p in parts
+                      if os.path.basename(p).startswith("compact_")) + 1
+            df = (self.spark.read.schema(schema)
+                  .option("recursiveFileLookup", "true").parquet(*parts))
+            sort_keys = (["band", "bh"] if path == self._bands_path
+                         else ["id"])
+            (df.repartition(n_parts, *sort_keys[:1])
+               .sortWithinPartitions(*sort_keys)
+               .write.mode("overwrite")
+               .parquet(os.path.join(path, f"compact_{gen}")))
+            fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+            for p in parts:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+
     # -- per-batch ------------------------------------------------------
     def _banded(self, sig: DataFrame) -> DataFrame:
         return sig.select(
@@ -146,14 +180,22 @@ class IncrementalNearDup:
     def _verified(self, cand: DataFrame, left_hashes: DataFrame,
                   right_hashes: DataFrame) -> DataFrame:
         """cand (i, j) → verified pairs at ≥ threshold. i comes from
-        ``left_hashes``, j from ``right_hashes`` (may be the same)."""
+        ``left_hashes``, j from ``right_hashes`` (may be the same).
+        ``right_hashes`` may be STATE-sized: it is first semi-join-
+        reduced by the broadcast candidate-j id set — a scan of state
+        in place, no shuffle of it — so the pair join then runs over
+        two batch-bounded relations (ids broadcast, token arrays
+        never)."""
+        right_small = right_hashes.join(
+            F.broadcast(cand.select(F.col("j").alias("id")).distinct()),
+            "id", "left_semi")
         c = (cand
              .join(left_hashes.select(F.col("id").alias("i"),
                                       F.col("tok").alias("ti"),
                                       F.col("n").alias("ni")), "i")
-             .join(right_hashes.select(F.col("id").alias("j"),
-                                       F.col("tok").alias("tj"),
-                                       F.col("n").alias("nj")), "j"))
+             .join(right_small.select(F.col("id").alias("j"),
+                                      F.col("tok").alias("tj"),
+                                      F.col("n").alias("nj")), "j"))
         inter = F.size(F.array_intersect("ti", "tj"))
         union = (F.col("ni") + F.col("nj") - inter).cast("double")
         return (c.select("i", "j", (inter / union).alias("jaccard"))
@@ -192,8 +234,13 @@ class IncrementalNearDup:
         # The id filter is belt-and-braces vs self-match (ids are
         # globally unique, and epoch exclusion already keeps a
         # replayed batch out of its own state view).
+        # Broadcast the BATCH side: its size is bounded by the trigger,
+        # while state grows with everything seen — broadcasting the
+        # batch bands means state is scanned in place every batch,
+        # never shuffled (the shuffle would re-partition the whole
+        # corpus index per micro-batch at scale).
         st_bands = self.state_bands(exclude_epoch=epoch_id)
-        vs_state = (new_bands.alias("n")
+        vs_state = (F.broadcast(new_bands).alias("n")
                     .join(st_bands.alias("s"), ["band", "bh"])
                     .filter(F.col("n.id") != F.col("s.id"))
                     .select(F.col("n.id").alias("i"),

@@ -152,6 +152,72 @@ def test_capped_equality_via_blocklist(spark, docs, tmp_path):
     assert keepers != uncapped
 
 
+def test_compact_state_preserves_decisions(spark, docs, tmp_path):
+    """Compaction folds per-epoch state subdirs into one sorted layout
+    without changing any admit/drop decision, and repeated compaction
+    is stable."""
+    state = str(tmp_path / "state")
+    b1, b2, b3 = _batches(docs, 3)
+    op = IncrementalNearDup(spark, state, **LSH)
+    a1 = {r.doc_id for r in op.process_batch(b1, epoch_id=0).collect()}
+    a2 = {r.doc_id for r in op.process_batch(b2, epoch_id=1).collect()}
+    before_bands = op.state_bands().count()
+    before_hashes = op.state_hashes().count()
+    op.compact_state()
+    assert op.state_bands().count() == before_bands
+    assert op.state_hashes().count() == before_hashes
+    op.compact_state()  # idempotent on an already-compact layout
+    assert op.state_bands().count() == before_bands
+    a3 = {r.doc_id for r in op.process_batch(b3, epoch_id=2).collect()}
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert (a1 | a2 | a3) == keepers
+
+
+def test_state_joins_broadcast_batch_side(spark, docs, tmp_path):
+    """Scale shape: state (the whole seen corpus) must be scanned, not
+    shuffled, each batch — the bands join broadcasts the batch side
+    and the verify path semi-join-reduces state hashes by broadcast
+    candidate ids. Asserted on the physical plan with a state big
+    enough that it exists on disk."""
+    state = str(tmp_path / "state")
+    b1, b2 = _batches(docs, 2)
+    op = IncrementalNearDup(spark, state, **LSH)
+    op.process_batch(b1).collect()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable size-based auto-broadcast: only explicit hints remain
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        src = b2.select(F.col("doc_id").cast("long").alias("id"),
+                        F.col("text").alias("_text"))
+        from shredder_spark.operators.dedup import (
+            minhash_from_hashes, token_hashes, tokens_col)
+        sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
+               .select("id", minhash_from_hashes(
+                   F.col("_hs"), LSH["num_perm"], 1).alias("_sig")))
+        new_bands = op._banded(sig)
+        vs_state = (F.broadcast(new_bands).alias("n")
+                    .join(op.state_bands().alias("s"), ["band", "bh"])
+                    .select(F.col("n.id").alias("i"),
+                            F.col("s.id").alias("j")))
+        plan = vs_state._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:1500]
+        batch_hashes = (src.select(
+            "id",
+            F.transform(tokens_col(F.col("_text")),
+                        lambda x: F.xxhash64(x)).alias("tok"))
+            .select("id", "tok", F.size("tok").cast("int").alias("n")))
+        verified = op._verified(vs_state.dropDuplicates(["i", "j"]),
+                                batch_hashes, op.state_hashes())
+        vplan = verified._jdf.queryExecution().executedPlan().toString()
+        # the state-hashes side is reduced through a broadcast semi join
+        assert "BroadcastHashJoin" in vplan and "LeftSemi" in vplan, \
+            vplan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
     root = tempfile.mkdtemp(prefix="neardup_stream_")
     try:
