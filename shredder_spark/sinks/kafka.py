@@ -14,6 +14,12 @@ The reference produces Confluent-framed Avro messages (magic byte +
   container has neither the kafka connector jar nor a broker, so they
   raise a clear error; the framing/partitioning logic stays fully
   testable offline (byte-golden tests against the reference layout).
+- ``sinks/kafka_wire.py`` is the connector-FREE tier: a pure-Python
+  client for the public Kafka protocol (record-batch v2 + CRC32C,
+  Produce v3, Fetch v4) — the produce→consume loop is round-trip-
+  verified over real sockets against an in-process broker
+  (tests/test_kafka_wire.py), closing the "byte-verified offline
+  only" gap as far as a jar-less sandbox allows.
 - partition pinning = an explicit ``partition`` column
   (``spark_partition_id()``), which the Kafka sink honors natively.
 """
