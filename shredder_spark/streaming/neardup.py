@@ -294,7 +294,13 @@ def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
     """Structured-Streaming wrapper: admitted docs land in
     ``output_dir`` parquet via foreachBatch (micro-batches are
     processed serially by the engine, which is exactly the ordering
-    the state contract needs). Returns the started query."""
+    the state contract needs). The output write is epoch-keyed
+    overwrite — the same idempotence trick as the state writes — so
+    an at-least-once replay rewrites its own subdirectory instead of
+    appending duplicate admitted rows: effectively-exactly-once
+    output. Read the result with
+    ``spark.read.option("recursiveFileLookup", "true")
+    .parquet(output_dir)``. Returns the started query."""
     state = {}
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
@@ -304,7 +310,8 @@ def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
                 bands=bands, threshold=threshold, seed=seed)
         admitted = state["op"].process_batch(bdf, id_col, text_col,
                                              epoch_id=epoch_id)
-        admitted.write.mode("append").parquet(output_dir)
+        (admitted.write.mode("overwrite")
+         .parquet(os.path.join(output_dir, f"epoch_{epoch_id}")))
 
     writer = stream.writeStream.foreachBatch(_sink).outputMode("update")
     if checkpoint_dir:

@@ -230,7 +230,9 @@ def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
             os.path.join(root, "out"),
             checkpoint_dir=os.path.join(root, "ckpt"), **LSH)
         q.awaitTermination(120)
-        out = spark.read.parquet(os.path.join(root, "out"))
+        out = (spark.read.schema(docs.schema)
+               .option("recursiveFileLookup", "true")
+               .parquet(os.path.join(root, "out")))
         n_admitted = out.count()
         assert 0 < n_admitted < 200
         surviving = minhash_lsh_pairs(out, "doc_id", "text", **LSH)
