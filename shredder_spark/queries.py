@@ -5946,9 +5946,16 @@ ORDER BY l.doc_id
 # test. The tier quadratic-in-block, like the q42 oracle tier.
 _q("q314_containment_dedup",
    oracle="""
-WITH d AS (SELECT doc_id, text,
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 200),
+     tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM base),
+     exc AS (SELECT doc_id + 100000 AS doc_id,
+                    ARRAY_TO_STRING(
+                      t[1 : CAST(FLOOR(LEN(t) * 2.0 / 3) AS BIGINT)],
+                      ' ') AS text
+             FROM tok WHERE LEN(t) >= 3),
+     d AS (SELECT doc_id, text,
                   SPLIT_PART(text, ' ', 1) AS t0, LENGTH(text) AS ln
-           FROM documents WHERE doc_id <= 300)
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM exc))
 SELECT a.doc_id AS contained, b.doc_id AS container
 FROM d a JOIN d b
   ON a.t0 = b.t0 AND a.doc_id <> b.doc_id AND a.ln < b.ln
@@ -5956,9 +5963,17 @@ WHERE STRPOS(b.text, a.text) > 0
 ORDER BY contained, container
 """,
    engine_sql="""
-WITH d AS (SELECT doc_id, text,
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 200),
+     tok AS (SELECT doc_id, SPLIT(text, ' ') AS t FROM base),
+     exc AS (SELECT doc_id + 100000 AS doc_id,
+                    ARRAY_JOIN(
+                      SLICE(t, 1,
+                            CAST(FLOOR(SIZE(t) * 2.0 / 3) AS BIGINT)),
+                      ' ') AS text
+             FROM tok WHERE SIZE(t) >= 3),
+     d AS (SELECT doc_id, text,
                   SPLIT_PART(text, ' ', 1) AS t0, LENGTH(text) AS ln
-           FROM documents WHERE doc_id <= 300)
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM exc))
 SELECT a.doc_id AS contained, b.doc_id AS container
 FROM d a JOIN d b
   ON a.t0 = b.t0 AND a.doc_id <> b.doc_id AND a.ln < b.ln

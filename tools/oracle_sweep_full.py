@@ -59,7 +59,14 @@ def main() -> None:
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
     }
+    # stdout can be polluted by JVM warnings (GC log lines go to the
+    # process stdout); emit the artifact on the LAST line and also to
+    # SWEEP_OUT if set, so a redirect always yields valid JSON.
     print(json.dumps(out))
+    out_path = os.environ.get("SWEEP_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh)
 
 
 if __name__ == "__main__":
