@@ -30,6 +30,10 @@ def main() -> None:
     spark = (SparkSession.builder.master("local[16]")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.shuffle.partitions", "16")
+             # Spark's default 1g driver heap OOMs around the heavier
+             # sf0.1 sort/join queries in a 682-query single-JVM run;
+             # the box has 128 GiB — size the heap like session.py does
+             .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries_mod.registry()
