@@ -6428,7 +6428,8 @@ ORDER BY v.user_id
 # 24h earlier (nearest strictly-before reading at lag >= 1 day via the
 # as-of shape), score MAPE/bias per user — the forecasting-evaluation
 # loop as one declarative pass.
-_q("q331_seasonal_naive_backtest", """
+_q("q331_seasonal_naive_backtest",
+   oracle="""
 WITH o AS (SELECT user_id, event_id,
                   CAST(ROUND(value * 100) AS BIGINT) AS c, ts
            FROM events),
@@ -6441,6 +6442,35 @@ WITH o AS (SELECT user_id, event_id,
                   CAST(ROUND(b.value * 100) AS BIGINT) AS pred
            FROM m JOIN events b
              ON b.user_id = m.user_id AND b.ts = m.base_ts)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(ABS(c - pred)) AS DOUBLE) / SUM(c), 4) AS wape,
+       CAST(SUM(c - pred) AS BIGINT) AS bias_total_cents
+FROM f WHERE c > 0
+GROUP BY user_id ORDER BY user_id
+""",
+   engine_sql="""
+WITH o AS (SELECT user_id, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  -- ts is TIMESTAMP_NTZ; UTC session makes the LTZ
+                  -- cast a pure reinterpretation for epoch micros
+                  UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+     -- the oracle's correlated MAX subquery is quadratic per user
+     -- (Spark rewrites it into a per-user theta join); the identical
+     -- "latest event at least 1 day older" is a RANGE frame with a
+     -- constant offset over the per-user ordered window — one
+     -- partitioned window pass + one equi-join back, linear in
+     -- events. RANGE x PRECEDING is value <= current - x, exactly
+     -- the oracle's ts <= a.ts - INTERVAL 1 DAY (86400e6 micros).
+     m AS (SELECT user_id, event_id, c, us,
+                  MAX(us) OVER (PARTITION BY user_id ORDER BY us
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND 86400000000 PRECEDING) AS base_us
+           FROM o),
+     f AS (SELECT m.user_id, m.event_id, m.c, b.c AS pred
+           FROM m JOIN o b
+             ON b.user_id = m.user_id AND b.us = m.base_us)
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
        ROUND(CAST(SUM(ABS(c - pred)) AS DOUBLE) / SUM(c), 4) AS wape,
