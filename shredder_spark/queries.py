@@ -9913,15 +9913,17 @@ _q("q449_time_decay_attribution",
 WITH conv AS (SELECT user_id, MIN(ts) AS t_conv FROM events
               WHERE event_type = 'purchase' GROUP BY user_id),
      touch AS (SELECT e.user_id, e.event_type,
-                      POWER(0.5, (EPOCH(c.t_conv) - EPOCH(e.ts))
-                                 / 604800.0) AS w
+                      LEAST((EPOCH_US(c.t_conv) - EPOCH_US(e.ts))
+                            // 604800000000, 40) AS wk
                FROM events e JOIN conv c ON c.user_id = e.user_id
                WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'),
+     wi AS (SELECT user_id, event_type,
+                   CAST(POWER(2.0, 40 - wk) AS BIGINT) AS w
+            FROM touch),
      norm AS (SELECT event_type,
-                     CAST(FLOOR(w * 1000000.0 /
-                                SUM(w) OVER (PARTITION BY user_id))
-                          AS BIGINT) AS microcredit
-              FROM touch)
+                     (w * 1000000) // SUM(w) OVER (PARTITION BY user_id)
+                       AS microcredit
+              FROM wi)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
        CAST(SUM(microcredit) AS BIGINT) AS microcredits
 FROM norm GROUP BY event_type ORDER BY event_type
@@ -9929,17 +9931,24 @@ FROM norm GROUP BY event_type ORDER BY event_type
    engine_sql="""
 WITH conv AS (SELECT user_id, MIN(ts) AS t_conv FROM events
               WHERE event_type = 'purchase' GROUP BY user_id),
+     -- whole-week halving with a 40-week decay floor: the exponent is
+     -- an exact integer, every weight an exact power of two, and the
+     -- normalization an integer division — no POWER-ULP or float-sum
+     -- order divergence between engines (the continuous-decay form
+     -- flipped FLOOR half-boundaries at sf0.1)
      touch AS (SELECT e.user_id, e.event_type,
-                      POWER(0.5, (UNIX_MICROS(CAST(c.t_conv AS TIMESTAMP))
-                                  - UNIX_MICROS(CAST(e.ts AS TIMESTAMP)))
-                                 / 604800000000.0) AS w
+                      LEAST((UNIX_MICROS(CAST(c.t_conv AS TIMESTAMP))
+                             - UNIX_MICROS(CAST(e.ts AS TIMESTAMP)))
+                            DIV 604800000000, 40) AS wk
                FROM events e JOIN conv c ON c.user_id = e.user_id
                WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'),
+     wi AS (SELECT user_id, event_type,
+                   CAST(POWER(2.0, 40 - wk) AS BIGINT) AS w
+            FROM touch),
      norm AS (SELECT event_type,
-                     CAST(FLOOR(w * 1000000.0 /
-                                SUM(w) OVER (PARTITION BY user_id))
-                          AS BIGINT) AS microcredit
-              FROM touch)
+                     (w * 1000000) DIV SUM(w) OVER (PARTITION BY user_id)
+                       AS microcredit
+              FROM wi)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
        CAST(SUM(microcredit) AS BIGINT) AS microcredits
 FROM norm GROUP BY event_type ORDER BY event_type
