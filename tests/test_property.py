@@ -328,3 +328,42 @@ def test_grouped_ranks_property(spark, data):
                dense_rank_col="drk", ntile=(3, "nt"),
                buckets=5).collect()}
     assert got == want
+
+
+# ------------------------------------------------- kafka wire codec
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=1, max_size=50))
+def test_wire_varint_roundtrip_property(ns):
+    from shredder_spark.sinks import kafka_wire as kw
+
+    buf = b"".join(kw.write_varint(n) for n in ns)
+    pos, got = 0, []
+    while pos < len(buf):
+        v, pos = kw.read_varint(buf, pos)
+        got.append(v)
+    assert got == ns
+
+
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.binary(max_size=64)),
+              st.binary(max_size=256)),
+    min_size=1, max_size=40))
+def test_wire_record_batch_roundtrip_property(records):
+    from shredder_spark.sinks import kafka_wire as kw
+
+    batch = kw.encode_record_batch(records)
+    got = list(kw.decode_record_batches(batch))
+    assert [(i, k, v) for i, (k, v) in enumerate(records)] == got
+
+
+@given(st.binary(min_size=1, max_size=512), st.integers(0, 6000))
+def test_wire_batch_crc_catches_any_single_flip(value, flip_seed):
+    from shredder_spark.sinks import kafka_wire as kw
+
+    batch = bytearray(kw.encode_record_batch([(None, value)]))
+    # flip one bit anywhere in the CRC-protected region (byte 21+)
+    idx = 21 + flip_seed % (len(batch) - 21)
+    batch[idx] ^= 1 << (flip_seed % 8)
+    with pytest.raises(ValueError):
+        list(kw.decode_record_batches(bytes(batch)))
