@@ -366,6 +366,25 @@ def consume_all(bootstrap: str, topic: str, partition: int, *,
                 return out
 
 
+def read_kafka_wire(spark, topic: str, bootstrap_servers: str,
+                    partitions: list[int]):
+    """Distributed batch read over the wire protocol: one Spark task
+    per Kafka partition, each fetching its partition's full log —
+    the consume mirror of :func:`write_kafka_wire` (the connector's
+    ``spark.read.format("kafka")`` remains the production path).
+    Returns (partition int, offset long, key binary, value binary)."""
+    sc = spark.sparkContext
+    n = max(len(partitions), 1)
+
+    def _fetch(part: int):
+        for off, key, value in consume_all(bootstrap_servers, topic, part):
+            yield (part, off, key, value)
+
+    rdd = sc.parallelize(partitions, n).flatMap(_fetch)
+    return spark.createDataFrame(
+        rdd, "partition int, offset long, key binary, value binary")
+
+
 def write_kafka_wire(df, topic: str, bootstrap_servers: str) -> None:
     """Distributed produce of a prepared (key, value[, partition])
     DataFrame over the wire protocol — the connector-free tier of

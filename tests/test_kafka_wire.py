@@ -83,6 +83,26 @@ def test_metadata_probe_against_broker():
             ensure_topics(["known", "missing"], broker.bootstrap)
 
 
+def test_distributed_read_matches_driver_consume(spark):
+    """read_kafka_wire (one Spark task per partition) returns exactly
+    what driver-side consume_all sees, de-framed identically."""
+    with ToyKafkaBroker() as broker:
+        p = kw.KafkaWireProducer(broker.bootstrap)
+        for part in range(3):
+            for i in range(7):
+                p.send("rt", part, f"{part}:{i}".encode(),
+                       f"payload-{part}-{i}".encode())
+        p.flush()
+        df = kw.read_kafka_wire(spark, "rt", broker.bootstrap, [0, 1, 2])
+        got = {(r.partition, r.offset, bytes(r.key), bytes(r.value))
+               for r in df.collect()}
+        want = {(part, off, key, value)
+                for part in range(3)
+                for off, key, value in kw.consume_all(
+                    broker.bootstrap, "rt", part)}
+        assert got == want and len(got) == 21
+
+
 def test_end_to_end_framed_avro_through_broker(spark):
     """The reference pipeline A22/A23/A26/A27 shape over real sockets:
     typed rows → Avro + Confluent framing + partition pinning
