@@ -18103,3 +18103,66 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM sel
 """,
    builder=_q680_builder)
+
+
+# ---------------------------------------------------------------- B730
+# Grouped weighted percentiles: quantity-weighted p50/p90 of line
+# value PER return-flag group — q671's general-tau crossing, but
+# partitioned (scale-safe by construction: the cumulative window runs
+# inside each group over the bounded per-cents aggregate).
+_q("q681_grouped_weighted_percentiles",
+   oracle="""
+WITH v AS (SELECT l_returnflag AS g,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                  CAST(ROUND(l_quantity) AS BIGINT) AS w
+           FROM lineitem),
+     d AS (SELECT g, c, SUM(w) AS wc FROM v GROUP BY g, c),
+     t AS (SELECT g, SUM(wc) AS tw FROM d GROUP BY g),
+     r AS (SELECT d.g, d.c,
+                  SUM(d.wc) OVER (PARTITION BY d.g ORDER BY d.c) AS cw,
+                  t.tw
+           FROM d JOIN t ON t.g = d.g)
+SELECT g AS returnflag,
+       CAST(MIN(CASE WHEN cw * 2 >= tw THEN c END) AS BIGINT)
+         AS weighted_p50_cents,
+       CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN c END) AS BIGINT)
+         AS weighted_p90_cents
+FROM r GROUP BY g ORDER BY returnflag
+""")
+
+# ---------------------------------------------------------------- B731
+# Grouped weighted sample (A-Res per segment): top-20 orders per
+# market segment by the Efraimidis-Spirakis key ln(u)/w with a
+# deterministic md5 uniform — q275's per-group complement; the rank
+# window is PARTITIONED by segment, so each task handles one
+# segment's heap at any scale.
+_q("q682_grouped_weighted_sample",
+   oracle="""
+WITH w AS (SELECT c.c_mktsegment AS seg, o.o_orderkey,
+                  CAST(o.o_totalprice AS DOUBLE) AS wt,
+                  (CAST(('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)),
+                         1, 8)) AS UBIGINT) + 1) / 4294967296.0 AS u
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w),
+     r AS (SELECT seg, o_orderkey, wt,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY k DESC, o_orderkey) AS rn
+           FROM k)
+SELECT seg, o_orderkey, ROUND(wt, 2) AS wt
+FROM r WHERE rn <= 20 ORDER BY seg, o_orderkey
+""",
+   engine_sql="""
+WITH w AS (SELECT c.c_mktsegment AS seg, o.o_orderkey,
+                  CAST(o.o_totalprice AS DOUBLE) AS wt,
+                  (CAST(CONV(SUBSTRING(MD5(CAST(o.o_orderkey AS STRING)),
+                             1, 8), 16, 10) AS DOUBLE) + 1)
+                  / 4294967296.0 AS u
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w),
+     r AS (SELECT seg, o_orderkey, wt,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                                     ORDER BY k DESC, o_orderkey) AS rn
+           FROM k)
+SELECT seg, o_orderkey, ROUND(wt, 2) AS wt
+FROM r WHERE rn <= 20 ORDER BY seg, o_orderkey
+""")
