@@ -137,9 +137,18 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
 
 
 def decode_record_batches(
-        data: bytes) -> Iterator[tuple[int, bytes | None, bytes]]:
+        data: bytes,
+        batch_ends: list[int] | None = None,
+) -> Iterator[tuple[int, bytes | None, bytes]]:
     """Yield (offset, key, value) from concatenated v2 batches,
-    verifying each batch's CRC32C."""
+    verifying each batch's CRC32C.
+
+    If ``batch_ends`` is passed, the end offset (last offset + 1) of
+    every complete batch is appended to it — including batches whose
+    records the caller later filters out. A consumer resuming from an
+    offset inside a compacted log needs this to keep advancing past
+    batches that contain only pre-``from_offset`` records.
+    """
     pos = 0
     while pos + 12 <= len(data):
         base_offset, batch_len = struct.unpack_from(">qi", data, pos)
@@ -152,6 +161,9 @@ def decode_record_batches(
         (crc,) = struct.unpack_from(">I", data, pos + 17)
         if crc32c(data[pos + 21:end]) != crc:
             raise ValueError("record batch CRC32C mismatch")
+        (last_offset_delta,) = struct.unpack_from(">i", data, pos + 21 + 2)
+        if batch_ends is not None:
+            batch_ends.append(base_offset + last_offset_delta + 1)
         (count,) = struct.unpack_from(">i", data, pos + 21 + 36)
         p = pos + 21 + 40
         for _ in range(count):
@@ -234,6 +246,9 @@ def parse_produce_response(resp: bytes) -> dict[int, tuple[int, int]]:
     pos = 4                                            # correlation id
     (n_topics,) = struct.unpack_from(">i", resp, pos)
     pos += 4
+    if not 0 <= n_topics <= 1_000_000:
+        raise ValueError(f"implausible topic count {n_topics} in produce "
+                         "response (malformed frame?)")
     out: dict[int, tuple[int, int]] = {}
     for _ in range(n_topics):
         (tlen,) = struct.unpack_from(">h", resp, pos)
@@ -270,12 +285,18 @@ def parse_fetch_response(resp: bytes) -> tuple[int, int, bytes]:
     pos = 4 + 4                                        # corr id, throttle
     (n_topics,) = struct.unpack_from(">i", resp, pos)
     pos += 4
-    assert n_topics == 1
+    if n_topics != 1:
+        raise ValueError(
+            f"fetch response has {n_topics} topics; this client requests "
+            "exactly one topic per fetch")
     (tlen,) = struct.unpack_from(">h", resp, pos)
     pos += 2 + tlen
     (n_parts,) = struct.unpack_from(">i", resp, pos)
     pos += 4
-    assert n_parts == 1
+    if n_parts != 1:
+        raise ValueError(
+            f"fetch response has {n_parts} partitions; this client "
+            "requests exactly one partition per fetch")
     _part, err, hwm, _lso = struct.unpack_from(">ihqq", resp, pos)
     pos += 4 + 2 + 8 + 8
     (n_aborted,) = struct.unpack_from(">i", resp, pos)
@@ -357,12 +378,19 @@ def consume_all(bootstrap: str, topic: str, partition: int, *,
                                     correlation_id=corr)))
             if err:
                 raise RuntimeError(f"fetch error {err}")
-            got = [r for r in decode_record_batches(records)
+            batch_ends: list[int] = []
+            got = [r for r in decode_record_batches(records, batch_ends)
                    if r[0] >= offset]
             out.extend(got)
+            prev_offset = offset
             if got:
                 offset = max(o for o, _, _ in got) + 1
-            if offset >= hwm or not got:
+            elif batch_ends:
+                # Batches arrived but every record in them precedes
+                # from_offset (compacted log) — advance past them
+                # instead of truncating the read early.
+                offset = max(offset, max(batch_ends))
+            if offset >= hwm or offset == prev_offset:
                 return out
 
 
@@ -400,7 +428,11 @@ def write_kafka_wire(df, topic: str, bootstrap_servers: str) -> None:
             else 0
         n = 0
         for row in rows:
-            part = int(row["partition"]) if "partition" in cols else task_part
+            # NULL partition → fall back to the task's partition id
+            # rather than crashing the whole task on int(None).
+            part = task_part
+            if "partition" in cols and row["partition"] is not None:
+                part = int(row["partition"])
             key = bytes(row["key"]) if row["key"] is not None else None
             producer.send(topic, part, key, bytes(row["value"]))
             n += 1

@@ -141,3 +141,114 @@ def test_end_to_end_framed_avro_through_broker(spark):
     for k, (_rec, part) in rows.items():
         by_part.setdefault(part, set()).add(k)
     assert len(by_part) == 3
+
+
+def _compacted_batch(offset_deltas, last_offset_delta, base=0):
+    """Hand-craft a v2 batch whose records sit at the given offset
+    deltas but whose lastOffsetDelta claims a wider span — exactly
+    what log compaction leaves behind (removed records keep their
+    offsets reserved; KIP-98 preserves lastOffsetDelta)."""
+    import struct
+
+    body = bytearray()
+    for d in offset_deltas:
+        rec = bytearray()
+        rec += b"\x00"
+        rec += kw.write_varint(0)
+        rec += kw.write_varint(d)
+        rec += kw.write_varint(-1)                   # null key
+        val = f"v{d}".encode()
+        rec += kw.write_varint(len(val))
+        rec += val
+        rec += kw.write_varint(0)
+        body += kw.write_varint(len(rec))
+        body += rec
+    after_crc = bytearray()
+    after_crc += struct.pack(">h", 0)
+    after_crc += struct.pack(">i", last_offset_delta)
+    after_crc += struct.pack(">qq", 0, 0)
+    after_crc += struct.pack(">qhi", -1, -1, -1)
+    after_crc += struct.pack(">i", len(offset_deltas))
+    after_crc += body
+    batch = bytearray()
+    batch += struct.pack(">q", base)
+    batch += struct.pack(">i", 4 + 1 + 4 + len(after_crc))
+    batch += struct.pack(">i", -1)
+    batch += struct.pack(">b", 2)
+    batch += struct.pack(">I", kw.crc32c(bytes(after_crc)))
+    batch += after_crc
+    return bytes(batch)
+
+
+def test_decode_reports_batch_end_offsets():
+    batch = _compacted_batch([0, 1], last_offset_delta=5, base=10)
+    ends: list[int] = []
+    got = list(kw.decode_record_batches(batch, ends))
+    assert [o for o, _, _ in got] == [10, 11]
+    assert ends == [16]                              # base + lastDelta + 1
+
+
+def test_consume_all_advances_past_compacted_batches():
+    """A fetch whose batches contain only records below from_offset
+    (compacted log) must advance the offset to the batch end and keep
+    reading — not silently truncate (round-5 ADVICE, kafka_wire:365)."""
+    import struct
+
+    class OneBatchBroker(ToyKafkaBroker):
+        """Real brokers bound each fetch response; returning one batch
+        per fetch forces the multi-fetch resume path."""
+
+        def _fetch_v4(self, req, pos, corr):
+            pos += 4 + 4 + 4 + 4 + 1
+            (n_topics,) = struct.unpack_from(">i", req, pos)
+            pos += 4
+            assert n_topics == 1
+            from tests.kafka_toy_broker import _read_str, _str
+            topic, pos = _read_str(req, pos)
+            pos += 4                                  # n_parts == 1
+            part, offset, _maxb = struct.unpack_from(">iqi", req, pos)
+            with self._lock:
+                key = (topic, part)
+                hwm = self._hwm.get(key, 0)
+                batches = [b for bb, n, b in self._log.get(key, [])
+                           if bb + n > offset][:1]
+            record_set = b"".join(batches)
+            out = bytearray(struct.pack(">i", corr))
+            out += struct.pack(">i", 0)
+            out += struct.pack(">i", 1)
+            out += _str(topic)
+            out += struct.pack(">i", 1)
+            out += struct.pack(">ihqq", part, 0, hwm, hwm)
+            out += struct.pack(">i", 0)
+            out += struct.pack(">i", len(record_set)) + record_set
+            return bytes(out)
+
+    with OneBatchBroker() as broker:
+        # log: batch A holds offsets {0,1} of span [0,5] (2..5
+        # compacted away); batch B holds offsets {6,7}.
+        with broker._lock:
+            broker._log[("c", 0)] = [
+                (0, 6, _compacted_batch([0, 1], 5, base=0)),
+                (6, 2, _compacted_batch([0, 1], 1, base=6)),
+            ]
+            broker._hwm[("c", 0)] = 8
+        # from_offset=2: first fetch returns batch A whose surviving
+        # records are all < 2 → must advance to 6 and fetch batch B.
+        got = kw.consume_all(broker.bootstrap, "c", 0, from_offset=2)
+        assert [o for o, _, _ in got] == [6, 7]
+
+
+def test_write_kafka_wire_null_partition_falls_back(spark):
+    """A NULL partition column routes to the task partition id instead
+    of crashing the task (round-5 ADVICE, kafka_wire:403)."""
+    df = (spark.range(4)
+          .select(F.col("id").cast("string").cast("binary").alias("key"),
+                  F.concat(F.lit("p-"), F.col("id")).cast("binary")
+                   .alias("value"),
+                  F.lit(None).cast("int").alias("partition"))
+          .coalesce(1))
+    with ToyKafkaBroker() as broker:
+        kw.write_kafka_wire(df, "nullpart", broker.bootstrap)
+        got = kw.consume_all(broker.bootstrap, "nullpart", 0)
+        assert sorted(bytes(v).decode() for _, _, v in got) == [
+            "p-0", "p-1", "p-2", "p-3"]
