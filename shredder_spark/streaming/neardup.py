@@ -28,30 +28,49 @@ built at the same cap, which restricts both tiers to the same pair
 universe (pinned capped at sf0.001 in the tests and swept at sf1 in
 ``tools/scale_sweep.py``).
 
+State layout (round 6): one partitioned parquet dataset per state
+kind, ``<root>/epoch=<id>/pb=<k>/part-*.parquet``, where ``pb`` is a
+bucket of the join key (``pmod(bh, NB)`` for bands, ``pmod(id, NB)``
+for hashes). The per-batch candidate join carries ``pb`` as a leading
+key, so the state scan can prune partitions (dynamic partition
+pruning against the broadcast batch side) and skip row groups
+(compaction sorts by the join key within each ``pb``), instead of
+reading every epoch's files in full. Epoch is a partition VALUE, so
+idempotent replay is a dynamic-partition overwrite of ``epoch=<id>``
+and exclusion of the in-flight epoch is a path-level filter — no
+row-level work. Legacy layouts (flat ``*.parquet`` appends,
+``epoch_<id>`` subdirs from earlier versions of this module) are
+still read and are folded into the new layout by the next
+compaction.
+
 Scale shape: each batch runs one (batch-bands × state-bands)
-equi-join on (band, bh) — ids only, token arrays never ride the
+equi-join on (pb, band, bh) — ids only, token arrays never ride the
 banding shuffle — and verification joins only the candidate ids.
-State is append-only parquet; compact/sort it by ``bh`` with the
-layout operators when small files accumulate. Dropped docs' bands
-stay in state ON PURPOSE: the drop policy is "near-dup of anything
-seen", matching the batch tier (see test for the A~B, B~C, A≁C
-chain: B and C both drop).
+Dropped docs' bands stay in state ON PURPOSE: the drop policy is
+"near-dup of anything seen", matching the batch tier (see test for
+the A~B, B~C, A≁C chain: B and C both drop).
 
 Restart/replay safety: foreachBatch is at-least-once, so an epoch can
 be re-run after its state append succeeded but before its output
-write did. State is therefore written per-epoch (``epoch_<id>``
-subdirectory, overwrite mode — idempotent under replay) and the
-CURRENT epoch's subdirectory is excluded from the state read, so a
+write did. State is therefore written per-epoch (dynamic-partition
+overwrite of ``epoch=<id>`` — idempotent under replay) and the
+CURRENT epoch's partition is excluded from the state read, so a
 replayed batch sees exactly the pre-epoch state instead of matching
 itself (which would jaccard-1.0-drop every replayed doc). State
 existence is probed through the Hadoop FileSystem API for the
 configured scheme — not ``os.path`` — so ``hdfs://``/object-store
-state dirs behave the same as local paths.
+state dirs behave the same as local paths. Compaction NEVER folds
+the newest epoch (micro-batches commit serially, so only the newest
+epoch can be replayed); everything older is folded into a
+``epoch=-<generation>`` compact partition set, which keeps the
+per-batch file-listing cost bounded no matter how many batches have
+run (``compact_every`` auto-triggers it).
 """
 
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import pyspark.sql.functions as F
@@ -65,6 +84,15 @@ from shredder_spark.operators.dedup import (
 
 _BANDS_SCHEMA = "band int, bh bigint, id bigint"
 _HASHES_SCHEMA = "id bigint, tok array<bigint>, n int"
+_NB = 16                      # pb (prune-bucket) partitions per epoch
+
+_EPOCH_DIR = re.compile(r"^epoch=(-?\d+)$")      # new layout
+_LEGACY_DIR = re.compile(r"^epoch_(\d+)$")       # pre-round-6 layout
+
+
+def _pb_of(col: str):
+    """Prune-bucket partition value: stable bucket of the join key."""
+    return F.pmod(F.col(col), F.lit(_NB)).cast("int")
 
 
 class IncrementalNearDup:
@@ -73,13 +101,19 @@ class IncrementalNearDup:
     def __init__(self, spark: SparkSession, state_dir: str, *,
                  num_perm: int = 64, bands: int = 16,
                  threshold: float = 0.8, seed: int = 1,
-                 exclude_buckets: Optional[DataFrame] = None) -> None:
+                 exclude_buckets: Optional[DataFrame] = None,
+                 compact_every: Optional[int] = 8) -> None:
         """``exclude_buckets``: optional (band, bh) skew blocklist —
         see ``operators.dedup.oversized_lsh_buckets``. Bands in it are
         dropped from candidate generation AND state, reproducing the
         batch tier's ``max_bucket_size`` cap (which cannot be computed
         online) as an explicit input; with the blocklist built at the
-        batch tier's cap, capped-batch == blocklisted-incremental."""
+        batch tier's cap, capped-batch == blocklisted-incremental.
+
+        ``compact_every``: auto-run :meth:`compact_state` at the start
+        of a batch once that many foldable epoch parts have
+        accumulated (None disables). Keeps per-batch state-listing and
+        scan cost bounded for arbitrarily long streams."""
         assert num_perm % bands == 0
         self.spark = spark
         self.state_dir = state_dir
@@ -89,52 +123,121 @@ class IncrementalNearDup:
         self.threshold = threshold
         self.seed = seed
         self.exclude_buckets = exclude_buckets
+        self.compact_every = compact_every
         self._bands_path = os.path.join(state_dir, "bands")
         self._hashes_path = os.path.join(state_dir, "hashes")
 
     # -- state ----------------------------------------------------------
-    def _state_parts(self, path: str, exclude_epoch) -> list:
-        """List state pieces under ``path`` via the Hadoop FileSystem
-        for the path's OWN scheme (s3a://, hdfs://, file:// all work —
-        no driver-local ``os.path`` probe). Returns epoch subdirs
-        (minus the excluded one) plus any legacy flat parquet files
-        appended by pre-epoch versions of this module."""
+    def _fs(self, path: str):
         jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(hconf)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
+    def _list_state(self, path: str):
+        """Classify state pieces under ``path`` via the Hadoop
+        FileSystem for the path's OWN scheme (s3a://, hdfs://, file://
+        all work — no driver-local ``os.path`` probe).
+
+        → (new_epochs: {epoch_id: dir}, legacy_epochs: {epoch_id: dir},
+           legacy_flat: [file]). Negative new-epoch ids are compact
+        generations."""
+        fs, p = self._fs(path)
+        new_eps: dict[int, str] = {}
+        leg_eps: dict[int, str] = {}
+        flat: list[str] = []
         if not fs.exists(p):
-            return []
-        skip = None if exclude_epoch is None else f"epoch_{exclude_epoch}"
-        parts = []
+            return new_eps, leg_eps, flat
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory():
-                if name != skip:
-                    parts.append(str(st.getPath()))
+                m = _EPOCH_DIR.match(name)
+                if m:
+                    new_eps[int(m.group(1))] = str(st.getPath())
+                    continue
+                m = _LEGACY_DIR.match(name)
+                if m:
+                    leg_eps[int(m.group(1))] = str(st.getPath())
             elif name.endswith(".parquet"):
-                parts.append(str(st.getPath()))
-        return parts
+                flat.append(str(st.getPath()))
+        return new_eps, leg_eps, flat
 
-    def _read(self, path: str, schema: str, exclude_epoch) -> DataFrame:
-        parts = self._state_parts(path, exclude_epoch)
-        if not parts:
-            return self.spark.createDataFrame([], schema)
-        return (self.spark.read.schema(schema)
-                .option("recursiveFileLookup", "true").parquet(*parts))
+    def _read(self, path: str, schema: str, exclude_epoch,
+              pb_key: str) -> DataFrame:
+        cols = [c.strip().split()[0] for c in schema.split(",")]
+        new_eps, leg_eps, flat = self._list_state(path)
+        ex = None if exclude_epoch is None else int(exclude_epoch)
+        reads = []
+        new_paths = [d for k, d in new_eps.items() if k != ex]
+        if new_paths:
+            reads.append(
+                self.spark.read.option("basePath", path)
+                .schema(schema + ", epoch int, pb int")
+                .parquet(*new_paths).select(*cols, "pb"))
+        leg_paths = [d for k, d in leg_eps.items() if k != ex] + flat
+        if leg_paths:
+            reads.append(
+                self.spark.read.schema(schema)
+                .option("recursiveFileLookup", "true").parquet(*leg_paths)
+                .withColumn("pb", _pb_of(pb_key)))
+        if not reads:
+            return self.spark.createDataFrame([], schema + ", pb int")
+        out = reads[0]
+        for r in reads[1:]:
+            out = out.unionByName(r)
+        return out
 
     def state_bands(self, exclude_epoch=None) -> DataFrame:
-        return self._read(self._bands_path, _BANDS_SCHEMA, exclude_epoch)
+        return self._read(self._bands_path, _BANDS_SCHEMA, exclude_epoch,
+                          "bh")
 
     def state_hashes(self, exclude_epoch=None) -> DataFrame:
         return self._read(self._hashes_path, _HASHES_SCHEMA,
-                          exclude_epoch)
+                          exclude_epoch, "id")
+
+    def _write_epoch(self, df: DataFrame, path: str, epoch: int,
+                     sort_key: str, n_files: int = 1) -> None:
+        """One epoch's rows → ``path/epoch=<id>/pb=<k>/``. Overwrite is
+        DYNAMIC (only this epoch's partitions are replaced), which is
+        the idempotence contract under foreachBatch replay."""
+        (df.withColumn("epoch", F.lit(int(epoch)))
+         .repartition(_NB * max(n_files, 1), "pb")
+         .sortWithinPartitions(sort_key)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch", "pb").parquet(path))
+
+    def _next_epoch(self, path: str) -> int:
+        new_eps, leg_eps, _flat = self._list_state(path)
+        known = [k for k in new_eps if k >= 0] + list(leg_eps)
+        return max(known, default=-1) + 1
+
+    def _foldable(self, path: str):
+        """Parts compaction may fold: everything EXCEPT the newest
+        non-negative epoch. Micro-batches commit serially, so only the
+        newest epoch can be replayed after a crash — it must stay
+        excludable by id, hence never folded (round-5 ADVICE fix).
+        → (foldable_new: {id: dir}, foldable_leg: {id: dir},
+           flat: [file], newest: int | None)."""
+        new_eps, leg_eps, flat = self._list_state(path)
+        completed = [k for k in new_eps if k >= 0] + list(leg_eps)
+        newest = max(completed, default=None)
+        fold_new = {k: d for k, d in new_eps.items() if k != newest}
+        fold_leg = {k: d for k, d in leg_eps.items() if k != newest}
+        return fold_new, fold_leg, flat, newest
 
     def compact_state(self) -> None:
-        """Fold accumulated epoch subdirectories (and legacy flat
-        files) into one ``compact_<n>`` layout, sorted and partitioned
-        by ``bh`` so the per-batch state scans read clustered,
-        well-sized files instead of one small file per epoch.
+        """Fold accumulated epoch partitions (and legacy flat files /
+        ``epoch_<id>`` subdirs) into one ``epoch=-<generation>``
+        compact partition set, sorted by the join key within each
+        ``pb`` so per-batch state scans read clustered, well-sized
+        files instead of one small file per epoch.
+
+        The NEWEST completed epoch is never folded: it is the only
+        epoch an at-least-once foreachBatch replay can re-run, and the
+        replay must still be able to exclude it from the state read by
+        id. Compacting it would merge it into a partition the replay
+        cannot name, so the replayed batch would match its own rows in
+        state and admit a different set (round-5 ADVICE, medium).
 
         Crash safety without atomic rename (object stores): the
         compacted copy is written FIRST, old parts are deleted after.
@@ -143,26 +246,44 @@ class IncrementalNearDup:
         and a doc matching a duplicated state row still matches) and
         are folded away by the next compaction."""
         jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        for path, schema, n_parts in (
-                (self._bands_path, _BANDS_SCHEMA, 32),
-                (self._hashes_path, _HASHES_SCHEMA, 32)):
-            parts = self._state_parts(path, None)
-            if len(parts) <= 1:
+        for path, schema, pb_key in (
+                (self._bands_path, _BANDS_SCHEMA, "bh"),
+                (self._hashes_path, _HASHES_SCHEMA, "id")):
+            fold_new, fold_leg, flat, _newest = self._foldable(path)
+            n_parts = len(fold_new) + len(fold_leg) + len(flat)
+            if n_parts == 0:
                 continue
-            gen = sum(1 for p in parts
-                      if os.path.basename(p).startswith("compact_")) + 1
-            df = (self.spark.read.schema(schema)
-                  .option("recursiveFileLookup", "true").parquet(*parts))
-            sort_keys = (["band", "bh"] if path == self._bands_path
-                         else ["id"])
-            (df.repartition(n_parts, *sort_keys[:1])
-               .sortWithinPartitions(*sort_keys)
-               .write.mode("overwrite")
-               .parquet(os.path.join(path, f"compact_{gen}")))
-            fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-            for p in parts:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+            if (n_parts == 1 and not fold_leg and not flat
+                    and next(iter(fold_new)) < 0):
+                continue  # already compact: nothing to fold
+            gen = 1 + max((-k for k in fold_new if k < 0), default=0)
+            cols = [c.strip().split()[0] for c in schema.split(",")]
+            reads = []
+            if fold_new:
+                reads.append(
+                    self.spark.read.option("basePath", path)
+                    .schema(schema + ", epoch int, pb int")
+                    .parquet(*fold_new.values()).select(*cols, "pb"))
+            leg_paths = list(fold_leg.values()) + flat
+            if leg_paths:
+                reads.append(
+                    self.spark.read.schema(schema)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(*leg_paths).withColumn("pb", _pb_of(pb_key)))
+            df = reads[0]
+            for r in reads[1:]:
+                df = df.unionByName(r)
+            self._write_epoch(df, path, -gen, pb_key, n_files=2)
+            fs, _ = self._fs(path)
+            for d in list(fold_new.values()) + leg_paths:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+
+    def _maybe_autocompact(self) -> None:
+        if self.compact_every is None:
+            return
+        fold_new, fold_leg, flat, _ = self._foldable(self._bands_path)
+        if len(fold_new) + len(fold_leg) + len(flat) >= self.compact_every:
+            self.compact_state()
 
     # -- per-batch ------------------------------------------------------
     def _banded(self, sig: DataFrame) -> DataFrame:
@@ -183,12 +304,12 @@ class IncrementalNearDup:
         ``left_hashes``, j from ``right_hashes`` (may be the same).
         ``right_hashes`` may be STATE-sized: it is first semi-join-
         reduced by the broadcast candidate-j id set — a scan of state
-        in place, no shuffle of it — so the pair join then runs over
-        two batch-bounded relations (ids broadcast, token arrays
-        never)."""
-        right_small = right_hashes.join(
-            F.broadcast(cand.select(F.col("j").alias("id")).distinct()),
-            "id", "left_semi")
+        in place, no shuffle of it — with ``pb`` as the leading key so
+        a partitioned state read can prune ``pb=`` subdirs too."""
+        cand_js = (cand.select(F.col("j").alias("id")).distinct()
+                   .withColumn("pb", _pb_of("id")))
+        right_small = right_hashes.join(F.broadcast(cand_js),
+                                        ["pb", "id"], "left_semi")
         c = (cand
              .join(left_hashes.select(F.col("id").alias("i"),
                                       F.col("tok").alias("ti"),
@@ -209,17 +330,20 @@ class IncrementalNearDup:
         state afterwards (drop policy is vs seen, not vs admitted).
 
         With ``epoch_id`` set (the streaming path), the state write is
-        an idempotent overwrite of ``epoch_<id>/`` and the state read
-        excludes that subdir, so at-least-once replays of the same
-        epoch see the pre-epoch state and admit the same docs. Without
-        it (direct batch use), state is appended flat as before."""
+        an idempotent dynamic-partition overwrite of ``epoch=<id>``
+        and the state read excludes that partition, so at-least-once
+        replays of the same epoch see the pre-epoch state and admit
+        the same docs. Without it (direct batch use), the next free
+        epoch id is auto-assigned (same layout, no replay concern)."""
+        self._maybe_autocompact()
         src = batch.select(F.col(id_col).cast("long").alias("id"),
                            F.col(text_col).alias("_text"))
         hashes = src.select(
             "id",
             F.transform(tokens_col(F.col("_text")),
                         lambda x: F.xxhash64(x)).alias("tok"),
-        ).select("id", "tok", F.size("tok").cast("int").alias("n"))
+        ).select("id", "tok", F.size("tok").cast("int").alias("n"),
+                 _pb_of("id").alias("pb"))
         sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
                .select("id", minhash_from_hashes(
                    F.col("_hs"), self.num_perm, self.seed).alias("_sig")))
@@ -227,10 +351,11 @@ class IncrementalNearDup:
         if self.exclude_buckets is not None:
             new_bands = new_bands.join(self.exclude_buckets,
                                        ["band", "bh"], "left_anti")
+        new_bands = new_bands.withColumn("pb", _pb_of("bh"))
         new_bands = new_bands.localCheckpoint(eager=True)
         hashes = hashes.localCheckpoint(eager=True)
 
-        # 1) vs the seen corpus: equi-join on (band, bh), ids only.
+        # 1) vs the seen corpus: equi-join on (pb, band, bh), ids only.
         # The id filter is belt-and-braces vs self-match (ids are
         # globally unique, and epoch exclusion already keeps a
         # replayed batch out of its own state view).
@@ -238,10 +363,12 @@ class IncrementalNearDup:
         # while state grows with everything seen — broadcasting the
         # batch bands means state is scanned in place every batch,
         # never shuffled (the shuffle would re-partition the whole
-        # corpus index per micro-batch at scale).
+        # corpus index per micro-batch at scale). pb leads the join
+        # keys so the partitioned state scan can prune pb= subdirs
+        # (dynamic partition pruning against the broadcast side).
         st_bands = self.state_bands(exclude_epoch=epoch_id)
         vs_state = (F.broadcast(new_bands).alias("n")
-                    .join(st_bands.alias("s"), ["band", "bh"])
+                    .join(st_bands.alias("s"), ["pb", "band", "bh"])
                     .filter(F.col("n.id") != F.col("s.id"))
                     .select(F.col("n.id").alias("i"),
                             F.col("s.id").alias("j"))
@@ -269,17 +396,12 @@ class IncrementalNearDup:
                     .withColumnRenamed("id", id_col))
 
         # 3) persist the whole batch to state (restart-safe parquet).
-        # Epoch-keyed overwrite = idempotent under foreachBatch replay;
-        # flat append only for the direct (non-streaming) batch path.
-        if epoch_id is not None:
-            sub = f"epoch_{epoch_id}"
-            (new_bands.write.mode("overwrite")
-             .parquet(os.path.join(self._bands_path, sub)))
-            (hashes.write.mode("overwrite")
-             .parquet(os.path.join(self._hashes_path, sub)))
-        else:
-            new_bands.write.mode("append").parquet(self._bands_path)
-            hashes.write.mode("append").parquet(self._hashes_path)
+        # Epoch-keyed dynamic overwrite = idempotent under foreachBatch
+        # replay; the direct batch path auto-assigns the next epoch.
+        ep = epoch_id if epoch_id is not None \
+            else self._next_epoch(self._bands_path)
+        self._write_epoch(new_bands, self._bands_path, ep, "bh")
+        self._write_epoch(hashes, self._hashes_path, ep, "id")
         return batch.join(admitted.select(F.col(id_col).cast("long")
                                           .alias(id_col)),
                           id_col, "left_semi")
@@ -290,7 +412,8 @@ def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           checkpoint_dir: Optional[str] = None,
                           num_perm: int = 64, bands: int = 16,
-                          threshold: float = 0.8, seed: int = 1):
+                          threshold: float = 0.8, seed: int = 1,
+                          compact_every: Optional[int] = 8):
     """Structured-Streaming wrapper: admitted docs land in
     ``output_dir`` parquet via foreachBatch (micro-batches are
     processed serially by the engine, which is exactly the ordering
@@ -307,7 +430,8 @@ def near_dup_dedup_stream(stream: DataFrame, state_dir: str,
         if "op" not in state:
             state["op"] = IncrementalNearDup(
                 bdf.sparkSession, state_dir, num_perm=num_perm,
-                bands=bands, threshold=threshold, seed=seed)
+                bands=bands, threshold=threshold, seed=seed,
+                compact_every=compact_every)
         admitted = state["op"].process_batch(bdf, id_col, text_col,
                                              epoch_id=epoch_id)
         (admitted.write.mode("overwrite")

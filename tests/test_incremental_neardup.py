@@ -239,3 +239,98 @@ def test_streaming_no_surviving_pairs(spark, docs, tmp_path):
         assert surviving.count() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_replay_after_compaction_idempotent(spark, docs, tmp_path):
+    """Round-5 ADVICE (medium): compaction must never fold the newest
+    epoch. Sequence: epoch 0, epoch 1 state lands, COMPACT runs, then
+    epoch 1 is replayed (crash between state write and output write).
+    The replay must still exclude epoch 1 from its state view and
+    admit exactly the original set."""
+    state = str(tmp_path / "state")
+    b1, b2 = _batches(docs, 2)
+    op = IncrementalNearDup(spark, state, **LSH)
+    a1 = {r.doc_id for r in op.process_batch(b1, epoch_id=0).collect()}
+    first = {r.doc_id for r in op.process_batch(b2, epoch_id=1).collect()}
+    op.compact_state()          # folds epoch 0 only; epoch 1 kept
+    bands_root = os.path.join(state, "bands")
+    names = set(os.listdir(bands_root))
+    assert "epoch=1" in names, names          # newest never folded
+    assert "epoch=0" not in names, names      # older one folded away
+    assert any(n.startswith("epoch=-") for n in names), names
+    # replay epoch 1 post-compaction with a fresh operator
+    op2 = IncrementalNearDup(spark, state, **LSH)
+    replay = {r.doc_id for r in op2.process_batch(b2, epoch_id=1).collect()}
+    assert replay == first
+    # state still holds each doc's bands exactly once
+    n_ids = op2.state_bands().select("id").distinct().count()
+    assert op2.state_bands().count() == n_ids * LSH["bands"]
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert (a1 | replay) == keepers
+
+
+def test_autocompaction_bounds_state_parts(spark, docs, tmp_path):
+    """With compact_every=3, the number of epoch parts under the state
+    roots stays bounded as batches accumulate — the flat-per-batch-
+    cost property at stream length (round-5 verdict item 4) — and the
+    admitted set still equals the batch-tier keepers."""
+    state = str(tmp_path / "state")
+    op = IncrementalNearDup(spark, state, compact_every=3, **LSH)
+    admitted = set()
+    for i, b in enumerate(_batches(docs, 8)):
+        admitted |= {r.doc_id for r in
+                     op.process_batch(b, epoch_id=i).collect()}
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert admitted == keepers
+    for root in ("bands", "hashes"):
+        names = [n for n in os.listdir(os.path.join(state, root))
+                 if n.startswith("epoch")]
+        # ≤ compact_every-1 uncompacted epochs + 1 compact partition +
+        # the in-flight newest: bounded, nowhere near 8
+        assert len(names) <= 5, names
+
+
+def test_legacy_state_layout_still_readable(spark, docs, tmp_path):
+    """State written by the pre-round-6 layout (flat appends and
+    epoch_<id> subdirs) is read transparently and folded into the
+    partitioned layout by compaction."""
+    state = str(tmp_path / "state")
+    b1, b2, b3 = _batches(docs, 3)
+    op = IncrementalNearDup(spark, state, **LSH)
+    # simulate the legacy layout for batch 1: flat parquet appends
+    src = b1.select(F.col("doc_id").cast("long").alias("id"),
+                    F.col("text").alias("_text"))
+    from shredder_spark.operators.dedup import (
+        minhash_from_hashes, token_hashes, tokens_col)
+    hashes = (src.select(
+        "id", F.transform(tokens_col(F.col("_text")),
+                          lambda x: F.xxhash64(x)).alias("tok"))
+        .select("id", "tok", F.size("tok").cast("int").alias("n")))
+    sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
+           .select("id", minhash_from_hashes(
+               F.col("_hs"), LSH["num_perm"], LSH["seed"]).alias("_sig")))
+    op._banded(sig).write.mode("append").parquet(
+        os.path.join(state, "bands"))
+    hashes.write.mode("append").parquet(os.path.join(state, "hashes"))
+    seen_b1 = {r.id for r in src.select("id").collect()}
+    assert {r.id for r in op.state_bands().select("id").distinct()
+            .collect()} == seen_b1
+    a2 = {r.doc_id for r in op.process_batch(b2, epoch_id=1).collect()}
+    op.compact_state()
+    # legacy flat files folded away
+    flat = [n for n in os.listdir(os.path.join(state, "bands"))
+            if n.endswith(".parquet")]
+    assert not flat
+    a3 = {r.doc_id for r in op.process_batch(b3, epoch_id=2).collect()}
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    # batch-1 docs were all force-admitted into state via the legacy
+    # write; batches 2-3 decided against it — their admit set must be
+    # the keepers minus what b1 already occupied
+    assert (seen_b1 | a2 | a3) >= keepers
+    assert (a2 | a3) == {k for k in keepers if k not in seen_b1}

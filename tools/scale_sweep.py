@@ -136,23 +136,43 @@ def main() -> None:
         batch_s = time.perf_counter() - t0
         state = tempfile.mkdtemp(prefix=f"neardup_sweep_{sf}_")
         try:
+            # 8 arrival batches (round-6 verdict item 4): enough to
+            # exercise auto-compaction (compact_every=4 here) and to
+            # show the per-batch cost stays flat as epochs accumulate
+            # — the partitioned epoch=/pb= state layout keeps the
+            # file-listing and scan overhead bounded.
+            n_batches = 8
             op = IncrementalNearDup(spark, state,
-                                    exclude_buckets=blocklist, **lsh)
+                                    exclude_buckets=blocklist,
+                                    compact_every=4, **lsh)
             ids = sorted(r.doc_id for r in src.select("doc_id").collect())
-            cuts = [ids[len(ids) * k // 4] for k in (1, 2, 3)] + [ids[-1] + 1]
+            cuts = [ids[len(ids) * k // n_batches]
+                    for k in range(1, n_batches)] + [ids[-1] + 1]
             admitted: set = set()
             lo = ids[0]
+            batch_times: list = []
             t0 = time.perf_counter()
             for hi in cuts:
+                tb = time.perf_counter()
                 b = src.filter((F.col("doc_id") >= lo)
                                & (F.col("doc_id") < hi))
                 admitted |= {r.doc_id for r in op.process_batch(b).collect()}
+                batch_times.append(round(time.perf_counter() - tb, 3))
                 lo = hi
             inc_s = time.perf_counter() - t0
         finally:
             shutil.rmtree(state, ignore_errors=True)
         stats["neardup_batch_s"] = round(batch_s, 3)
         stats["neardup_incremental_s"] = round(inc_s, 3)
+        stats["neardup_per_batch_s"] = batch_times
+        # flatness: last-quarter mean over second-quarter mean (first
+        # batch excluded: no state yet). ~1.0 = flat overhead; state
+        # volume itself grows with seen docs, so a mild upslope at
+        # larger sf is the scan, not file accumulation.
+        q2 = batch_times[2:4]
+        q4 = batch_times[6:8]
+        stats["neardup_flatness_last_over_mid"] = round(
+            (sum(q4) / len(q4)) / max(sum(q2) / len(q2), 1e-9), 3)
         stats["neardup_equal"] = bool(admitted == keepers)
         stats["neardup_keepers"] = len(keepers)
         stats["neardup_contract"] = (
