@@ -439,10 +439,17 @@ def winnow_fingerprints(text_col: str = "text", k: int = 8, w: int = 4):
             rev_arg = wins.shape[1] - 1 - np.argmin(wins[:, ::-1], axis=1)
             pos = np.arange(n_win) + rev_arg
             hs = wins[np.arange(n_win), rev_arg]
-            seen: dict[tuple[int, int], None] = {}
-            for p, h in zip(pos.tolist(), hs.tolist()):
-                seen.setdefault((p, h))
-            return [h for _, h in seen]
+            # dedup by picked position, vectorized: winnowing's chosen
+            # positions are NONDECREASING as the window slides (the
+            # rightmost-min can only stay or move right), so a repeat
+            # of (pos, hash) is always adjacent and first-occurrence
+            # dedup reduces to an adjacent-diff mask — no Python loop
+            # (golden-pinned against winnow_reference, which keeps the
+            # full membership check).
+            keep = np.empty(n_win, dtype=bool)
+            keep[0] = True
+            np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+            return hs[keep].tolist()
 
         return texts.map(one)
 
