@@ -2,11 +2,19 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct; the
 Spark-side machinery — binaryFile ingest, schema, partition-friendly
-batch transforms via ``mapInPandas`` — is real and tested. The actual
-codec work (JPEG decode, resampling, frame extraction) is stubbed
-behind ``decoder=`` injection because this container has no media
-libraries: pass a real decoder (e.g. PIL/ffmpeg-based) in production;
-tests use the deterministic fake below.
+batch transforms via ``mapInPandas`` — is real and tested. Codec
+tiers, by dependency weight:
+
+1. ``operators/imagecodec.py`` (DEFAULT since round 6): pure
+   numpy+zlib PNG/BMP decode + nearest-neighbor resize — real pixels
+   in every environment, no media libraries needed.
+2. Pillow (``pil_image_decoder`` / ``pil_image_resizer``), env-gated:
+   richer formats (JPEG, WebP, TIFF) and smoother resampling.
+3. ``decoder=`` / ``resizer=`` injection for production codecs
+   (ffmpeg, torchaudio, nvJPEG …) — same contract, same plumbing.
+
+The deterministic fakes below remain for tests of the injection
+plumbing itself.
 
 At 100 TB: binary payloads never pass through a shuffle — transforms
 are narrow ``mapInPandas`` stages; only extracted features (small,
@@ -107,11 +115,17 @@ def pil_image_resizer(content: bytes, width: int, height: int) -> bytes:
 def extract_image_features(
     df: DataFrame,
     *,
-    decoder: Callable[[bytes], dict] = fake_image_decoder,
+    decoder: Callable[[bytes], dict] | None = None,
     content_col: str = "content",
 ) -> DataFrame:
     """Batchwise feature extraction over binary payloads (mapInPandas:
-    Arrow batches in, small typed rows out — payload dropped here)."""
+    Arrow batches in, small typed rows out — payload dropped here).
+    Default decoder is the REAL pure-Python PNG/BMP codec
+    (``imagecodec.image_decoder``; Pillow fallback for other
+    formats)."""
+    if decoder is None:
+        from shredder_spark.operators.imagecodec import image_decoder
+        decoder = image_decoder
     ensure_package_on_executors(df.sparkSession)
     out_ddl = "path string, width long, height long, mean_luma double"
     cols = df.select("path", content_col)
@@ -143,13 +157,17 @@ def resize_images(
     width: int,
     height: int,
     *,
-    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
     content_col: str = "content",
 ) -> DataFrame:
     """Payload→payload resize as a narrow ``mapInPandas`` stage: binary
     in, binary out, no shuffle; metadata is recomputed for the new
     payload. The batch shape (Arrow binary columns both ways) is the
-    production plumbing; only the pixel work is the injected stub."""
+    production plumbing; the default pixel work is the REAL pure
+    PNG/BMP nearest-neighbor tier (``imagecodec.image_resizer``)."""
+    if resizer is None:
+        from shredder_spark.operators.imagecodec import image_resizer
+        resizer = image_resizer
     ensure_package_on_executors(df.sparkSession)
     out_ddl = "path string, content binary, width long, height long"
     cols = df.select("path", content_col)

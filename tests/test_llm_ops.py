@@ -150,7 +150,10 @@ def test_multimodal_binary_pipeline(spark, tmp_path):
     assert all(r.media_type == "jpg" for r in meta)
     assert {r.n_bytes for r in meta} == {100 + i * 13 for i in range(6)}
 
-    feats = extract_image_features(df)
+    # injection plumbing: the deterministic fake decoder (the DEFAULT
+    # is the real PNG/BMP codec, covered in test_imagecodec.py)
+    from shredder_spark.operators.multimodal import fake_image_decoder
+    feats = extract_image_features(df, decoder=fake_image_decoder)
     out = feats.collect()
     assert len(out) == 6
     assert all(64 <= r.width < 576 and r.mean_luma >= 0 for r in out)
@@ -238,7 +241,8 @@ def test_multimodal_resize(spark, tmp_path):
     for i in range(4):
         (media / f"v_{i}.png").write_bytes(bytes([i + 1]) * (50 + i))
     df = read_binary_dir(spark, str(media), glob="*.png")
-    out = resize_images(df, 32, 16).collect()
+    from shredder_spark.operators.multimodal import fake_resizer
+    out = resize_images(df, 32, 16, resizer=fake_resizer).collect()
     assert len(out) == 4
     assert all(len(bytes(r.content)) == (32 * 16) // 64 for r in out)
     assert all(r.meta.n_bytes == (32 * 16) // 64 for r in out)

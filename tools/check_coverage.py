@@ -39,7 +39,7 @@ def main() -> int:
     # query number (this is what drifted in rounds 2-3)
     hi = max(int(re.match(r"q(\d+)", n).group(1)) for n in Q.registry())
     readme = open("/root/repo/README.md").read()
-    m = re.search(r"Q01–Q(\d+) registry", readme)
+    m = re.search(r"[Qq]01–[Qq]?(\d+)", readme)
     if not m or int(m.group(1)) != hi:
         print(f"README registry range stale: says Q{m.group(1) if m else '?'}"
               f", registry ends at q{hi}")
