@@ -365,6 +365,21 @@ def consume_all(bootstrap: str, topic: str, partition: int, *,
                                                        bytes]]:
     """Fetch every record from ``from_offset`` to the high watermark.
     → [(offset, key, value)]."""
+    records, _next = consume_from(bootstrap, topic, partition,
+                                  from_offset=from_offset,
+                                  timeout_s=timeout_s)
+    return records
+
+
+def consume_from(bootstrap: str, topic: str, partition: int, *,
+                 from_offset: int = 0, up_to: int | None = None,
+                 timeout_s: float = 10.0):
+    """Fetch records in ``[from_offset, up_to)`` (``up_to=None`` → the
+    high watermark). → ([(offset, key, value)], next_offset) where
+    ``next_offset`` is the resume position: the high watermark when the
+    read drained (so a compacted tail is skipped, not re-read), else
+    the bound that stopped it. The streaming source's offset
+    bookkeeping needs this; ``consume_all`` is the list-only wrapper."""
     host, _, port = bootstrap.partition(":")
     out: list[tuple[int, bytes | None, bytes]] = []
     offset = from_offset
@@ -378,20 +393,23 @@ def consume_all(bootstrap: str, topic: str, partition: int, *,
                                     correlation_id=corr)))
             if err:
                 raise RuntimeError(f"fetch error {err}")
+            bound = hwm if up_to is None else min(up_to, hwm)
             batch_ends: list[int] = []
             got = [r for r in decode_record_batches(records, batch_ends)
-                   if r[0] >= offset]
+                   if offset <= r[0] < bound]
             out.extend(got)
             prev_offset = offset
             if got:
                 offset = max(o for o, _, _ in got) + 1
             elif batch_ends:
-                # Batches arrived but every record in them precedes
-                # from_offset (compacted log) — advance past them
-                # instead of truncating the read early.
-                offset = max(offset, max(batch_ends))
-            if offset >= hwm or offset == prev_offset:
-                return out
+                # Batches arrived but every record we kept precedes the
+                # window (compacted log) — advance past them instead of
+                # truncating the read early. Capped at `bound`: a batch
+                # may also hold records ≥ bound that a bounded replay
+                # must NOT skip past.
+                offset = max(offset, min(max(batch_ends), bound))
+            if offset >= bound or offset == prev_offset:
+                return out, offset
 
 
 def read_kafka_wire(spark, topic: str, bootstrap_servers: str,

@@ -252,3 +252,80 @@ def test_write_kafka_wire_null_partition_falls_back(spark):
         got = kw.consume_all(broker.bootstrap, "nullpart", 0)
         assert sorted(bytes(v).decode() for _, _, v in got) == [
             "p-0", "p-1", "p-2", "p-3"]
+
+
+def test_kafkawire_format_batch(spark):
+    """spark.read.format('kafkawire'): one task per Kafka partition,
+    executor-side sockets, same rows as driver consume_all."""
+    from shredder_spark.sources.kafka_wire_datasource import (
+        register_kafkawire_source)
+
+    with ToyKafkaBroker() as broker:
+        p = kw.KafkaWireProducer(broker.bootstrap)
+        for part in range(3):
+            for i in range(5):
+                p.send("fmt", part, f"{part}:{i}".encode(),
+                       f"v-{part}-{i}".encode())
+        p.flush()
+        register_kafkawire_source(spark)
+        df = (spark.read.format("kafkawire")
+              .option("bootstrap", broker.bootstrap)
+              .option("topic", "fmt").option("partitions", "0,1,2")
+              .load())
+        got = {(r.partition, r.offset, bytes(r.key), bytes(r.value))
+               for r in df.collect()}
+        want = {(part, off, key, value) for part in range(3)
+                for off, key, value in kw.consume_all(
+                    broker.bootstrap, "fmt", part)}
+        assert got == want and len(got) == 15
+        # starting_offsets skips the committed prefix
+        df2 = (spark.read.format("kafkawire")
+               .option("bootstrap", broker.bootstrap)
+               .option("topic", "fmt").option("partitions", "0,1,2")
+               .option("starting_offsets", '{"0": 3, "1": 5}')
+               .load())
+        assert df2.count() == 2 + 0 + 5
+
+
+def test_kafkawire_format_streaming_across_restarts(spark, tmp_path):
+    """Streaming tier (round-5 verdict item 7): accumulated stream
+    output == batch consume_all, across a produce → stream → produce
+    more → RESTART stream (same checkpoint) cycle, no duplicates."""
+    from shredder_spark.sources.kafka_wire_datasource import (
+        register_kafkawire_source)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with ToyKafkaBroker() as broker:
+        register_kafkawire_source(spark)
+        p = kw.KafkaWireProducer(broker.bootstrap)
+        for part in (0, 1):
+            for i in range(4):
+                p.send("st", part, None, f"a-{part}-{i}".encode())
+        p.flush()
+
+        def run_once():
+            stream = (spark.readStream.format("kafkawire")
+                      .option("bootstrap", broker.bootstrap)
+                      .option("topic", "st").option("partitions", "0,1")
+                      .load())
+            q = (stream.writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(60)
+
+        run_once()
+        # second wave, then restart from the same checkpoint
+        for part in (0, 1):
+            for i in range(3):
+                p.send("st", part, None, f"b-{part}-{i}".encode())
+        p.flush()
+        run_once()
+
+        got = {(r.partition, r.offset, bytes(r.value))
+               for r in spark.read.parquet(out_dir).collect()}
+        want = {(part, off, value) for part in (0, 1)
+                for off, _k, value in kw.consume_all(
+                    broker.bootstrap, "st", part)}
+        assert got == want and len(got) == 14
