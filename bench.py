@@ -6,12 +6,34 @@ Prints ONE JSON line:
 Headline set mirrors SURVEY.md §5.2 bench tier (Q15 agg, Q21 windows,
 Q43 vector similarity) plus scan/join/text representatives, and a
 fixed-width→Avro ingest measurement at BASELINE.md's shape.
+
+Round 6 adds the IN-SESSION CONTROL the round-5 verdict asked for
+(ceiling_ab methodology, applied to the query bench): a PINNED
+synthetic workload — independent of sf_dir, the registry, and any
+engine code that evolves between rounds — interleaved A/B/A between
+every headline rep. Each headline query runs CYCLES (3) timed reps
+with a control rep immediately before it, and the output reports:
+
+- ``queries``: per-query MEDIAN seconds (the cross-round comparable);
+- ``control``: the control's reps/median/cv, its pinned reference
+  median (``ref_s``, measured when the control was introduced) and
+  ``vs_ref`` = median/ref_s — the VM speed factor of THIS session;
+- ``queries_normalized``: median / vs_ref — what the query would have
+  cost at reference VM speed. Cross-round drift that disappears under
+  normalization is a VM phase; drift that survives is a regression.
+
+The control body is FROZEN — never edit it, or cross-round
+normalization breaks. It deliberately exercises the same machinery as
+the headliners (range scan → shuffle agg → running-sum window, all
+whole-stage-codegen JVM) without touching parquet, so storage-cache
+state cannot leak into it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,11 +55,36 @@ HEADLINE = [
     "q140_bm25_search",
 ]
 
+CYCLES = 3          # timed reps per headline query (median reported)
+
+# Pinned reference median of the control on this VM (measured at the
+# control's introduction, round 6, 2026-08-14, local[32], steady
+# state, interleaved inside the full sf0.1 bench session). vs_ref = this session's control median / CONTROL_REF_S is
+# the session's VM speed factor. DO NOT re-pin when the VM feels slow
+# — that is exactly the drift this exists to expose.
+CONTROL_REF_S = 0.40
+
 
 def _drain(df) -> None:
     # Execute the full plan (no column pruning shortcut, nothing
     # collected to the driver).
     df.write.format("noop").mode("overwrite").save()
+
+
+def _control(spark) -> None:
+    """FROZEN control workload — see module docstring. No parquet, no
+    registry: range scan → modular projection → 97-group agg →
+    running-sum window, one shuffle + one window, all codegen."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = (spark.range(0, 20_000_000, 1, 32)
+          .select((F.col("id") % 97).alias("k"),
+                  (F.col("id") * 2654435761 % 1000003).alias("v")))
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"), F.avg("v").alias("a"),
+                              F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    _drain(agg.select("k", "s", "a", "c", F.sum("s").over(w).alias("rs")))
 
 
 def main() -> None:
@@ -47,22 +94,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries_mod.registry()
 
-    timings: dict[str, float] = {}
     # Untimed warm-up pass: parquet footers, view registration, and the
-    # per-plan whole-stage-codegen compile — so the timed pass measures
+    # per-plan whole-stage-codegen compile — so the timed passes measure
     # steady-state execution (same convention as the ingest stages).
+    _control(spark)
     for name in HEADLINE:
         _drain(reg[name].run(spark, sf_dir))
 
-    # Two timed passes, min per query: a single pass is exposed to
-    # transient VM/scheduler noise; min-of-2 reports reproducible
-    # steady-state work.
-    for _ in range(2):
+    # Interleaved timed passes: control / query / control / query …
+    # across CYCLES full cycles, so any VM speed phase hits the control
+    # and every query alike (ceiling_ab methodology).
+    control_reps: list[float] = []
+    qreps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(CYCLES):
         for name in HEADLINE:
             t0 = time.perf_counter()
+            _control(spark)
+            control_reps.append(round(time.perf_counter() - t0, 4))
+            t0 = time.perf_counter()
             _drain(reg[name].run(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+            qreps[name].append(round(time.perf_counter() - t0, 4))
+
+    timings = {name: round(statistics.median(reps), 4)
+               for name, reps in qreps.items()}
+    # min-of-reps continuity metric: rounds 1-5 reported min-of-2, so
+    # cross-round tables need the min series too (medians read ~5-10%
+    # higher than mins by construction, not by regression)
+    timings_min = {name: min(reps) for name, reps in qreps.items()}
+    ctl_median = statistics.median(control_reps)
+    ctl_mean = statistics.fmean(control_reps)
+    ctl_cv = (statistics.pstdev(control_reps) / ctl_mean
+              if ctl_mean else 0.0)
+    vs_ref = ctl_median / CONTROL_REF_S
 
     # Ingest bench: fixed-width text → snappy Avro (BASELINE.md shape).
     ingest_rates: dict = {}
@@ -82,6 +145,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "control": {
+            "reps": control_reps,
+            "median": round(ctl_median, 4),
+            "cv": round(ctl_cv, 4),
+            "ref_s": CONTROL_REF_S,
+            "vs_ref": round(vs_ref, 4),
+        },
+        # headline medians at reference VM speed: divide by the session
+        # speed factor. Compare THESE across rounds; raw medians
+        # conflate engine changes with VM phases.
+        "queries_normalized": {
+            name: round(t / vs_ref, 4)
+            for name, t in timings.items() if name in qreps
+        },
+        "queries_min": timings_min,
+        "reps": qreps,
+        "method": ("interleaved control A/B/A, median of "
+                   f"{CYCLES} reps; control frozen at ref_s="
+                   f"{CONTROL_REF_S}s (round 6)"),
     }
     if ingest_rates:
         out["ingest"] = ingest_rates
