@@ -1977,7 +1977,15 @@ ORDER BY t.doc_id
 WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents),
 b AS (SELECT doc_id, big FROM t
       LATERAL VIEW EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(tk) - 1),
-          i -> CONCAT(ELEMENT_AT(tk, i), ' ', ELEMENT_AT(tk, i + 1)))) x AS big),
+          i -> CONCAT(TRY_ELEMENT_AT(tk, i), ' ',
+                      TRY_ELEMENT_AT(tk, i + 1)))) x AS big
+      -- SIZE >= 2 excludes 1-token docs (exist at sf1): Spark's
+      -- SEQUENCE(1, 0) is DESCENDING [1, 0]. TRY_ELEMENT_AT because
+      -- InferFiltersFromGenerate derives size(transform(...)) > 0
+      -- from the explode and merges it into the SAME Filter node as
+      -- this guard, so a plain ELEMENT_AT still evaluates (and
+      -- throws) on the guarded-out rows.
+      WHERE SIZE(tk) >= 2),
 bc AS (SELECT doc_id, big, COUNT(*) AS c FROM b GROUP BY doc_id, big),
 bt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS maxc,
               CAST(SUM(c) AS DOUBLE) AS nb FROM bc GROUP BY doc_id)
@@ -4060,9 +4068,12 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 WITH toks AS (SELECT doc_id, SPLIT(text, ' ') AS t FROM documents),
 big AS (SELECT doc_id,
                TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
-                         i -> STRUCT(ELEMENT_AT(t, i) AS w1,
-                                     ELEMENT_AT(t, i + 1) AS w2)) AS bs
-        FROM toks),
+                         i -> STRUCT(TRY_ELEMENT_AT(t, i) AS w1,
+                                     TRY_ELEMENT_AT(t, i + 1) AS w2)) AS bs
+        -- SIZE >= 2 excludes 1-token docs (sf1); TRY_ELEMENT_AT
+        -- because InferFiltersFromGenerate evaluates the transform in
+        -- the same Filter node as the guard (see q143)
+        FROM toks WHERE SIZE(t) >= 2),
 pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
           FROM big LATERAL VIEW EXPLODE(bs) x AS b),
 cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
@@ -4246,11 +4257,15 @@ FROM reach GROUP BY tok ORDER BY depth, tok
 """,
    engine_sql="""
 WITH RECURSIVE edges AS (
+  -- SIZE(t) >= 2 guard: Spark's SEQUENCE(1, 0) is the DESCENDING
+  -- [1, 0], so a single-token doc (exists at sf1) would drive
+  -- ELEMENT_AT(t, 2) out of bounds (same guard as ngrams_col)
   SELECT DISTINCT b.src, b.dst FROM (
     SELECT EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
-             i -> STRUCT(ELEMENT_AT(t, i) AS src,
-                         ELEMENT_AT(t, i + 1) AS dst))) AS b
-    FROM (SELECT SPLIT(text, ' ') AS t FROM documents) s) x
+             i -> STRUCT(TRY_ELEMENT_AT(t, i) AS src,
+                         TRY_ELEMENT_AT(t, i + 1) AS dst))) AS b
+    FROM (SELECT SPLIT(text, ' ') AS t FROM documents
+          WHERE SIZE(SPLIT(text, ' ')) >= 2) s) x
   WHERE b.src <> b.dst
 ),
 reach (tok, lvl) AS (
@@ -13188,7 +13203,9 @@ WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
      g AS (SELECT doc_id,
                   ARRAY_JOIN(SLICE(tok, i, 4), ' ') AS gram
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 3)) u AS i),
+                  SEQUENCE(1, SIZE(tok) - 3)) u AS i
+           -- SIZE >= 4 guard vs Spark's descending SEQUENCE (sf1)
+           WHERE SIZE(tok) >= 4),
      s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS d
            FROM g GROUP BY doc_id)
@@ -13729,7 +13746,9 @@ WITH sp AS (SELECT doc_id, text,
      g AS (SELECT DISTINCT part,
                   ARRAY_JOIN(SLICE(tok, i, 5), ' ') AS gram
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 4)) u AS i),
+                  SEQUENCE(1, SIZE(tok) - 4)) u AS i
+           -- SIZE >= 5 guard vs Spark's descending SEQUENCE (sf1)
+           WHERE SIZE(tok) >= 5),
      tr AS (SELECT gram FROM g WHERE part = 'train'),
      te AS (SELECT gram FROM g WHERE part = 'test'),
      ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS shared
@@ -16256,7 +16275,9 @@ GROUP BY sz.topn ORDER BY top_n
 WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
      g AS (SELECT ARRAY_JOIN(SLICE(tok, i, 3), ' ') AS gram
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 2)) u AS i),
+                  SEQUENCE(1, SIZE(tok) - 2)) u AS i
+           -- SIZE >= 3 guard vs Spark's descending SEQUENCE (sf1)
+           WHERE SIZE(tok) >= 3),
      f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
            GROUP BY gram),
      -- coverage only reads the top-1000 grams; distinct trigrams
