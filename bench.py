@@ -167,7 +167,36 @@ def main() -> None:
     }
     if ingest_rates:
         out["ingest"] = ingest_rates
-    print(json.dumps(out))
+
+    # Transport contract (round-6 lesson): the driver captures a
+    # bounded TAIL of stdout and JSON-parses the last line — round 6's
+    # single rich ~2.9 KB line got its head cut off and BENCH_r06.json
+    # recorded "parsed": null. So: the FULL artifact goes to a
+    # committed file (BENCH_full.json, also $BENCH_FULL_OUT), and the
+    # last stdout line is a compact summary budgeted well under 1.5 KB
+    # (metric/value/per-query medians/control median+vs_ref/sf only).
+    full_path = os.environ.get("BENCH_FULL_OUT", "BENCH_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+    except OSError as e:
+        print(f"full-artifact write skipped: {e!r}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": out["sf"],
+        "control": {"median": round(ctl_median, 3),
+                    "vs_ref": round(vs_ref, 3)},
+        "full": full_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard budget: drop per-query detail first
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()
+                              if not k.startswith("ingest")}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

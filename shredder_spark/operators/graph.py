@@ -72,23 +72,24 @@ def pagerank(
 def token_adjacency_edges(documents: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Directed token-adjacency graph: an edge (w1 -> w2) for every
     distinct consecutive token pair in the corpus (bigram support)."""
-    # size >= 2: Spark's sequence(1, 0) is the DESCENDING [1, 0], so a
-    # single-token doc (exists at sf1) would index out of bounds.
-    # try_element_at, not element_at: InferFiltersFromGenerate derives
-    # size(transform(...)) > 0 from the explode and merges it into the
-    # SAME Filter node as the size guard, so a plain element_at still
-    # evaluates (and throws) on the guarded-out rows.
-    toks = (documents.select(F.split(F.col(text_col), " ").alias("t"))
-            .filter(F.size("t") >= 2))
-    pairs = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.try_element_at("t", i).alias("src"),
-                    F.try_element_at("t", i + 1).alias("dst"),
-                ),
-            )
-        ).alias("p")
-    )
+    # TOTAL expression, not a filter guard: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0], and a WHERE-style size guard does not
+    # protect the transform — InferFiltersFromGenerate derives
+    # size(transform(...)) > 0 from the explode and merges it into
+    # the SAME Filter node, so the lambda still evaluates on
+    # guarded-out rows (try_element_at(t, 0) throws
+    # INVALID_INDEX_OF_ZERO on the descending sequence). when()
+    # short-circuits per row, making the column safe on any doc.
+    toks = documents.select(F.split(F.col(text_col), " ").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("src"),
+                F.element_at("t", i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    pairs = toks.select(F.explode(bigrams).alias("p"))
     return pairs.select("p.src", "p.dst").distinct()

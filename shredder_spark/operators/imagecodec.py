@@ -243,6 +243,21 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     (compression,) = struct.unpack_from("<I", data, 30)
     if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(=raw for 32)
         raise ValueError(f"BMP: compression {compression} unsupported")
+    if compression == 3:
+        # BI_BITFIELDS: the pixel layout is whatever the channel masks
+        # say. This decoder's fast path assumes the default BGR(A)
+        # layout — honor that only when the masks actually match it,
+        # and fail loudly otherwise instead of silently swapping
+        # channels (round-6 ADVICE: a nonstandard-mask BMP would have
+        # decoded with R and B exchanged, corrupting mean_luma with no
+        # error). Masks sit right after the 40-byte info header (or
+        # inside it for BITMAPV2+ headers, same offset either way).
+        r_mask, g_mask, b_mask = struct.unpack_from("<III", data, 14 + 40)
+        if (r_mask, g_mask, b_mask) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                "BMP: BI_BITFIELDS with non-default channel masks "
+                f"(R={r_mask:#010x} G={g_mask:#010x} B={b_mask:#010x}) "
+                "unsupported — default BGRA masks only")
     top_down = height_raw < 0
     height = abs(height_raw)
     if bpp == 8:

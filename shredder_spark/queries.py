@@ -1551,8 +1551,14 @@ ORDER BY i, j
 """,
    engine_sql="""
 WITH t AS (
-  SELECT doc_id, ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, LENGTH(text)-2),
-                                          i -> SUBSTRING(text, i, 3))) AS g
+  SELECT doc_id,
+         -- total expression: IF short-circuits per row, so the
+         -- descending SEQUENCE(1, <0) never materializes even when
+         -- Catalyst re-orders predicates (see q143)
+         IF(LENGTH(text) >= 3,
+            ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, LENGTH(text)-2),
+                                     i -> SUBSTRING(text, i, 3))),
+            ARRAY()) AS g
   FROM documents WHERE doc_id < 100 AND LENGTH(text) >= 3)
 SELECT a.doc_id AS i, b.doc_id AS j,
        ROUND(SIZE(ARRAY_INTERSECT(a.g,b.g)) /
@@ -1976,16 +1982,20 @@ ORDER BY t.doc_id
    engine_sql="""
 WITH t AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents),
 b AS (SELECT doc_id, big FROM t
-      LATERAL VIEW EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(tk) - 1),
-          i -> CONCAT(TRY_ELEMENT_AT(tk, i), ' ',
-                      TRY_ELEMENT_AT(tk, i + 1)))) x AS big
-      -- SIZE >= 2 excludes 1-token docs (exist at sf1): Spark's
-      -- SEQUENCE(1, 0) is DESCENDING [1, 0]. TRY_ELEMENT_AT because
-      -- InferFiltersFromGenerate derives size(transform(...)) > 0
-      -- from the explode and merges it into the SAME Filter node as
-      -- this guard, so a plain ELEMENT_AT still evaluates (and
-      -- throws) on the guarded-out rows.
-      WHERE SIZE(tk) >= 2),
+      -- TOTAL expression, not a filter guard: 1-token docs exist at
+      -- sf1 and Spark's SEQUENCE(1, 0) is the DESCENDING [1, 0].
+      -- A WHERE guard is NOT enough — InferFiltersFromGenerate
+      -- derives size(transform(...)) > 0 from the explode and merges
+      -- it into the SAME Filter node, so the transform still
+      -- evaluates on guarded-out rows (and try_element_at(tk, 0)
+      -- still throws INVALID_INDEX_OF_ZERO). IF short-circuits per
+      -- row, making the whole expression safe on any input.
+      LATERAL VIEW EXPLODE(
+          IF(SIZE(tk) >= 2,
+             TRANSFORM(SEQUENCE(1, SIZE(tk) - 1),
+                 i -> CONCAT(ELEMENT_AT(tk, i), ' ',
+                             ELEMENT_AT(tk, i + 1))),
+             ARRAY())) x AS big),
 bc AS (SELECT doc_id, big, COUNT(*) AS c FROM b GROUP BY doc_id, big),
 bt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS maxc,
               CAST(SUM(c) AS DOUBLE) AS nb FROM bc GROUP BY doc_id)
@@ -2605,9 +2615,13 @@ _q("q176_array_batch5",
 WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
            FROM documents WHERE doc_id < 50)
 SELECT doc_id,
-       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
-         [x FOR x IN tk IF NOT LIST_CONTAINS(['the', 'a', 'of'], x)])), ',') AS ex,
-       ARRAY_TO_STRING([x FOR x IN tk IF x != 'the'], ',') AS rm,
+       -- COALESCE: DuckDB's ARRAY_TO_STRING of an EMPTY list is NULL
+       -- where Spark's ARRAY_JOIN is '' (1-token docs hit this)
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+         [x FOR x IN tk IF NOT LIST_CONTAINS(['the', 'a', 'of'], x)])), ','),
+         '') AS ex,
+       COALESCE(ARRAY_TO_STRING([x FOR x IN tk IF x != 'the'], ','), '')
+         AS rm,
        CAST(LEN(tk) AS BIGINT) AS nz
 FROM t ORDER BY doc_id
 """,
@@ -2869,8 +2883,14 @@ GROUP BY c.doc_id ORDER BY c.doc_id
    engine_sql="""
 WITH tok AS (SELECT doc_id, SPLIT(text, ' ') AS tk FROM documents),
 g AS (SELECT doc_id,
-             ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, SIZE(tk) - 4),
-                            i -> ARRAY_JOIN(SLICE(tk, i, 5), ' '))) AS gs
+             -- total expression (IF, not just the WHERE guard):
+             -- InferFiltersFromGenerate evaluates the transform on
+             -- guarded-out rows and SLICE has no try_ variant (see
+             -- q143 for the full mechanism)
+             IF(SIZE(tk) >= 5,
+                ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, SIZE(tk) - 4),
+                               i -> ARRAY_JOIN(SLICE(tk, i, 5), ' '))),
+                ARRAY()) AS gs
       FROM tok WHERE SIZE(tk) >= 5),
 bench AS (SELECT DISTINCT EXPLODE(gs) AS gram FROM g WHERE doc_id % 10 = 0),
 cand AS (SELECT doc_id, gram FROM g LATERAL VIEW EXPLODE(gs) AS gram
@@ -3670,9 +3690,28 @@ SELECT * EXCEPT (c_name, c_mktsegment) FROM customer ORDER BY ALL
 # [a-z0-9 ]-only, so form-encoding is exactly space→'+' and the
 # oracle can reconstruct it with REPLACE.
 _q("q231_url_codec",
+   # The oracle models java.net.URLEncoder faithfully over UTF-8
+   # BYTES (unreserved [A-Za-z0-9*-._] kept, space → '+', every other
+   # byte → %XX uppercase) — a plain REPLACE(text,' ','+') only agrees
+   # on ASCII corpora and diverged on accented/CJK degenerate docs.
    oracle="""
-SELECT doc_id, REPLACE(text, ' ', '+') AS enc, text AS rt
-FROM documents ORDER BY doc_id
+WITH h AS (SELECT doc_id, text, HEX(ENCODE(text)) AS hx FROM documents),
+b AS (SELECT doc_id, i, SUBSTR(hx, 2*i - 1, 2) AS pair,
+             CAST(('0x' || SUBSTR(hx, 2*i - 1, 2)) AS INT) AS byte
+      FROM h, UNNEST(GENERATE_SERIES(1, CAST(LENGTH(hx)/2 AS BIGINT)))
+        AS u(i)),
+e AS (SELECT doc_id,
+             STRING_AGG(CASE WHEN byte = 32 THEN '+'
+                             WHEN (byte BETWEEN 48 AND 57)
+                               OR (byte BETWEEN 65 AND 90)
+                               OR (byte BETWEEN 97 AND 122)
+                               OR byte IN (42, 45, 46, 95) THEN CHR(byte)
+                             ELSE '%' || UPPER(pair) END,
+                        '' ORDER BY i) AS enc
+      FROM b GROUP BY doc_id)
+SELECT h.doc_id, COALESCE(e.enc, '') AS enc, h.text AS rt
+FROM h LEFT JOIN e ON e.doc_id = h.doc_id
+ORDER BY h.doc_id
 """,
    engine_sql="""
 SELECT doc_id, URL_ENCODE(text) AS enc,
@@ -4067,12 +4106,15 @@ GROUP BY p.doc_id ORDER BY p.doc_id
    engine_sql="""
 WITH toks AS (SELECT doc_id, SPLIT(text, ' ') AS t FROM documents),
 big AS (SELECT doc_id,
-               TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
-                         i -> STRUCT(TRY_ELEMENT_AT(t, i) AS w1,
-                                     TRY_ELEMENT_AT(t, i + 1) AS w2)) AS bs
-        -- SIZE >= 2 excludes 1-token docs (sf1); TRY_ELEMENT_AT
-        -- because InferFiltersFromGenerate evaluates the transform in
-        -- the same Filter node as the guard (see q143)
+               -- total expression: TRY_ELEMENT_AT(t, 0) STILL throws
+               -- INVALID_INDEX_OF_ZERO on the descending SEQUENCE(1,0)
+               -- (try_ only suppresses out-of-bounds, not index zero),
+               -- so the guard must be the IF itself (see q143)
+               IF(SIZE(t) >= 2,
+                  TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
+                            i -> STRUCT(ELEMENT_AT(t, i) AS w1,
+                                        ELEMENT_AT(t, i + 1) AS w2)),
+                  ARRAY()) AS bs
         FROM toks WHERE SIZE(t) >= 2),
 pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
           FROM big LATERAL VIEW EXPLODE(bs) x AS b),
@@ -4257,15 +4299,16 @@ FROM reach GROUP BY tok ORDER BY depth, tok
 """,
    engine_sql="""
 WITH RECURSIVE edges AS (
-  -- SIZE(t) >= 2 guard: Spark's SEQUENCE(1, 0) is the DESCENDING
-  -- [1, 0], so a single-token doc (exists at sf1) would drive
-  -- ELEMENT_AT(t, 2) out of bounds (same guard as ngrams_col)
+  -- total expression (IF, not a filter guard): 1-token docs exist at
+  -- sf1 and the descending SEQUENCE(1, 0) drives TRY_ELEMENT_AT(t, 0)
+  -- into INVALID_INDEX_OF_ZERO even behind a WHERE (see q143)
   SELECT DISTINCT b.src, b.dst FROM (
-    SELECT EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
-             i -> STRUCT(TRY_ELEMENT_AT(t, i) AS src,
-                         TRY_ELEMENT_AT(t, i + 1) AS dst))) AS b
-    FROM (SELECT SPLIT(text, ' ') AS t FROM documents
-          WHERE SIZE(SPLIT(text, ' ')) >= 2) s) x
+    SELECT EXPLODE(IF(SIZE(t) >= 2,
+             TRANSFORM(SEQUENCE(1, SIZE(t) - 1),
+               i -> STRUCT(ELEMENT_AT(t, i) AS src,
+                           ELEMENT_AT(t, i + 1) AS dst)),
+             ARRAY())) AS b
+    FROM (SELECT SPLIT(text, ' ') AS t FROM documents) s) x
   WHERE b.src <> b.dst
 ),
 reach (tok, lvl) AS (
@@ -4594,7 +4637,11 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 WITH words AS (SELECT EXPLODE(SPLIT(LOWER(text), ' ')) AS w FROM documents),
      w2 AS (SELECT w FROM words WHERE LENGTH(w) >= 2),
      pairs AS (SELECT SUBSTRING(w, i, 2) AS pair
-               FROM w2 LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(w) - 1)) t AS i)
+               -- total: empty-string tokens make SEQUENCE(1, -1)
+               -- descend and emit phantom i<=0 rows (see q143)
+               FROM w2 LATERAL VIEW EXPLODE(
+                    IF(LENGTH(w) >= 2, SEQUENCE(1, LENGTH(w) - 1),
+                       ARRAY())) t AS i)
 SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
 FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """)
@@ -8264,8 +8311,12 @@ FROM r WHERE rk <= 10 ORDER BY lang, rk
 """,
    engine_sql="""
 WITH b AS (SELECT lang, SUBSTR(text, i, 2) AS bg
+           -- total: docs shorter than 2 chars make SEQUENCE(1, <1)
+           -- descend and emit phantom i<=0 rows (see q143)
            FROM documents
-           LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(text) - 1)) g AS i
+           LATERAL VIEW EXPLODE(
+               IF(LENGTH(text) >= 2, SEQUENCE(1, LENGTH(text) - 1),
+                  ARRAY())) g AS i
            WHERE doc_id < 100),
      c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY lang, bg),
      r AS (SELECT lang, bg, n,
@@ -10340,8 +10391,13 @@ GROUP BY f.doc_id ORDER BY f.doc_id
 """,
    engine_sql="""
 WITH c AS (SELECT doc_id, SUBSTR(text, i, 1) AS ch
+           -- total: the empty doc (exists at sf1) makes SEQUENCE(1,0)
+           -- the DESCENDING [1, 0], emitting two phantom '' rows that
+           -- DuckDB's empty GENERATE_SERIES(1,0) does not (see q143)
            FROM documents
-           LATERAL VIEW EXPLODE(SEQUENCE(1, LENGTH(text))) g AS i),
+           LATERAL VIEW EXPLODE(
+               IF(LENGTH(text) >= 1, SEQUENCE(1, LENGTH(text)),
+                  ARRAY())) g AS i),
      f AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS n
            FROM c GROUP BY doc_id, ch),
      t AS (SELECT doc_id, SUM(n) AS nt FROM f GROUP BY doc_id)
@@ -13202,10 +13258,11 @@ FROM s ORDER BY doc_id
 WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
      g AS (SELECT doc_id,
                   ARRAY_JOIN(SLICE(tok, i, 4), ' ') AS gram
+           -- total (IF, not WHERE): the descending SEQUENCE would
+           -- feed SLICE(tok, i<=0, ·), which throws (see q143)
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 3)) u AS i
-           -- SIZE >= 4 guard vs Spark's descending SEQUENCE (sf1)
-           WHERE SIZE(tok) >= 4),
+                  IF(SIZE(tok) >= 4, SEQUENCE(1, SIZE(tok) - 3),
+                     ARRAY())) u AS i),
      s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS d
            FROM g GROUP BY doc_id)
@@ -13745,10 +13802,10 @@ WITH sp AS (SELECT doc_id, text,
      t AS (SELECT part, doc_id, SPLIT(text,' ') AS tok FROM sp),
      g AS (SELECT DISTINCT part,
                   ARRAY_JOIN(SLICE(tok, i, 5), ' ') AS gram
+           -- total (IF, not WHERE): see q143 / q539
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 4)) u AS i
-           -- SIZE >= 5 guard vs Spark's descending SEQUENCE (sf1)
-           WHERE SIZE(tok) >= 5),
+                  IF(SIZE(tok) >= 5, SEQUENCE(1, SIZE(tok) - 4),
+                     ARRAY())) u AS i),
      tr AS (SELECT gram FROM g WHERE part = 'train'),
      te AS (SELECT gram FROM g WHERE part = 'test'),
      ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS shared
@@ -16274,10 +16331,10 @@ GROUP BY sz.topn ORDER BY top_n
    engine_sql="""
 WITH t AS (SELECT doc_id, SPLIT(text,' ') AS tok FROM documents),
      g AS (SELECT ARRAY_JOIN(SLICE(tok, i, 3), ' ') AS gram
+           -- total (IF, not WHERE): see q143 / q539
            FROM t LATERAL VIEW EXPLODE(
-                  SEQUENCE(1, SIZE(tok) - 2)) u AS i
-           -- SIZE >= 3 guard vs Spark's descending SEQUENCE (sf1)
-           WHERE SIZE(tok) >= 3),
+                  IF(SIZE(tok) >= 3, SEQUENCE(1, SIZE(tok) - 2),
+                     ARRAY())) u AS i),
      f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
            GROUP BY gram),
      -- coverage only reads the top-1000 grams; distinct trigrams

@@ -88,6 +88,7 @@ _NB = 16                      # pb (prune-bucket) partitions per epoch
 
 _EPOCH_DIR = re.compile(r"^epoch=(-?\d+)$")      # new layout
 _LEGACY_DIR = re.compile(r"^epoch_(\d+)$")       # pre-round-6 layout
+_LEGACY_COMPACT = re.compile(r"^compact_(\d+)$")  # pre-round-6 compactions
 
 
 def _pb_of(col: str):
@@ -139,8 +140,13 @@ class IncrementalNearDup:
         all work — no driver-local ``os.path`` probe).
 
         → (new_epochs: {epoch_id: dir}, legacy_epochs: {epoch_id: dir},
-           legacy_flat: [file]). Negative new-epoch ids are compact
-        generations."""
+           legacy_flat: [file | dir]). Negative new-epoch ids are
+        compact generations. Pre-round-6 ``compact_<n>`` directories
+        (the old compaction layout) land in legacy_flat: they are read
+        recursively like flat appends, are always foldable (they have
+        no epoch id a replay could need to exclude), and are deleted
+        once the next compaction folds them into an ``epoch=-<gen>``
+        partition set."""
         fs, p = self._fs(path)
         new_eps: dict[int, str] = {}
         leg_eps: dict[int, str] = {}
@@ -157,6 +163,9 @@ class IncrementalNearDup:
                 m = _LEGACY_DIR.match(name)
                 if m:
                     leg_eps[int(m.group(1))] = str(st.getPath())
+                    continue
+                if _LEGACY_COMPACT.match(name):
+                    flat.append(str(st.getPath()))
             elif name.endswith(".parquet"):
                 flat.append(str(st.getPath()))
         return new_eps, leg_eps, flat
@@ -334,7 +343,17 @@ class IncrementalNearDup:
         and the state read excludes that partition, so at-least-once
         replays of the same epoch see the pre-epoch state and admit
         the same docs. Without it (direct batch use), the next free
-        epoch id is auto-assigned (same layout, no replay concern)."""
+        epoch id is auto-assigned (same layout, no replay concern).
+
+        SINGLE WRITER REQUIRED on the direct batch path: the
+        auto-assigned epoch is list-then-write, so two concurrent
+        writers against the same state_dir can pick the same id and
+        dynamic-overwrite each other's ``pb`` partitions (silently
+        losing one writer's state rows). This mirrors Structured
+        Streaming's own contract — one query per checkpoint/state
+        dir; micro-batches within a query commit serially. Concurrent
+        ingest belongs in ONE stream (union the sources upstream), not
+        in parallel writers sharing a state dir."""
         self._maybe_autocompact()
         src = batch.select(F.col(id_col).cast("long").alias("id"),
                            F.col(text_col).alias("_text"))

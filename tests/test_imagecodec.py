@@ -143,6 +143,28 @@ def test_bmp_32bit_and_topdown():
     np.testing.assert_array_equal(got, rgb)
 
 
+def test_bmp_bitfields_masks():
+    """BI_BITFIELDS: default BGRA masks decode; nonstandard masks fail
+    loudly instead of silently swapping channels (round-6 ADVICE)."""
+    rgb = _img(2, 2, seed=7)
+    bgra = np.zeros((2, 2, 4), dtype=np.uint8)
+    bgra[:, :, :3] = rgb[:, :, ::-1]
+    pixels = bgra.tobytes()
+
+    def bmp(masks):
+        dib = (struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 3,
+                           len(pixels), 2835, 2835, 0, 0)
+               + struct.pack("<III", *masks))
+        off = 14 + len(dib)
+        return (struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+                + dib + pixels)
+
+    w, h, got = ic.decode_bmp(bmp((0x00FF0000, 0x0000FF00, 0x000000FF)))
+    np.testing.assert_array_equal(got, rgb)
+    with pytest.raises(ValueError, match="non-default channel masks"):
+        ic.decode_bmp(bmp((0x000000FF, 0x0000FF00, 0x00FF0000)))  # RGBA order
+
+
 def test_bmp_8bit_palette():
     pal = b"".join(bytes([i, 0, 255 - i, 0]) for i in range(256))  # BGRX
     idx = np.arange(8, dtype=np.uint8).reshape(2, 4)

@@ -334,3 +334,48 @@ def test_legacy_state_layout_still_readable(spark, docs, tmp_path):
     # the keepers minus what b1 already occupied
     assert (seen_b1 | a2 | a3) >= keepers
     assert (a2 | a3) == {k for k in keepers if k not in seen_b1}
+
+
+def test_legacy_compact_dir_still_readable(spark, docs, tmp_path):
+    """State compacted by the PRE-round-6 compact_state (plain-parquet
+    ``compact_<n>`` subdirs, no epoch/pb partitioning) is read, used
+    for dedup decisions, and folded + deleted by the next compaction
+    (round-6 ADVICE: _list_state silently dropped these dirs, so
+    upgrading an old compacted state dir lost all its dedup state)."""
+    state = str(tmp_path / "state")
+    b1, b2, b3 = _batches(docs, 3)
+    op = IncrementalNearDup(spark, state, **LSH)
+    # simulate the old compaction output for batch 1: one plain
+    # parquet dir named compact_1 under each state root
+    src = b1.select(F.col("doc_id").cast("long").alias("id"),
+                    F.col("text").alias("_text"))
+    from shredder_spark.operators.dedup import (
+        minhash_from_hashes, token_hashes, tokens_col)
+    hashes = (src.select(
+        "id", F.transform(tokens_col(F.col("_text")),
+                          lambda x: F.xxhash64(x)).alias("tok"))
+        .select("id", "tok", F.size("tok").cast("int").alias("n")))
+    sig = (src.select("id", token_hashes(F.col("_text")).alias("_hs"))
+           .select("id", minhash_from_hashes(
+               F.col("_hs"), LSH["num_perm"], LSH["seed"]).alias("_sig")))
+    op._banded(sig).write.parquet(os.path.join(state, "bands", "compact_1"))
+    hashes.write.parquet(os.path.join(state, "hashes", "compact_1"))
+    seen_b1 = {r.id for r in src.select("id").collect()}
+    # the old compact generation is visible to state reads
+    assert {r.id for r in op.state_bands().select("id").distinct()
+            .collect()} == seen_b1
+    a2 = {r.doc_id for r in op.process_batch(b2, epoch_id=1).collect()}
+    op.compact_state()
+    # the legacy compact_<n> dirs are folded away...
+    for root in ("bands", "hashes"):
+        leftover = [n for n in os.listdir(os.path.join(state, root))
+                    if n.startswith("compact_")]
+        assert not leftover, leftover
+    # ...and their rows survive the fold
+    assert {r.id for r in op.state_bands().select("id").distinct()
+            .collect()} >= seen_b1
+    a3 = {r.doc_id for r in op.process_batch(b3, epoch_id=2).collect()}
+    keepers = {r.doc_id for r in
+               dedupe_keepers(docs, "doc_id", "text",
+                              max_bucket_size=10**6, **LSH).collect()}
+    assert (a2 | a3) == {k for k in keepers if k not in seen_b1}

@@ -223,6 +223,22 @@ def test_no_raw_row_global_windows_lint():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_no_unguarded_descending_sequence_lint():
+    """Registry lint: every SEQUENCE(1, x) whose upper bound can go
+    below 1 must sit inside an IF/CASE total expression — Spark's
+    SEQUENCE(1, 0) is the DESCENDING [1, 0], and WHERE guards do not
+    protect the generator expression from Catalyst's
+    InferFiltersFromGenerate (q249/q189/q459 all broke at sf1 on
+    empty/1-token docs before round 7 made the family total)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/lint_descending_sequence.py"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 GLOBAL_WINDOW_REWRITES = [
     # round-5 scale rewrites of the round-4 raw-row global windows:
     # builders route through operators/scale_windows.py, SQL rewrites

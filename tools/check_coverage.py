@@ -39,7 +39,10 @@ def main() -> int:
     # query number (this is what drifted in rounds 2-3)
     hi = max(int(re.match(r"q(\d+)", n).group(1)) for n in Q.registry())
     readme = open("/root/repo/README.md").read()
-    m = re.search(r"[Qq]01–[Qq]?(\d+)", readme)
+    # anchor on the word "registry" near the range so an unrelated
+    # q01–<n> mention elsewhere can't satisfy the check while the
+    # actual registry line goes stale (round-6 ADVICE)
+    m = re.search(r"registry\s*\([Qq]01–[Qq]?(\d+)", readme)
     if not m or int(m.group(1)) != hi:
         print(f"README registry range stale: says Q{m.group(1) if m else '?'}"
               f", registry ends at q{hi}")
