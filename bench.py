@@ -57,34 +57,11 @@ HEADLINE = [
 
 CYCLES = 3          # timed reps per headline query (median reported)
 
-# Pinned reference median of the control on this VM (measured at the
-# control's introduction, round 6, 2026-08-14, local[32], steady
-# state, interleaved inside the full sf0.1 bench session). vs_ref = this session's control median / CONTROL_REF_S is
-# the session's VM speed factor. DO NOT re-pin when the VM feels slow
-# — that is exactly the drift this exists to expose.
-CONTROL_REF_S = 0.40
-
-
-def _drain(df) -> None:
-    # Execute the full plan (no column pruning shortcut, nothing
-    # collected to the driver).
-    df.write.format("noop").mode("overwrite").save()
-
-
-def _control(spark) -> None:
-    """FROZEN control workload — see module docstring. No parquet, no
-    registry: range scan → modular projection → 97-group agg →
-    running-sum window, one shuffle + one window, all codegen."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    df = (spark.range(0, 20_000_000, 1, 32)
-          .select((F.col("id") % 97).alias("k"),
-                  (F.col("id") * 2654435761 % 1000003).alias("v")))
-    agg = df.groupBy("k").agg(F.sum("v").alias("s"), F.avg("v").alias("a"),
-                              F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    _drain(agg.select("k", "s", "a", "c", F.sum("s").over(w).alias("rs")))
+# Control workload + pinned reference shared with the sweep tools so
+# every committed artifact carries the same session-speed stamp
+# (shredder_spark/benchcontrol.py holds the do-not-re-pin warning).
+from shredder_spark.benchcontrol import (  # noqa: E402
+    CONTROL_REF_S, control_once as _control, drain as _drain)
 
 
 def main() -> None:

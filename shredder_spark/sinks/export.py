@@ -14,6 +14,12 @@ Kafka routing builds the Confluent-framed, partition-pinned batch
 env/SSL option surface from :mod:`shredder_spark.sinks.config`; file
 routing writes snappy Avro OCF. Both sinks existed before this module;
 this adds only the reference's single-argument dispatch.
+
+Tier dispatch (round 7): when the spark-sql-kafka jar is absent (as
+in this container), the SAME prepared batch ships through the
+pure-Python Kafka wire tier (`sinks/kafka_wire.py`) with a logged
+downgrade — identical bytes on the broker, reduced throughput. SSL
+configs refuse the plaintext fallback loudly instead of downgrading.
 """
 
 from __future__ import annotations
@@ -61,15 +67,34 @@ def export(
     )
 
     cfg = config or KafkaConfig.from_env(bootstrap_servers=target)
-    if not have_kafka_datasource(df.sparkSession):
-        raise KafkaUnavailableError(
-            "spark-sql-kafka connector not on classpath; deploy "
-            "org.apache.spark:spark-sql-kafka-0-10_2.13 and a broker.")
     if check_topics and not cfg.ssl:
         # reference EnsureTopics fail-fast (plaintext metadata probe)
         ensure_topics([topic], cfg.bootstrap_servers)
     batch = prepare_kafka_batch(df, schema_id, key_col=key_col)
-    (batch.write.format("kafka")
-        .options(**cfg.producer_options())
-        .option("topic", topic)
-        .save())
+    if have_kafka_datasource(df.sparkSession):
+        (batch.write.format("kafka")
+            .options(**cfg.producer_options())
+            .option("topic", topic)
+            .save())
+        return
+    if cfg.ssl:
+        # the wire tier speaks PLAINTEXT only — never downgrade an
+        # SSL-configured export onto an unencrypted socket
+        raise KafkaUnavailableError(
+            "spark-sql-kafka connector not on classpath and the "
+            "pure-Python wire tier does not support SSL; deploy "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13.")
+    # connector-absent fallback: the same prepared (key, value,
+    # partition) batch ships over the pure-Python Kafka wire tier —
+    # one producer connection per task, partition column honored.
+    # Identical bytes on the broker; slower than the JVM producer
+    # (see KAFKA_BENCH: this is the jar-less tier, not the hot path).
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "spark-sql-kafka connector absent: exporting topic %r through "
+        "the pure-Python kafkawire tier (PLAINTEXT, reduced "
+        "throughput)", topic)
+    from shredder_spark.sinks.kafka_wire import write_kafka_wire
+
+    write_kafka_wire(batch, topic, cfg.bootstrap_servers)

@@ -142,21 +142,53 @@ def prepare_kafka_batch(
 # ------------------------------------------------------------- gated I/O
 
 
+def _warn_wire_tier(what: str, topic: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "spark-sql-kafka connector absent: %s topic %r through the "
+        "pure-Python kafkawire tier (PLAINTEXT, reduced throughput)",
+        what, topic)
+
+
 def write_kafka(df: DataFrame, topic: str, bootstrap_servers: str) -> None:
+    """Produce a prepared (key, value[, partition]) DataFrame. With
+    the connector on the classpath this is the JVM producer hot path;
+    without it (this container) the same batch ships through the
+    pure-Python wire tier — identical bytes on the broker, logged
+    tier downgrade (round-6 verdict task 7)."""
     if not have_kafka_datasource(df.sparkSession):
-        raise KafkaUnavailableError(
-            "spark-sql-kafka connector not on classpath; deploy "
-            "org.apache.spark:spark-sql-kafka-0-10_2.13 and a broker. "
-            "Use prepare_kafka_batch() to build/verify the payload offline.")
+        from shredder_spark.sinks.kafka_wire import write_kafka_wire
+
+        _warn_wire_tier("producing to", topic)
+        write_kafka_wire(df, topic, bootstrap_servers)
+        return
     (df.write.format("kafka")
        .option("kafka.bootstrap.servers", bootstrap_servers)
        .option("topic", topic)
        .save())
 
 
-def read_kafka_stream(spark, topic: str, bootstrap_servers: str) -> DataFrame:
+def read_kafka_stream(spark, topic: str, bootstrap_servers: str,
+                      partitions: list[int] | None = None) -> DataFrame:
+    """Streaming Kafka source. Connector present → ``format("kafka")``
+    (subscribe mode, JVM consumer). Connector absent → the
+    ``format("kafkawire")`` Python data source (B733), which needs the
+    partition list explicitly (the wire tier has no metadata-driven
+    subscribe; default [0]). Both return one row per record with
+    partition/offset/key/value columns."""
     if not have_kafka_datasource(spark):
-        raise KafkaUnavailableError("spark-sql-kafka connector not on classpath")
+        from shredder_spark.sources.kafka_wire_datasource import (
+            register_kafkawire_source)
+
+        _warn_wire_tier("streaming from", topic)
+        register_kafkawire_source(spark)
+        return (spark.readStream.format("kafkawire")
+                .option("bootstrap", bootstrap_servers)
+                .option("topic", topic)
+                .option("partitions",
+                        ",".join(str(p) for p in (partitions or [0])))
+                .load())
     return (spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("subscribe", topic)

@@ -37,16 +37,59 @@ def test_export_file_path_writes_ocf(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == list(range(10))
 
 
-def test_export_http_routes_to_kafka_and_gates(spark):
-    # no connector jar in this container: the http branch must reach
-    # the Kafka gate (proving dispatch), not the Avro writer
+def test_export_http_requires_topic(spark):
+    df = spark.range(3).selectExpr("id")
+    with pytest.raises(ValueError, match="topic"):
+        export(df, "https://localhost:9092")
+
+
+def test_export_ssl_never_downgrades_to_wire_tier(spark):
+    # connector absent + SSL configured: refuse loudly rather than
+    # shipping an SSL-intended export over a plaintext socket
     from shredder_spark.sinks.kafka import KafkaUnavailableError
 
     df = spark.range(3).selectExpr("id")
-    with pytest.raises(KafkaUnavailableError):
-        export(df, "http://localhost:9092", topic="t1")
-    with pytest.raises(ValueError, match="topic"):
-        export(df, "https://localhost:9092")
+    cfg = KafkaConfig(bootstrap_servers="localhost:9092",
+                      ssl={"kafka.ssl.truststore.location": "/ca.pem"})
+    with pytest.raises(KafkaUnavailableError, match="SSL"):
+        export(df, "https://localhost:9092", topic="t1",
+               config=cfg, check_topics=False)
+
+
+def test_export_http_round_trips_through_wire_tier(spark):
+    """Round-6 verdict task 7: with the connector absent, the SAME
+    public ``export()`` API round-trips end-to-end over the pure-
+    Python kafkawire tier — ensure_topics metadata probe, Confluent-
+    framed Avro values, partition pinning, real TCP."""
+    from tests.kafka_toy_broker import ToyKafkaBroker
+
+    from shredder_spark.sinks.kafka_wire import consume_all
+    from shredder_spark.sources.kafka_wire_datasource import (
+        register_kafkawire_source)
+
+    df = (spark.range(6).repartition(2)
+          .selectExpr("id", "cast(id as string) s"))
+    with ToyKafkaBroker() as broker:
+        # check_topics=False: the toy broker only knows a topic once
+        # it has records (ensure_topics has its own tests above)
+        export(df, f"http://{broker.bootstrap}", topic="exp",
+               schema_id=9, key_col="id", check_topics=False)
+        rows = []
+        for part in (0, 1):
+            rows.extend(consume_all(broker.bootstrap, "exp", part))
+        assert len(rows) == 6
+        # Confluent framing: magic 0 + big-endian schema id 9
+        for _off, key, value in rows:
+            assert value[0] == 0
+            assert struct.unpack(">i", value[1:5])[0] == 9
+        assert sorted(int(k) for _o, k, _v in rows) == list(range(6))
+        # and the read half: format("kafkawire") batch sees the same
+        register_kafkawire_source(spark)
+        got = (spark.read.format("kafkawire")
+               .option("bootstrap", broker.bootstrap)
+               .option("topic", "exp").option("partitions", "0,1")
+               .load().count())
+        assert got == 6
 
 
 # ---------------------------------------------------- env config (A29)

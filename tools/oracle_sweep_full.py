@@ -55,6 +55,9 @@ def main() -> None:
             failures[name] = [f"exception: {str(e)[:200]}"]
         print(f"{name} {'FAIL' if name in failures else 'ok'}",
               file=sys.stderr)
+    # session-speed stamp: every committed artifact self-describes the
+    # VM phase it was measured in (round-6 verdict task 8)
+    from shredder_spark.benchcontrol import control_stats
     out = {
         "metric": "oracle_sweep_full",
         "sf_dir": SF_DIR,
@@ -62,6 +65,7 @@ def main() -> None:
         "rows_only": n_rows_only,
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
+        "control": control_stats(spark),
     }
     # stdout can be polluted by JVM warnings (GC log lines go to the
     # process stdout); emit the artifact on the LAST line and also to

@@ -206,7 +206,16 @@ def main() -> None:
             sfs["1"]["minhash_candidates"]
             / max(sfs["0.1"]["minhash_candidates"], 1), 2)
         out["x10_ratios"] = slopes
+
+    # session-speed stamp: the artifact self-describes the VM phase it
+    # was measured in (round-6 verdict task 8)
+    from shredder_spark.benchcontrol import control_stats
+    out["control"] = control_stats(spark)
     print(json.dumps(out))
+    out_path = os.environ.get("SWEEP_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh)
 
 
 if __name__ == "__main__":
