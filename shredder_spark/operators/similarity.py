@@ -47,7 +47,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN/Inf) for zero-norm inputs: cosine is undefined
+    with no direction, and Spark sorts NaN GREATER than any number, so
+    a NaN sim from a degenerate vector would RANK FIRST in every
+    desc-ordered top-k; NULL sorts last under desc and drops out of
+    ``>= threshold`` filters."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
@@ -77,6 +83,9 @@ def cosine_topk_blocked(
     ensure_package_on_executors(embeddings.sparkSession)
     qv = np.asarray(query, dtype=np.float64)
     qn = float(np.linalg.norm(qv))
+    if qn == 0.0:
+        raise ValueError("cosine_topk_blocked: zero-norm query vector "
+                         "(cosine similarity undefined)")
 
     src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
@@ -87,9 +96,18 @@ def cosine_topk_blocked(
             if pdf.empty:
                 continue
             mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            # drop zero-norm corpus rows (cosine undefined; the exact
+            # tier excludes them via NULL sims — same contract here)
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            if not keep.all():
+                mat, norms = mat[keep], norms[keep]
+                pdf = pdf.iloc[keep]
+            if not len(pdf):
+                continue
             # round before ranking so tie-breaks match the exact tier's
             # ORDER BY round(sim,2) DESC, id (Q43 determinism convention)
-            sims = np.round((mat @ qv) / (np.linalg.norm(mat, axis=1) * qn), 2)
+            sims = np.round((mat @ qv) / (norms * qn), 2)
             ids = pdf["id"].to_numpy()
             idx = np.lexsort((ids, -sims))[:k]
             best_ids.append(ids[idx])
@@ -107,9 +125,15 @@ def cosine_topk_blocked(
 
 
 def normalized(vec: Column) -> Column:
-    """Unit-normalize once so pair scoring is a plain dot product."""
+    """Unit-normalize once so pair scoring is a plain dot product.
+
+    Zero-norm vectors → NULL array (not a 0/0 NaN array): downstream
+    dot products become NULL, which every ``>= threshold`` filter
+    drops and every sign-LSH bucket join skips (NULL keys don't
+    match) — degenerate vectors are excluded from similarity results
+    instead of poisoning them with NaN."""
     n = norm(as_double(vec))
-    return F.transform(as_double(vec), lambda x: x / n)
+    return F.when(n > 0, F.transform(as_double(vec), lambda x: x / n))
 
 
 def cosine_pairs_exact(

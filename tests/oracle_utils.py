@@ -63,19 +63,151 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+# Above this many rows, the row-at-a-time Python compare dominates the
+# sweep (collect + per-tuple canon on multi-million-row sf1 results ran
+# ~100 s/query); the Arrow path compares the same values vectorized.
+ARROW_COMPARE_THRESHOLD = 50_000
+
+
+class _ArrowCompareUnsupported(Exception):
+    """Raised when a result type has no vectorized canon — the caller
+    falls back to the row-at-a-time compare."""
+
+
+def _arrow_to_tuples(tbl) -> list[tuple]:
+    cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return list(zip(*cols)) if cols else []
+
+
+def _canon_series(s):
+    """Vectorized version of _canon for one pandas column."""
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(s):
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.astype("datetime64[us]"), "other"
+    if pd.api.types.is_float_dtype(s):
+        return s.astype(np.float64), "float"
+    if pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+        return s, "other"
+    if s.dtype == object:
+        head = s.dropna().head(3).tolist()
+        if any(isinstance(v, Decimal) for v in head):
+            return s.astype(np.float64), "float"
+        if any(isinstance(v, (list, dict, tuple, np.ndarray)) for v in head):
+            raise _ArrowCompareUnsupported(str(type(head[0])))
+        if any(isinstance(v, (datetime.date, datetime.datetime)) for v in head):
+            return s.map(_canon), "other"
+        return s, "other"          # strings / bytes
+    raise _ArrowCompareUnsupported(str(s.dtype))
+
+
+def _compare_arrow(engine_cols, engine_tbl, oracle_cols, oracle_tbl) -> list[str]:
+    """Order-insensitive vectorized compare of two Arrow tables with
+    the same float tolerance as the row path."""
+    import numpy as np
+
+    problems: list[str] = []
+    if sorted(engine_cols) != sorted(oracle_cols):
+        problems.append(f"columns differ: engine={sorted(engine_cols)} "
+                        f"oracle={sorted(oracle_cols)}")
+        return problems
+    if engine_tbl.num_rows != oracle_tbl.num_rows:
+        problems.append(f"row count differs: engine={engine_tbl.num_rows} "
+                        f"oracle={oracle_tbl.num_rows}")
+        return problems
+
+    frames = []
+    kinds: dict[str, str] = {}
+    for tbl in (engine_tbl, oracle_tbl):
+        pdf = tbl.to_pandas()
+        canon = {}
+        for c in sorted(pdf.columns):
+            canon[c], kinds[c] = _canon_series(pdf[c])
+        import pandas as pd
+        cf = pd.DataFrame(canon)
+        # sort on float columns ROUNDED to the compare tolerance so
+        # binary-representation jitter can't reorder ties differently
+        # on the two sides
+        sort_cols = {}
+        for c in cf.columns:
+            sort_cols[c] = (cf[c].round(9) if kinds[c] == "float"
+                            else cf[c])
+        order = pd.DataFrame(sort_cols).sort_values(
+            by=list(cf.columns), kind="mergesort",
+            na_position="last").index
+        frames.append(cf.loc[order].reset_index(drop=True))
+
+    ef, of = frames
+    bad_mask = np.zeros(len(ef), dtype=bool)
+    for c in ef.columns:
+        a, b = ef[c], of[c]
+        if kinds[c] == "float":
+            av, bv = a.to_numpy(np.float64), b.to_numpy(np.float64)
+            col_bad = ~(np.isclose(av, bv, rtol=1e-9, atol=1e-9)
+                        | (np.isnan(av) & np.isnan(bv)))
+        else:
+            col_bad = ~((a == b) | (a.isna() & b.isna())).to_numpy()
+        bad_mask |= col_bad
+    n_bad = int(bad_mask.sum())
+    if n_bad:
+        idx = np.flatnonzero(bad_mask)[:3]
+        for i in idx:
+            problems.append(
+                f"row mismatch at sorted idx {i}: "
+                f"engine={tuple(ef.iloc[i])} oracle={tuple(of.iloc[i])}")
+        if n_bad > 3:
+            problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
 def compare_query(spark, sf_dir: str, query) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+    """Return a list of mismatch descriptions (empty == pass).
+
+    Small results (≤ ARROW_COMPARE_THRESHOLD rows on both sides) go
+    through the original row-at-a-time tolerant compare. Larger
+    results are materialized as Arrow tables on BOTH engines and
+    compared vectorized (sorted frames, np.isclose on float columns)
+    — same order-insensitivity and float tolerance, ~100× less Python
+    per row, which is what makes a full-registry sweep at sf1
+    tractable. Any Arrow conversion failure falls back to the row
+    path."""
     engine_df = query.run(spark, sf_dir)
     engine_cols = engine_df.columns
-    engine_rows = [tuple(r) for r in engine_df.collect()]
 
     con = duckdb_connect(sf_dir)
     try:
         res = con.execute(query.oracle)
         oracle_cols = [d[0] for d in res.description]
-        oracle_rows = res.fetchall()
+        try:
+            oracle_tbl = res.fetch_arrow_table()
+            oracle_rows = None
+        except Exception:
+            oracle_tbl = None
+            oracle_rows = res.fetchall()
     finally:
         con.close()
+
+    engine_tbl = None
+    try:
+        engine_tbl = engine_df.toArrow()
+    except Exception:
+        pass
+    if engine_tbl is not None and oracle_tbl is not None:
+        if (engine_tbl.num_rows > ARROW_COMPARE_THRESHOLD
+                and oracle_tbl.num_rows > ARROW_COMPARE_THRESHOLD):
+            try:
+                return _compare_arrow(engine_cols, engine_tbl,
+                                      oracle_cols, oracle_tbl)
+            except _ArrowCompareUnsupported:
+                pass  # exotic types: fall through to the row path
+    engine_rows = (
+        _arrow_to_tuples(engine_tbl) if engine_tbl is not None
+        else [tuple(r) for r in engine_df.collect()])
+    if oracle_rows is None:
+        oracle_rows = _arrow_to_tuples(oracle_tbl)
 
     problems: list[str] = []
     ec, er = _rows_canon(engine_cols, engine_rows)

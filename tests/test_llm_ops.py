@@ -100,6 +100,45 @@ def test_cosine_exact_vs_blocked(spark, embeddings):
     assert a == b
 
 
+def test_zero_norm_vectors_excluded_not_nan(spark, embeddings):
+    """Degenerate embeddings: a zero vector has no direction, so every
+    similarity tier must EXCLUDE it — never emit NaN (Spark sorts NaN
+    greater than any number, so one NaN sim would rank FIRST in every
+    desc top-k at 100 TB)."""
+    dim = len(embeddings.first()["embedding"])
+    zeros = spark.createDataFrame(
+        [(900001, [0.0] * dim, 0), (900002, [0.0] * dim, 0)],
+        embeddings.schema)
+    world = embeddings.unionAll(zeros)
+
+    top = S.cosine_topk(world, 0, k=5).collect()
+    assert all(r.vec_id < 900000 for r in top)           # never ranked
+    assert all(r.sim == r.sim for r in top)              # no NaN
+
+    q = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    blocked = S.cosine_topk_blocked(
+        world.filter(F.col("vec_id") != 0), q, k=5).collect()
+    assert all(r.vec_id < 900000 for r in blocked)
+    exact = S.cosine_topk(world, 0, k=5).collect()
+    assert [(r.vec_id, r.sim) for r in exact] \
+        == [(r.vec_id, r.sim) for r in blocked]          # tier parity
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero-norm query"):
+        S.cosine_topk_blocked(embeddings, [0.0] * dim, k=5)
+
+    block = world.filter((F.col("vec_id") < 40) | (F.col("vec_id") >= 900000))
+    pairs = S.cosine_pairs_exact(block, 0.0).collect()
+    ids = {r.i for r in pairs} | {r.j for r in pairs}
+    assert not ids & {900001, 900002}                    # excluded
+    assert all(r.sim == r.sim for r in pairs)
+
+    # sign-LSH tier: NULL-normalized rows fall out of the bucket join
+    lsh_pairs = S.cosine_near_dup_lsh(block, 0.9)
+    lids = {r.i for r in lsh_pairs.collect()} | {r.j for r in lsh_pairs.collect()}
+    assert not lids & {900001, 900002}
+
+
 def test_ann_lsh_recall_planted(spark, embeddings):
     """Sign-LSH recall is a function of the angular gap: the synthetic
     embeddings are near-uniform (best cosine ≈0.3 ≈ 72°), where

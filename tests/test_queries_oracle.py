@@ -27,3 +27,28 @@ def test_query_matches_oracle(spark, name):
         return
     problems = compare_query(spark, SF_DIR, query)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", [
+    "q02_projection", "q05_inner_join", "q15_pricing_summary",
+    "q21_ranking_windows", "q24_sort_nulls", "q30_string_fns",
+    "q31_datetime_fns", "q37_json_extract", "q176_array_batch5",
+])
+def test_arrow_compare_path_agrees_with_row_path(spark, name):
+    """The vectorized Arrow compare (engaged for >50k-row results so
+    full-registry sf1 sweeps are tractable) must return the same
+    verdict as the row-at-a-time tolerant compare on representative
+    shapes: floats, dates/timestamps, NULL ordering, JSON strings,
+    empty strings. Forcing the threshold to 10 routes these sf0.001
+    queries through the Arrow path (or its unsupported-type fallback)."""
+    import tests.oracle_utils as OU
+
+    query = q.registry()[name]
+    orig = OU.ARROW_COMPARE_THRESHOLD
+    try:
+        OU.ARROW_COMPARE_THRESHOLD = 10
+        fast = compare_query(spark, SF_DIR, query)
+    finally:
+        OU.ARROW_COMPARE_THRESHOLD = orig
+    slow = compare_query(spark, SF_DIR, query)
+    assert (not fast) == (not slow), f"fast={fast[:2]} slow={slow[:2]}"
