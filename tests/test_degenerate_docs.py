@@ -62,6 +62,10 @@ DEGENERATE_DOCS = [
     (17, "the fast key order sort table scan merge part window", "zh", "src1"),
     (18, "query data table scan the a window sort fast merge", "en", "src2"),
     (19, "the a the a the a the a the a the a", "es", "src3"),
+    # supplementary-plane codepoints: Spark and DuckDB both count
+    # codepoints (verified), but any byte/UTF-16 leak would diverge
+    (20, "🙂a 🎉b 🙂a", "en", "src0"),
+    (21, "🙂", "de", "src1"),                       # 1 emoji, 1 token
 ]
 
 
