@@ -4874,20 +4874,29 @@ FROM c CROSS JOIN n ORDER BY digit
 """)
 
 # Entity-resolution tier: edit-distance near-matches over part names,
-# blocked on (name prefix, length band) so the candidate set is the
-# block join, never n² — the classic record-linkage shape (block →
-# compare → threshold). LEVENSHTEIN agrees across engines.
+# blocked on (first word, length band) — the classic record-linkage
+# shape (block → compare → threshold). SCALE-CORRECT SHAPE (round 7):
+# compare DISTINCT names and carry id multiplicities. The original
+# id-pair output was a 100 TB non-starter discovered by the sf1
+# sweep: id-pair fanout is multiplicative in duplicate counts (part
+# has only 64 distinct names, so id pairs grow O((N/64)²) ≈ 3×10⁸
+# rows at sf1 and the run wedged for 30+ minutes), while name pairs
+# stay O(distinct²) regardless of table size. n_id_pairs preserves
+# the record-level resolution count; a consumer re-expands a name
+# pair to its id pairs by joining back on name. LEVENSHTEIN agrees
+# across engines.
 _q("q279_edit_distance_blocking", """
-WITH p AS (SELECT p_partkey AS id, p_name AS name,
-                  SUBSTRING(p_name, 1, 8) AS blk, LENGTH(p_name) AS ln
-           FROM part)
-SELECT a.id AS i, b.id AS j,
-       CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS dist
-FROM p a JOIN p b
-  ON a.blk = b.blk AND a.id < b.id
+WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  SPLIT_PART(p_name, ' ', 1) AS blk, LENGTH(p_name) AS ln
+           FROM part GROUP BY p_name)
+SELECT a.name AS i_name, b.name AS j_name,
+       CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS dist,
+       a.cnt * b.cnt AS n_id_pairs
+FROM n a JOIN n b
+  ON a.blk = b.blk AND a.name < b.name
  AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
 WHERE LEVENSHTEIN(a.name, b.name) <= 10
-ORDER BY i, j
+ORDER BY i_name, j_name
 """)
 
 # Per-dimension min-max scaling of the embedding matrix (feature
