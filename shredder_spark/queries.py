@@ -1203,8 +1203,14 @@ FROM orders ORDER BY o_orderkey
 
 _q("q96_distribution_windows", """
 SELECT o_orderkey,
-       ROUND(PERCENT_RANK() OVER w, 4) AS pr,
-       ROUND(CUME_DIST() OVER w, 4) AS cd
+       -- +5e-10 boundary nudge: rank ratios like 113625/300000 land
+       -- EXACTLY on .xxxx5 (sf1 partition sizes are multiples of 10^4)
+       -- and the engines' ROUND modes disagree there (Spark HALF_UP on
+       -- the shortest decimal repr vs C round on the binary value);
+       -- the nudge is 3 orders above cross-engine jitter and 3 below
+       -- the rank-ratio spacing, so only exact-boundary values move
+       ROUND(PERCENT_RANK() OVER w + 5e-10, 4) AS pr,
+       ROUND(CUME_DIST() OVER w + 5e-10, 4) AS cd
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 ORDER BY o_orderkey
@@ -5161,7 +5167,11 @@ _q("q288_rfm_quintiles", """
 WITH base AS (SELECT o_custkey,
                      MAX(o_orderdate) AS last_o,
                      CAST(COUNT(*) AS DOUBLE) AS f,
-                     SUM(CAST(o_totalprice AS DOUBLE)) AS m
+                     -- ROUND to exact cents: the raw double SUM
+                     -- carries per-engine summation-order jitter that
+                     -- reorders NTILE ties at sf1 (cent-valued inputs
+                     -- make the rounded sum engine-invariant)
+                     ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS m
               FROM orders GROUP BY o_custkey),
      mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
      r AS (SELECT o_custkey,
@@ -5178,7 +5188,11 @@ FROM r ORDER BY o_custkey
 WITH base AS (SELECT o_custkey,
                      MAX(o_orderdate) AS last_o,
                      CAST(COUNT(*) AS DOUBLE) AS f,
-                     SUM(CAST(o_totalprice AS DOUBLE)) AS m
+                     -- ROUND to exact cents: the raw double SUM
+                     -- carries per-engine summation-order jitter that
+                     -- reorders NTILE ties at sf1 (cent-valued inputs
+                     -- make the rounded sum engine-invariant)
+                     ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS m
               FROM orders GROUP BY o_custkey),
      mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
      r AS (SELECT o_custkey,
@@ -8556,7 +8570,10 @@ FROM p ORDER BY band
 # unpartitioned window touches the (unbounded) customer rollup; the
 # only windows left run over the 10-row decile relation.
 _q("q403_lorenz_curve", """
-WITH s AS (SELECT o_custkey, SUM(o_totalprice) AS spend FROM orders
+WITH s AS (SELECT o_custkey,
+                  -- exact cents: engine-invariant under summation
+                  -- order (see q288)
+                  ROUND(SUM(o_totalprice), 2) AS spend FROM orders
            GROUP BY o_custkey),
      cut AS (SELECT PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY spend) AS c1,
                     PERCENTILE_CONT(0.2) WITHIN GROUP (ORDER BY spend) AS c2,
@@ -8569,15 +8586,15 @@ WITH s AS (SELECT o_custkey, SUM(o_totalprice) AS spend FROM orders
                     PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY spend) AS c9
              FROM s),
      d AS (SELECT s.spend,
-                  1 + CASE WHEN s.spend > cut.c1 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c2 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c3 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c4 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c5 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c6 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c7 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c8 THEN 1 ELSE 0 END
-                    + CASE WHEN s.spend > cut.c9 THEN 1 ELSE 0 END AS dec
+                  1 + CASE WHEN s.spend > cut.c1 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c2 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c3 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c4 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c5 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c6 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c7 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c8 + 1e-6 THEN 1 ELSE 0 END
+                    + CASE WHEN s.spend > cut.c9 + 1e-6 THEN 1 ELSE 0 END AS dec
            FROM s CROSS JOIN cut),
      g AS (SELECT dec, SUM(spend) AS ds, COUNT(*) AS n FROM d GROUP BY dec),
      t AS (SELECT SUM(ds) AS tot FROM g)
@@ -10044,9 +10061,13 @@ WITH a AS (SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE),
      u AS (SELECT g.i AS i, a.q[g.i] AS qa, b.q[g.i] AS qb
            FROM a, b, UNNEST(GENERATE_SERIES(1, 9)) AS g(i))
 SELECT CAST(i AS BIGINT) AS decile,
-       FLOOR(qa * 100) / 100.0 AS q_1995,
-       FLOOR(qb * 100) / 100.0 AS q_1996,
-       FLOOR((qb - qa) * 100) / 100.0 AS shift
+       -- +1e-4 boundary nudge: at sf1 the decile lands ON a
+       -- replicated cent value, qa*100 is integer +- 1ulp of
+       -- cross-engine interpolation jitter, and bare FLOOR flips
+       -- (1e-4 is far above the jitter, far below the cent grid)
+       FLOOR(qa * 100 + 1e-4) / 100.0 AS q_1995,
+       FLOOR(qb * 100 + 1e-4) / 100.0 AS q_1996,
+       FLOOR((qb - qa) * 100 + 1e-4) / 100.0 AS shift
 FROM u ORDER BY decile
 """,
    engine_sql="""
@@ -10061,9 +10082,13 @@ WITH a AS (SELECT PERCENTILE(CAST(o_totalprice AS DOUBLE),
            FROM a CROSS JOIN b
            LATERAL VIEW POSEXPLODE(SEQUENCE(1, 9)) t AS pos, _x)
 SELECT CAST(i AS BIGINT) AS decile,
-       FLOOR(qa * 100) / 100.0 AS q_1995,
-       FLOOR(qb * 100) / 100.0 AS q_1996,
-       FLOOR((qb - qa) * 100) / 100.0 AS shift
+       -- +1e-4 boundary nudge: at sf1 the decile lands ON a
+       -- replicated cent value, qa*100 is integer +- 1ulp of
+       -- cross-engine interpolation jitter, and bare FLOOR flips
+       -- (1e-4 is far above the jitter, far below the cent grid)
+       FLOOR(qa * 100 + 1e-4) / 100.0 AS q_1995,
+       FLOOR(qb * 100 + 1e-4) / 100.0 AS q_1996,
+       FLOOR((qb - qa) * 100 + 1e-4) / 100.0 AS shift
 FROM u ORDER BY decile
 """)
 
@@ -13716,9 +13741,12 @@ WITH k1 AS (SELECT c_nationkey AS nk,
               LEFT JOIN k2 ON k2.nk = n.n_nationkey
               LEFT JOIN k3 ON k3.nk = n.n_nationkey),
      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                  SUM(v1) AS s1, SUM(v1 * v1) AS q1,
-                  SUM(v2) AS s2, SUM(v2 * v2) AS q2,
-                  SUM(v3) AS s3, SUM(v3 * v3) AS q3
+                  -- squares as DOUBLE: v1 is a per-nation cents sum
+                  -- (~2.7e9 at sf1), v1*v1 ~ 7e18 and the BIGINT sum
+                  -- of 25 of them overflows (found by the sf1 sweep)
+                  SUM(v1) AS s1, SUM(CAST(v1 AS DOUBLE) * v1) AS q1,
+                  SUM(v2) AS s2, SUM(CAST(v2 AS DOUBLE) * v2) AS q2,
+                  SUM(v3) AS s3, SUM(CAST(v3 AS DOUBLE) * v3) AS q3
            FROM base),
      z AS (SELECT base.nk, base.n_name,
                   (base.v1 - CAST(m.s1 AS DOUBLE) / m.n)
@@ -13735,7 +13763,7 @@ WITH k1 AS (SELECT c_nationkey AS nk,
                          / (m.n - 1)) AS z3
            FROM base CROSS JOIN m)
 SELECT n_name,
-       FLOOR((0.5 * z1 + 0.25 * z2 + 0.25 * z3) * 10000) / 10000.0
+       FLOOR((0.5 * z1 + 0.25 * z2 + 0.25 * z3) * 10000 + 1e-6) / 10000.0
          AS health_score
 FROM z ORDER BY health_score DESC, n_name
 """)
@@ -14557,7 +14585,11 @@ _q("q576_erlang_c",
    oracle="""
 WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
                   / ((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600.0) / 20.0
+                  / (COUNT(DISTINCT user_id) / 1500.0)
                     AS load_erl
+           -- per-1500-user load: scale-invariant (10x events at sf1
+           -- otherwise pushes the load past every agent count and
+           -- the result goes empty)
            FROM events WHERE event_type = 'purchase'),
      k AS (SELECT UNNEST(GENERATE_SERIES(1, 6)) AS c),
      terms AS (SELECT k.c, a.load_erl, g.j,
@@ -14580,7 +14612,9 @@ FROM e ORDER BY agents
 WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
                   / ((UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP))
                       - UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)))
-                     / 3600000000.0) / 20.0 AS load_erl
+                     / 3600000000.0) / 20.0
+                  / (COUNT(DISTINCT user_id) / 1500.0) AS load_erl
+           -- per-1500-user load: see oracle text
            FROM events WHERE event_type = 'purchase'),
      k AS (SELECT EXPLODE(SEQUENCE(1, 6)) AS c),
      terms AS (SELECT k.c, a.load_erl, g.j,
@@ -15738,8 +15772,16 @@ WITH qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
             FROM customer),
      g AS (SELECT seg, nat, bal_band, CAST(COUNT(*) AS BIGINT) AS n
            FROM qi GROUP BY seg, nat, bal_band)
-SELECT seg, CAST(nat AS BIGINT) AS nation, bal_band, n
-FROM g WHERE n < 5 ORDER BY seg, nation, bal_band
+-- release-gate audit row, never empty: the violating-group inventory
+-- legitimately goes to zero rows as data grows (at sf1 every
+-- quasi-identifier group clears k=5), which the oracle gate cannot
+-- verify; the audit aggregate carries the same decision
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(5 AS BIGINT) AS k
+FROM g
 """)
 
 # ---------------------------------------------------------------- B648
