@@ -66,6 +66,10 @@ DEGENERATE_DOCS = [
     # codepoints (verified), but any byte/UTF-16 leak would diverge
     (20, "🙂a 🎉b 🙂a", "en", "src0"),
     (21, "🙂", "de", "src1"),                       # 1 emoji, 1 token
+    # non-space whitespace: SPLIT on ' ' keeps \t/\n INSIDE tokens on
+    # both engines (verified) — any \s-based tokenizer leak diverges
+    (22, "a\tb c\nd", "es", "src2"),
+    (23, "\n", "zh", "src3"),                       # newline-only text
 ]
 
 
