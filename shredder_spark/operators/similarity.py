@@ -465,3 +465,128 @@ def normalize_embeddings_arrow(
 
     out = src.mapInArrow(_norm, "id long, nv array<double>")
     return out.select(F.col("id").alias(id_col), F.col("nv"))
+
+
+def quantized(vec: Column, scale: int = 10000) -> Column:
+    """ROUND(x * scale) per element as BIGINT — the cross-engine
+    determinism trick the registry's embedding queries use: integer
+    dots and norms are exact, so every double derived from them
+    (cosine, MMR score) is a fixed IEEE expression on identical
+    inputs in any engine."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    *,
+    n_candidates: int = 30,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * rel(c, query) - mu * max_{s in selected} sim(c, s)`` —
+    the standard retrieval re-ranker that trades pure relevance for
+    coverage. ``mu`` is an explicit parameter (not computed as
+    ``1 - lam``) so the SQL oracle's literal 0.3 and this code's 0.3
+    are the same double.
+
+    Two stages, matching the 100 TB shape:
+
+    1. **Candidate generation — distributed.** Quantized integer
+       cosine vs the query vector (Catalyst higher-order fns), exact
+       top ``n_candidates`` by (rel DESC, id). Zero-norm vectors are
+       excluded (cosine undefined). Only this stage sees the corpus;
+       it is a narrow scan + a k-row limit, no corpus shuffle.
+    2. **Greedy re-rank — one bounded group.** The O(n_candidates²)
+       pairwise-sim matrix and the O(n_candidates · k) greedy loop
+       run inside a single ``applyInPandas`` group over the ≤
+       ``n_candidates`` surviving rows. The quantized vectors ride
+       along from stage 1 so numpy computes the SAME integer dots the
+       SQL oracle computes; every float op (sqrt, divide, lam*rel -
+       mu*maxsim, max) is the identical IEEE-754 expression, so the
+       result is bit-equal to the unrolled-SQL oracle.
+
+    Ties break by ascending id at every argmax (candidates sorted by
+    id; numpy argmax takes the first occurrence).
+
+    Returns (step, id, rel, score) — selection order, relevance to
+    the query, and the MMR score at selection time.
+    """
+    qv = quantized(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("id"), qv.alias("q"))
+    qrow = (base.filter(F.col("id") == query_vec_id)
+            .select(F.col("q").alias("qq"),
+                    F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                                lambda s, x: s + x * x).alias("qn2"))
+            .filter(F.col("qn2") > 0))
+    cand = (
+        base.filter(F.col("id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "id", "q",
+            F.aggregate(F.zip_with("q", "qq", lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda s, x: s + x).alias("dot"),
+            F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                        lambda s, x: s + x * x).alias("n2"),
+            F.col("qn2"))
+        .filter(F.col("n2") > 0)
+        .select("id", "q",
+                (F.col("dot") / (F.sqrt(F.col("n2").cast("double"))
+                                 * F.sqrt(F.col("qn2").cast("double"))))
+                .alias("rel"))
+        .orderBy(F.desc("rel"), "id")
+        .limit(n_candidates)
+    )
+
+    lam_f, mu_f, k_f = float(lam), float(mu), int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"step": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "rel": pd.Series(dtype="float64"),
+                 "score": pd.Series(dtype="float64")})
+        mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        n2 = (mat * mat).sum(axis=1)
+        pdots = mat @ mat.T
+        denom = np.sqrt(n2.astype(np.float64))
+        sims = pdots / (denom[:, None] * denom[None, :])
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        # maxsim over the EMPTY selected set is "no penalty" (score =
+        # lam*rel), NOT 0-after-a-max-fold: sims can be negative, and
+        # folding them through np.maximum(0, ·) would floor the true
+        # MAX(sim) at 0 where the SQL oracle's MAX keeps it negative.
+        maxsim = None
+        taken = np.zeros(n, dtype=bool)
+        steps, ids, rels, scores = [], [], [], []
+        for step in range(1, min(k_f, n) + 1):
+            if maxsim is None:
+                score = lam_f * rel
+            else:
+                score = lam_f * rel - mu_f * maxsim
+            score[taken] = -np.inf
+            pick = int(np.argmax(score))
+            steps.append(step)
+            ids.append(int(pdf["id"].iloc[pick]))
+            rels.append(float(rel[pick]))
+            scores.append(float(score[pick]))
+            taken[pick] = True
+            col = sims[:, pick].copy()
+            maxsim = col if maxsim is None else np.maximum(maxsim, col)
+        return pd.DataFrame(
+            {"step": steps, "id": ids, "rel": rels, "score": scores})
+
+    ensure_package_on_executors(embeddings.sparkSession)
+    out = cand.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        lambda pdf: _greedy(pdf.drop(columns=["g"])),
+        "step long, id long, rel double, score double")
+    return out.select("step", F.col("id").alias(id_col), "rel", "score")

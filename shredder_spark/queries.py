@@ -18295,3 +18295,214 @@ WITH w AS (SELECT c.c_mktsegment AS seg, o.o_orderkey,
 SELECT seg, o_orderkey, ROUND(wt, 2) AS wt
 FROM r WHERE rn <= 20 ORDER BY seg, o_orderkey
 """)
+
+# ---------------------------------------------------------------- B736
+# Reciprocal-rank fusion: the standard hybrid-retrieval combiner —
+# BM25 top-20 for a term and cosine top-20 for a query embedding
+# (q500's two rankers) fused per doc as SUM(1/(60+rank)), top-10 by
+# fused score. The fused sum has at most two terms per doc (one per
+# ranker, FULL OUTER JOIN), so the double arithmetic is a fixed
+# two-operand expression — deterministic across engines. Scale shape:
+# each ranker is its own distributed plan producing a tiny top-k;
+# fusion joins two k-row sides (broadcast at any corpus size).
+_q("q683_reciprocal_rank_fusion",
+   oracle="""
+WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(tok)
+            GROUP BY doc_id, u.tok),
+     dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+     c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(dl.dl) / COUNT(*) AS avgdl
+           FROM dl),
+     hit AS (SELECT tf.doc_id, tf.tf, dl.dl,
+                    CAST(COUNT(*) OVER () AS DOUBLE) AS df
+             FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+             WHERE tf.tok = 'spark'),
+     bm AS (SELECT hit.doc_id,
+                   LN((c.n - hit.df + 0.5) / (hit.df + 0.5) + 1)
+                   * hit.tf * 2.2
+                   / (hit.tf + 1.2 * (0.25 + 0.75 * hit.dl / c.avgdl))
+                     AS score
+            FROM hit CROSS JOIN c),
+     bmr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM bm),
+     qv AS (SELECT g.i AS i,
+                   CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+              AS g(i)
+            WHERE vec_id = 0),
+     ev AS (SELECT e.vec_id, g.i AS i,
+                   CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings e,
+                 UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS g(i)
+            WHERE e.vec_id <> 0),
+     dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
+                     SUM(ev.q * ev.q) AS n2
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+     qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
+     cs AS (SELECT d.vec_id AS doc_id,
+                   d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
+                            * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
+            FROM dots d CROSS JOIN qn),
+     csr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM cs),
+     f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                  COALESCE(CAST(1 AS DOUBLE) / (60 + b.rk), 0)
+                  + COALESCE(CAST(1 AS DOUBLE) / (60 + v.rk), 0) AS rrf,
+                  b.rk AS bm25_rank, v.rk AS cosine_rank
+           FROM (SELECT doc_id, rk FROM bmr WHERE rk <= 20) b
+           FULL OUTER JOIN
+                (SELECT doc_id, rk FROM csr WHERE rk <= 20) v
+             ON v.doc_id = b.doc_id)
+SELECT doc_id,
+       CAST(FLOOR(rrf * 10000000) AS BIGINT) AS rrf_e7,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cosine_rank AS BIGINT) AS cosine_rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+   engine_sql="""
+WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok
+                  FROM documents) x
+            GROUP BY doc_id, tok),
+     dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+     c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(dl.dl) / COUNT(*) AS avgdl
+           FROM dl),
+     hit AS (SELECT tf.doc_id, tf.tf, dl.dl,
+                    CAST(COUNT(*) OVER () AS DOUBLE) AS df
+             FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+             WHERE tf.tok = 'spark'),
+     bm AS (SELECT hit.doc_id,
+                   LN((c.n - hit.df + 0.5) / (hit.df + 0.5) + 1)
+                   * hit.tf * 2.2
+                   / (hit.tf + 1.2 * (0.25 + 0.75 * hit.dl / c.avgdl))
+                     AS score
+            FROM hit CROSS JOIN c),
+     bmr AS (SELECT doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM bm),
+     qv AS (SELECT pos AS i,
+                   CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+            FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos,
+              val
+            WHERE vec_id = 0),
+     ev AS (SELECT vec_id, pos AS i,
+                   CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS q
+            FROM embeddings LATERAL VIEW POSEXPLODE(embedding) t AS pos,
+              val
+            WHERE vec_id <> 0),
+     dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
+                     SUM(ev.q * ev.q) AS n2
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+     qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
+     cs AS (SELECT d.vec_id AS doc_id,
+                   d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
+                            * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
+            FROM dots d CROSS JOIN qn),
+     csr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             FROM cs),
+     f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                  COALESCE(CAST(1 AS DOUBLE) / (60 + b.rk), 0)
+                  + COALESCE(CAST(1 AS DOUBLE) / (60 + v.rk), 0) AS rrf,
+                  b.rk AS bm25_rank, v.rk AS cosine_rank
+           FROM (SELECT doc_id, rk FROM bmr WHERE rk <= 20) b
+           FULL OUTER JOIN
+                (SELECT doc_id, rk FROM csr WHERE rk <= 20) v
+             ON v.doc_id = b.doc_id)
+SELECT doc_id,
+       CAST(FLOOR(rrf * 10000000) AS BIGINT) AS rrf_e7,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cosine_rank AS BIGINT) AS cosine_rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+
+# ---------------------------------------------------------------- B737
+# MMR diversified top-k: greedy Maximal Marginal Relevance re-rank
+# (Carbonell & Goldstein 1998) of the cosine top-30 candidates for
+# query vec 0 — lam*rel - mu*max-sim-to-selected, 10 picks. Engine =
+# operators/similarity.mmr_rerank (distributed candidate generation +
+# one bounded applyInPandas group); oracle = the SAME greedy unrolled
+# as 10 chained argmax CTEs (greedy selection is not expressible as a
+# single relational fixpoint, but a FIXED-k unroll is plain SQL).
+# Quantized integer dots make both sides' doubles identical IEEE
+# expressions, so the compare is exact.
+
+
+def _mmr_oracle_sql(k: int = 10) -> str:
+    head = """
+WITH qv AS MATERIALIZED (SELECT g.i AS i,
+                   CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+              AS g(i)
+            WHERE vec_id = 0),
+     qn AS MATERIALIZED (SELECT SUM(q * q) AS qn2 FROM qv),
+     ev AS MATERIALIZED (SELECT e.vec_id, g.i AS i,
+                   CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 10000)
+                        AS BIGINT) AS q
+            FROM embeddings e,
+                 UNNEST(GENERATE_SERIES(1, LEN(e.embedding))) AS g(i)
+            WHERE e.vec_id <> 0),
+     dn AS MATERIALIZED (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
+                   SUM(ev.q * ev.q) AS n2
+            FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+     cand AS MATERIALIZED (SELECT d.vec_id AS id,
+                     d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
+                              * SQRT(CAST(qn.qn2 AS DOUBLE))) AS rel
+              FROM dn d CROSS JOIN qn
+              WHERE d.n2 > 0 AND qn.qn2 > 0
+              ORDER BY rel DESC, d.vec_id LIMIT 30),
+     pe AS MATERIALIZED (SELECT ev.vec_id, ev.i, ev.q
+            FROM ev JOIN cand c ON c.id = ev.vec_id),
+     pn AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM pe GROUP BY vec_id),
+     sims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+                     SUM(a.q * b.q)
+                     / (SQRT(CAST(na.n2 AS DOUBLE))
+                        * SQRT(CAST(nb.n2 AS DOUBLE))) AS sim
+              FROM pe a JOIN pe b ON b.i = a.i AND b.vec_id <> a.vec_id
+              JOIN pn na ON na.vec_id = a.vec_id
+              JOIN pn nb ON nb.vec_id = b.vec_id
+              GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2),
+     s1 AS MATERIALIZED (SELECT id, rel, 1 AS step, CAST(0.7 AS DOUBLE) * rel AS score
+            FROM cand ORDER BY rel DESC, id LIMIT 1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+     p{i} AS MATERIALIZED (SELECT c.id, c.rel,
+                   CAST(0.7 AS DOUBLE) * c.rel
+                   - CAST(0.3 AS DOUBLE) * MAX(s.sim) AS score
+            FROM cand c JOIN sims s ON s.va = c.id
+            WHERE s.vb IN (SELECT id FROM s{i - 1})
+              AND c.id NOT IN (SELECT id FROM s{i - 1})
+            GROUP BY c.id, c.rel
+            ORDER BY score DESC, c.id LIMIT 1),
+     s{i} AS MATERIALIZED (SELECT * FROM s{i - 1}
+            UNION ALL SELECT id, rel, {i} AS step, score FROM p{i})""")
+    parts.append(f"""
+SELECT CAST(step AS BIGINT) AS step, id AS vec_id,
+       CAST(FLOOR(rel * 10000000) AS BIGINT) AS rel_e7,
+       CAST(FLOOR(score * 10000000) AS BIGINT) AS score_e7
+FROM s{k} ORDER BY step""")
+    return "".join(parts)
+
+
+def _q684_builder(spark: SparkSession) -> DataFrame:
+    from shredder_spark.operators.similarity import mmr_rerank
+
+    emb = spark.table("embeddings")
+    df = mmr_rerank(emb, 0, n_candidates=30, k=10, lam=0.7, mu=0.3)
+    return df.select(
+        "step", "vec_id",
+        F.floor(F.col("rel") * 10000000).cast("long").alias("rel_e7"),
+        F.floor(F.col("score") * 10000000).cast("long").alias("score_e7"))
+
+
+_q("q684_mmr_diversified_topk",
+   oracle=_mmr_oracle_sql(10),
+   builder=_q684_builder)

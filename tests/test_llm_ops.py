@@ -620,3 +620,87 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, embeddings,
            .collect()]
     disk = [(r.vec_id, r.sim) for r in pruned.collect()]
     assert disk == mem
+
+
+def _mmr_reference(vecs: dict[int, list[float]], qid: int, n_cand: int,
+                   k: int, lam: float, mu: float):
+    """Independent pure-Python MMR: scalar loops + math.sqrt, no numpy,
+    no shared code with the operator. Quantized integer dots make every
+    float a fixed IEEE expression, so equality with the operator is
+    exact, not approximate."""
+    import math
+
+    q = {i: [round(x * 10000) for x in v] for i, v in vecs.items()}
+    qq = q[qid]
+    qn2 = sum(x * x for x in qq)
+    rel = {}
+    for i, v in q.items():
+        if i == qid:
+            continue
+        n2 = sum(x * x for x in v)
+        if n2 == 0 or qn2 == 0:
+            continue
+        rel[i] = (sum(a * b for a, b in zip(v, qq))
+                  / (math.sqrt(n2) * math.sqrt(qn2)))
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+
+    def sim(a, b):
+        na = math.sqrt(sum(x * x for x in q[a]))
+        nb = math.sqrt(sum(x * x for x in q[b]))
+        return sum(x * y for x, y in zip(q[a], q[b])) / (na * nb)
+
+    selected, out = [], []
+    for step in range(1, min(k, len(cand)) + 1):
+        best = None
+        for c in cand:
+            if c in selected:
+                continue
+            if selected:
+                score = lam * rel[c] - mu * max(sim(c, s) for s in selected)
+            else:
+                score = lam * rel[c]
+            if best is None or score > best[0] or (score == best[0]
+                                                   and c < best[1]):
+                best = (score, c)
+        out.append((step, best[1], rel[best[1]], best[0]))
+        selected.append(best[1])
+    return out
+
+
+@pytest.mark.parametrize("lam,mu", [(0.7, 0.3), (0.5, 0.5)])
+def test_mmr_rerank_matches_pure_python_reference(spark, lam, mu):
+    """Greedy MMR vs an independent scalar reference, on vectors crafted
+    so (a) the MMR order DIFFERS from the relevance order (a near-dup of
+    pick 1 gets demoted) and (b) negative similarities occur (the
+    penalty term must keep them negative, not floor at 0)."""
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],           # query
+        1: [0.95, 0.05, 0.0, 0.0],         # top relevance
+        2: [0.94, 0.06, 0.0, 0.0],         # near-dup of 1 -> demoted
+        3: [0.5, 0.866, 0.0, 0.0],
+        4: [0.5, -0.866, 0.0, 0.0],        # negative sim to 3
+        5: [-0.3, 0.9, 0.0, 0.0],          # negative rel + negative sims
+        6: [0.2, 0.1, 0.9, 0.0],
+        7: [0.1, 0.0, 0.0, 0.99],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>")
+    got = [(r.step, r.vec_id, r.rel, r.score)
+           for r in S.mmr_rerank(df, 0, n_candidates=6, k=4,
+                                 lam=lam, mu=mu).collect()]
+    want = _mmr_reference(vecs, 0, n_cand=6, k=4, lam=lam, mu=mu)
+    assert got == want  # exact: same integer dots, same IEEE float ops
+    assert got[0][1] == 1
+    if mu >= 0.5:
+        # diversification engaged: at equal weighting the near-dup of
+        # pick 1 must be demoted (at mu=0.3 relevance legitimately wins)
+        assert got[1][1] != 2, "MMR must demote the near-duplicate of pick 1"
+
+
+def test_mmr_rerank_excludes_zero_norm_and_caps_k(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [1e-9, 0.0])]  # 2: zero vector; 3: quantizes to zero
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = S.mmr_rerank(df, 0, n_candidates=10, k=5).collect()
+    assert [r.vec_id for r in rows] == [1]  # only the finite-norm survivor
+    assert [r.step for r in rows] == [1]
