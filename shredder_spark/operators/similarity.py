@@ -87,7 +87,14 @@ def cosine_topk_blocked(
         raise ValueError("cosine_topk_blocked: zero-norm query vector "
                          "(cosine similarity undefined)")
 
-    src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # malformed rows (NULL / empty / wrong-dim vectors) are excluded
+    # JVM-side BEFORE the Arrow transfer: np.vstack on a ragged batch
+    # would throw (or worse, broadcast-corrupt the GEMM), and a filter
+    # here pushes to the scan instead of costing Python time
+    src = (embeddings
+           .filter(F.col(vec_col).isNotNull()
+                   & (F.size(F.col(vec_col)) == len(qv)))
+           .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
 
     def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best_ids: list[np.ndarray] = []

@@ -440,16 +440,22 @@ ORDER BY i, j
 
 _q("q43_cosine_topk",
    oracle="""
-SELECT e.vec_id, ROUND(LIST_COSINE_SIMILARITY(
-         e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 2) AS sim
-FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id=0) q
+WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND COALESCE(LIST_SUM(LIST_TRANSFORM(
+                   embedding::DOUBLE[], x -> x*x)), 0) > 0)
+SELECT e.vec_id, ROUND(LIST_COSINE_SIMILARITY(e.v, q.v), 2) AS sim
+FROM t e, (SELECT v FROM t WHERE vec_id = 0) q
 WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5
 """,
    engine_sql="""
-WITH q AS (SELECT TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id = 0),
-     e AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id <> 0)
+WITH t AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND AGGREGATE(embedding, 0D,
+                   (s,x) -> s + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) > 0),
+     q AS (SELECT v FROM t WHERE vec_id = 0),
+     e AS (SELECT vec_id, v FROM t WHERE vec_id <> 0)
 SELECT e.vec_id,
        ROUND(AGGREGATE(ZIP_WITH(e.v, q.v, (x,y) -> x*y), 0D, (s,x) -> s+x)
          / (SQRT(AGGREGATE(e.v, 0D, (s,x) -> s+x*x))
@@ -714,13 +720,15 @@ FROM documents ORDER BY doc_id
 
 _q("q58_embedding_norms",
    oracle="""
-SELECT vec_id, ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(
-         embedding::DOUBLE[], x -> x*x))), 2) AS nrm
+SELECT vec_id, CASE WHEN embedding IS NULL THEN NULL
+       ELSE ROUND(SQRT(COALESCE(LIST_SUM(LIST_TRANSFORM(
+         embedding::DOUBLE[], x -> x*x)), 0)), 2) END AS nrm
 FROM embeddings ORDER BY vec_id
 """,
    engine_sql="""
-SELECT vec_id, ROUND(SQRT(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
-         0D, (s,x) -> s + x*x)), 2) AS nrm
+SELECT vec_id, CASE WHEN embedding IS NULL THEN NULL
+       ELSE ROUND(SQRT(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+         0D, (s,x) -> s + x*x)), 2) END AS nrm
 FROM embeddings ORDER BY vec_id
 """)
 
@@ -1007,7 +1015,9 @@ def _q81_builder(spark: SparkSession) -> DataFrame:
 _q("q81_cosine_pairs",
    oracle="""
 WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id < 100)
+           WHERE vec_id < 100 AND embedding IS NOT NULL
+             AND COALESCE(LIST_SUM(LIST_TRANSFORM(
+                   embedding::DOUBLE[], x -> x*x)), 0) > 0)
 SELECT a.vec_id AS i, b.vec_id AS j,
        ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 2) AS sim
 FROM t a JOIN t b ON a.vec_id < b.vec_id
@@ -1367,7 +1377,9 @@ _q("q106_doc_embedding_join",
    oracle="""
 SELECT d.doc_id, d.lang,
        CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tok,
-       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding::DOUBLE[], x -> x*x))), 2) AS nrm
+       CASE WHEN e.embedding IS NULL THEN NULL
+       ELSE ROUND(SQRT(COALESCE(LIST_SUM(LIST_TRANSFORM(
+              e.embedding::DOUBLE[], x -> x*x)), 0)), 2) END AS nrm
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.doc_id < 200
 ORDER BY d.doc_id
@@ -1375,8 +1387,9 @@ ORDER BY d.doc_id
    engine_sql="""
 SELECT d.doc_id, d.lang,
        CAST(SIZE(SPLIT(d.text, ' ')) AS BIGINT) AS n_tok,
-       ROUND(SQRT(AGGREGATE(TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
-                            0D, (s,x) -> s + x*x)), 2) AS nrm
+       CASE WHEN e.embedding IS NULL THEN NULL
+       ELSE ROUND(SQRT(AGGREGATE(TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                            0D, (s,x) -> s + x*x)), 2) END AS nrm
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.doc_id < 200
 ORDER BY d.doc_id
@@ -2043,8 +2056,9 @@ WITH t AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 m AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS mx FROM t)
 SELECT vec_id,
-       ARRAY_TO_STRING(LIST_TRANSFORM(v,
-           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',') AS q,
+       CASE WHEN mx > 0 THEN ARRAY_TO_STRING(LIST_TRANSFORM(v,
+           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',')
+       END AS q,
        ROUND(mx, 4) AS scale
 FROM m ORDER BY vec_id
 """,
@@ -2053,8 +2067,9 @@ WITH t AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 m AS (SELECT vec_id, v, ARRAY_MAX(TRANSFORM(v, x -> ABS(x))) AS mx FROM t)
 SELECT vec_id,
-       ARRAY_JOIN(TRANSFORM(v,
-           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',') AS q,
+       CASE WHEN mx > 0 THEN ARRAY_JOIN(TRANSFORM(v,
+           x -> CAST(CAST(ROUND(x / mx * 127) AS INT) AS STRING)), ',')
+       END AS q,
        ROUND(mx, 4) AS scale
 FROM m ORDER BY vec_id
 """)
@@ -9035,7 +9050,10 @@ FROM hit
 _q("q418_knn_label_noise",
    oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-           FROM embeddings WHERE vec_id < 300),
+           FROM embeddings
+           WHERE vec_id < 300 AND embedding IS NOT NULL
+             AND COALESCE(LIST_SUM(LIST_TRANSFORM(
+                   embedding::DOUBLE[], x -> x*x)), 0) > 0),
      p AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
                   LIST_COSINE_SIMILARITY(a.v, b.v) AS sim,
                   b.vec_id AS j
@@ -9060,7 +9078,10 @@ FROM top WHERE r2 = 1 GROUP BY li ORDER BY label
    engine_sql="""
 WITH e AS (SELECT vec_id, TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
                   label
-           FROM embeddings WHERE vec_id < 300),
+           FROM embeddings
+           WHERE vec_id < 300 AND embedding IS NOT NULL
+             AND AGGREGATE(embedding, 0D,
+                   (s,x) -> s + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) > 0),
      p AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
                   AGGREGATE(ZIP_WITH(a.v, b.v, (x,y) -> x*y), 0D,
                             (s,x) -> s+x)
@@ -9588,8 +9609,11 @@ ORDER BY doc_id, phrase
 # negative sampling. At scale the block becomes the ANN candidate set.
 _q("q437_hard_negatives",
    oracle="""
-WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
-           WHERE vec_id < 300),
+WITH e AS MATERIALIZED (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 300 AND embedding IS NOT NULL
+             AND COALESCE(LIST_SUM(LIST_TRANSFORM(
+                   embedding::DOUBLE[], x -> x*x)), 0) > 0),
      p AS (SELECT a.vec_id AS i, a.label AS la, b.vec_id AS j,
                   b.label AS lb,
                   LIST_DOT_PRODUCT(a.v, b.v)
@@ -9607,8 +9631,12 @@ SELECT i AS anchor_id, CAST(la AS BIGINT) AS anchor_label,
 FROM r WHERE rk = 1 ORDER BY anchor_id
 """,
    engine_sql="""
-WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings
-           WHERE vec_id < 300),
+WITH e AS (SELECT vec_id, label,
+                  TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings
+           WHERE vec_id < 300 AND embedding IS NOT NULL
+             AND AGGREGATE(embedding, 0D,
+                   (s,x) -> s + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) > 0),
      p AS (SELECT a.vec_id AS i, a.label AS la, b.vec_id AS j,
                   b.label AS lb,
                   AGGREGATE(ZIP_WITH(a.v, b.v, (x, y) -> x * y), 0D,
@@ -10658,7 +10686,8 @@ WITH v AS (SELECT vec_id, g.i AS i,
            FROM embeddings,
                 UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
            WHERE vec_id < 500),
-     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
      d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
            FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
            WHERE a.vec_id IN (0, 1, 2, 3, 4)
@@ -10682,7 +10711,8 @@ WITH v AS (SELECT vec_id, pos AS i,
            FROM embeddings
            LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
            WHERE vec_id < 500),
-     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
      d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
            FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
            WHERE a.vec_id IN (0, 1, 2, 3, 4)
@@ -11776,12 +11806,13 @@ WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
             WHERE e.vec_id <> 0),
      dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
                      SUM(ev.q * ev.q) AS n2
-              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id
+              HAVING SUM(ev.q * ev.q) > 0),
      qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
      cs AS (SELECT d.vec_id AS doc_id,
                    d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
                             * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
-            FROM dots d CROSS JOIN qn),
+            FROM dots d CROSS JOIN qn WHERE qn.qn2 > 0),
      csr AS (SELECT doc_id, score,
                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
              FROM cs)
@@ -11829,12 +11860,13 @@ WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
             WHERE vec_id <> 0),
      dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
                      SUM(ev.q * ev.q) AS n2
-              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id
+              HAVING SUM(ev.q * ev.q) > 0),
      qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
      cs AS (SELECT d.vec_id AS doc_id,
                    d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
                             * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
-            FROM dots d CROSS JOIN qn),
+            FROM dots d CROSS JOIN qn WHERE qn.qn2 > 0),
      csr AS (SELECT doc_id, score,
                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
              FROM cs)
@@ -13391,7 +13423,8 @@ WITH v AS (SELECT vec_id, g.i AS i,
            FROM embeddings,
                 UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
            WHERE vec_id < 500),
-     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
      d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
            FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
            WHERE a.vec_id IN (0, 1, 2, 3, 4)
@@ -13424,7 +13457,8 @@ WITH v AS (SELECT vec_id, pos AS i,
            FROM embeddings
            LATERAL VIEW POSEXPLODE(embedding) t AS pos, val
            WHERE vec_id < 500),
-     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id),
+     n AS (SELECT vec_id, SUM(q * q) AS n2 FROM v GROUP BY vec_id
+            HAVING SUM(q * q) > 0),
      d AS (SELECT a.vec_id AS qi, b.vec_id AS ni, SUM(a.q * b.q) AS dot
            FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
            WHERE a.vec_id IN (0, 1, 2, 3, 4)
@@ -16105,7 +16139,8 @@ WITH n2 AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS half
            FROM v a JOIN n2 ON TRUE
            JOIN v b ON b.vec_id = a.vec_id + n2.half AND b.i = a.i
            WHERE a.vec_id < n2.half
-           GROUP BY a.vec_id),
+           GROUP BY a.vec_id
+           HAVING SUM(a.q * a.q) > 0 AND SUM(b.q * b.q) > 0),
      s AS (SELECT i, dot / (SQRT(CAST(na AS DOUBLE))
                            * SQRT(CAST(nb AS DOUBLE))) AS cos
            FROM d)
@@ -16125,7 +16160,8 @@ WITH n2 AS (SELECT CAST(COUNT(*) AS BIGINT) DIV 2 AS half
            FROM v a JOIN n2 ON TRUE
            JOIN v b ON b.vec_id = a.vec_id + n2.half AND b.i = a.i
            WHERE a.vec_id < n2.half
-           GROUP BY a.vec_id),
+           GROUP BY a.vec_id
+           HAVING SUM(a.q * a.q) > 0 AND SUM(b.q * b.q) > 0),
      s AS (SELECT i, dot / (SQRT(CAST(na AS DOUBLE))
                            * SQRT(CAST(nb AS DOUBLE))) AS cos
            FROM d)
@@ -18341,12 +18377,13 @@ WITH tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
             WHERE e.vec_id <> 0),
      dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
                      SUM(ev.q * ev.q) AS n2
-              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id
+              HAVING SUM(ev.q * ev.q) > 0),
      qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
      cs AS (SELECT d.vec_id AS doc_id,
                    d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
                             * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
-            FROM dots d CROSS JOIN qn),
+            FROM dots d CROSS JOIN qn WHERE qn.qn2 > 0),
      csr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
              FROM cs),
@@ -18398,12 +18435,13 @@ WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
             WHERE vec_id <> 0),
      dots AS (SELECT ev.vec_id, SUM(ev.q * qv.q) AS dot,
                      SUM(ev.q * ev.q) AS n2
-              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id),
+              FROM ev JOIN qv ON qv.i = ev.i GROUP BY ev.vec_id
+              HAVING SUM(ev.q * ev.q) > 0),
      qn AS (SELECT SUM(q * q) AS qn2 FROM qv),
      cs AS (SELECT d.vec_id AS doc_id,
                    d.dot / (SQRT(CAST(d.n2 AS DOUBLE))
                             * SQRT(CAST(qn.qn2 AS DOUBLE))) AS score
-            FROM dots d CROSS JOIN qn),
+            FROM dots d CROSS JOIN qn WHERE qn.qn2 > 0),
      csr AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
              FROM cs),
