@@ -294,8 +294,13 @@ class IVFIndex:
 
     def fit(self, embeddings: DataFrame, vec_col: str = "embedding",
             sample_rows: int = 4096) -> "IVFIndex":
+        # degenerate rows (NULL / empty vectors) are excluded from the
+        # sample; mixed legitimate dims are out of contract and fail
+        # loudly in the np.array construction below
         sample = np.array(
-            [r[0] for r in embeddings.select(vec_col).limit(sample_rows).collect()],
+            [r[0] for r in embeddings
+             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+             .select(vec_col).limit(sample_rows).collect()],
             dtype=np.float64)
         sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(self.seed)
@@ -317,7 +322,12 @@ class IVFIndex:
         ensure_package_on_executors(embeddings.sparkSession)
         cent = self.centroids
         assert cent is not None, "fit() first"
-        src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        # NULL / wrong-dim rows can't be assigned (np.vstack on a
+        # ragged batch throws) — exclude them JVM-side, before Arrow
+        src = (embeddings
+               .filter(F.col(vec_col).isNotNull()
+                       & (F.size(F.col(vec_col)) == int(cent.shape[1])))
+               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
 
         def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -446,7 +456,13 @@ def normalize_embeddings_arrow(
     pandas bridge on both copies and GIL time.
     """
     ensure_package_on_executors(embeddings.sparkSession)
-    src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL/empty rows are excluded JVM-side: the zero-copy flatten
+    # below silently DROPS their (absent) elements, which would
+    # misalign the reshape and normalize every subsequent row against
+    # the wrong values — the worst failure mode (corruption, no error)
+    src = (embeddings
+           .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+           .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
 
     def _norm(batches):
         import pyarrow as pa
@@ -457,6 +473,13 @@ def normalize_embeddings_arrow(
             col = batch.column(1)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            lens = col.value_lengths().to_numpy(zero_copy_only=False)
+            if lens.min() != lens.max():
+                # mixed dims can't be a rectangle: fail loudly instead
+                # of reshaping into garbage
+                raise ValueError(
+                    "normalize_embeddings_arrow: mixed vector lengths "
+                    f"in batch (min {lens.min()}, max {lens.max()})")
             flat = col.flatten().to_numpy(zero_copy_only=False)
             dim = len(flat) // batch.num_rows
             mat = flat.astype("float64").reshape(batch.num_rows, dim)

@@ -704,3 +704,37 @@ def test_mmr_rerank_excludes_zero_norm_and_caps_k(spark):
     rows = S.mmr_rerank(df, 0, n_candidates=10, k=5).collect()
     assert [r.vec_id for r in rows] == [1]  # only the finite-norm survivor
     assert [r.step for r in rows] == [1]
+
+
+def test_similarity_tiers_tolerate_degenerate_vectors(spark):
+    """NULL / empty / zero-norm vectors must be excluded, not crash or
+    corrupt: the Arrow tiers build rectangular matrices (ragged input
+    either throws vstack or — worse — silently misaligns a zero-copy
+    reshape), so every tier filters JVM-side before Python."""
+    import numpy as np
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)], i % 3)
+            for i in range(12)]
+    rows += [(12, None, 0), (13, [], 1), (14, [0.0] * 8, 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    idx = S.IVFIndex(n_clusters=3, seed=1).fit(df)
+    assigned = idx.assign(df)
+    got = {r.id for r in assigned.collect()}
+    assert got == set(range(12)) | {14}  # NULL+empty dropped; zero assignable
+
+    normed = S.normalize_embeddings_arrow(df)
+    out = {r.vec_id for r in normed.collect()}
+    assert out == set(range(12)) | {14}
+    z = [r.nv for r in normed.collect() if r.vec_id == 14][0]
+    assert all(v == 0.0 for v in z)  # zero vector stays zero (1e-12 floor)
+
+    blocked = S.cosine_topk_blocked(df, [1.0] + [0.0] * 7, k=20)
+    ids = [r.vec_id for r in blocked.collect()]
+    assert 12 not in ids and 13 not in ids and 14 not in ids
+
+    surv = S.semdedup(df.filter(F.col("embedding").isNotNull()
+                                & (F.size("embedding") > 0)),
+                      threshold=0.99, n_clusters=2, seed=1)
+    assert surv.count() >= 1
