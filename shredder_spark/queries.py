@@ -331,7 +331,9 @@ FROM customer ORDER BY c_custkey
 
 _q("q37_json_extract",
    oracle="""
-SELECT event_type, CAST(SUM(CAST(JSON_EXTRACT(props,'$.k') AS INT)) AS BIGINT) AS s
+SELECT event_type,
+       CAST(SUM(CASE WHEN json_valid(props)
+                THEN CAST(JSON_EXTRACT(props,'$.k') AS INT) END) AS BIGINT) AS s
 FROM events GROUP BY event_type ORDER BY event_type
 """,
    engine_sql="""
@@ -2250,10 +2252,11 @@ _q("q155_dedup_keepers", oracle=None, builder=_q155_builder)
 # field; the oracle extracts and casts per field.
 _q("q156_typed_json_parse",
    oracle="""
-SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k
-FROM events
-WHERE CAST(JSON_EXTRACT(props, '$.k') AS INT) > 90
-ORDER BY event_id
+SELECT event_id, k FROM (
+  SELECT event_id, CASE WHEN json_valid(props)
+         THEN CAST(JSON_EXTRACT(props, '$.k') AS INT) END AS k
+  FROM events) t
+WHERE k > 90 ORDER BY event_id
 """,
    engine_sql="""
 SELECT event_id, k FROM (
@@ -3044,7 +3047,8 @@ FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
 # JSON_TUPLE lateral view (multi-key JSON field extraction).
 _q("q197_json_tuple",
    oracle="""
-SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k
+SELECT event_id, CASE WHEN json_valid(props)
+       THEN JSON_EXTRACT_STRING(props, '$.k') END AS k
 FROM events ORDER BY event_id
 """,
    engine_sql="""
@@ -3498,16 +3502,17 @@ FROM islands GROUP BY user_id, island ORDER BY user_id, island
 # Oracle extracts the same path from the JSON text directly.
 _q("q220_variant_json",
    oracle="""
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-ORDER BY event_id
+SELECT event_id, k FROM (
+  SELECT event_id, CASE WHEN json_valid(props)
+         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events) t
+WHERE k >= 50 ORDER BY event_id
 """,
    engine_sql="""
 SELECT event_id, k
 FROM (SELECT event_id,
-             CAST(VARIANT_GET(PARSE_JSON(props), '$.k', 'long') AS BIGINT)
-               AS k
+             CAST(VARIANT_GET(TRY_PARSE_JSON(props), '$.k', 'long')
+                  AS BIGINT) AS k
       FROM events)
 WHERE k >= 50
 ORDER BY event_id
@@ -3606,9 +3611,12 @@ SELECT event_id, json_valid(props) AS ok,
 FROM events ORDER BY event_id
 """,
    engine_sql="""
-SELECT event_id, TRY_PARSE_JSON(props) IS NOT NULL AS ok,
-       TRY_PARSE_JSON(SUBSTRING(props, 1, LENGTH(props) - 1))
-         IS NOT NULL AS ok_trunc
+SELECT event_id,
+       CASE WHEN props IS NOT NULL
+            THEN TRY_PARSE_JSON(props) IS NOT NULL END AS ok,
+       CASE WHEN props IS NOT NULL
+            THEN TRY_PARSE_JSON(SUBSTRING(props, 1, LENGTH(props) - 1))
+                 IS NOT NULL END AS ok_trunc
 FROM events ORDER BY event_id
 """)
 
@@ -6231,7 +6239,8 @@ ORDER BY i, j
 # semi-structured pipeline's schema-discovery step.
 _q("q320_variant_explode",
    oracle="""
-WITH t AS (SELECT event_id, props FROM events WHERE event_id <= 200),
+WITH t AS (SELECT event_id, props FROM events
+           WHERE event_id <= 200 AND json_valid(props)),
      e AS (SELECT t.event_id,
                   CAST(k.k AS VARCHAR) AS vkey,
                   json_extract_string(t.props, '$.' || k.k) AS vval
@@ -6239,8 +6248,9 @@ WITH t AS (SELECT event_id, props FROM events WHERE event_id <= 200),
 SELECT event_id, vkey, vval FROM e ORDER BY event_id, vkey
 """,
    engine_sql="""
-WITH t AS (SELECT event_id, PARSE_JSON(props) AS v
-           FROM events WHERE event_id <= 200)
+WITH t AS (SELECT event_id, TRY_PARSE_JSON(props) AS v
+           FROM events
+           WHERE event_id <= 200 AND TRY_PARSE_JSON(props) IS NOT NULL)
 SELECT event_id, key AS vkey,
        VARIANT_GET(value, '$', 'string') AS vval
 FROM t, LATERAL VARIANT_EXPLODE(v)
@@ -8101,15 +8111,21 @@ WITH d AS (SELECT user_id, ts, event_id, event_type,
                   SUM(new_s) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS sid
            FROM d),
-     agg AS (SELECT user_id, sid,
-                    MIN_BY(event_type, ts) AS first_type,
-                    COUNT(*) AS n_events
-             FROM s GROUP BY user_id, sid)
+     f AS (SELECT user_id, sid, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+           FROM s),
+     agg AS (SELECT user_id, sid, COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+     j AS (SELECT f.event_type AS first_type, agg.n_events
+           FROM agg JOIN f
+             ON f.user_id IS NOT DISTINCT FROM agg.user_id
+            AND f.sid = agg.sid AND f.rn = 1)
 SELECT first_type,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
-FROM agg GROUP BY first_type ORDER BY first_type
+FROM j GROUP BY first_type ORDER BY first_type
 """,
    engine_sql="""
 WITH d AS (SELECT user_id, ts, event_id, event_type,
@@ -8125,15 +8141,21 @@ WITH d AS (SELECT user_id, ts, event_id, event_type,
                   SUM(new_s) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS sid
            FROM d),
-     agg AS (SELECT user_id, sid,
-                    MIN_BY(event_type, ts) AS first_type,
-                    COUNT(*) AS n_events
-             FROM s GROUP BY user_id, sid)
+     f AS (SELECT user_id, sid, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+           FROM s),
+     agg AS (SELECT user_id, sid, COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+     j AS (SELECT f.event_type AS first_type, agg.n_events
+           FROM agg JOIN f
+             ON f.user_id IS NOT DISTINCT FROM agg.user_id
+            AND f.sid = agg.sid AND f.rn = 1)
 SELECT first_type,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 4) AS bounce_rate
-FROM agg GROUP BY first_type ORDER BY first_type
+FROM j GROUP BY first_type ORDER BY first_type
 """)
 
 
@@ -14619,7 +14641,7 @@ _q("q576_erlang_c",
    oracle="""
 WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
                   / ((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600.0) / 20.0
-                  / (COUNT(DISTINCT user_id) / 1500.0)
+                  / (CAST(COUNT(DISTINCT user_id) AS DOUBLE) / 1500.0)
                     AS load_erl
            -- per-1500-user load: scale-invariant (10x events at sf1
            -- otherwise pushes the load past every agent count and
@@ -14647,7 +14669,8 @@ WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE)
                   / ((UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP))
                       - UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)))
                      / 3600000000.0) / 20.0
-                  / (COUNT(DISTINCT user_id) / 1500.0) AS load_erl
+                  / (CAST(COUNT(DISTINCT user_id) AS DOUBLE) / 1500.0)
+                    AS load_erl
            -- per-1500-user load: see oracle text
            FROM events WHERE event_type = 'purchase'),
      k AS (SELECT EXPLODE(SEQUENCE(1, 6)) AS c),
@@ -15676,13 +15699,13 @@ WITH src AS (SELECT event_id, user_id, event_type,
               FROM src),
      parsed AS (SELECT event_id,
                        CAST(REGEXP_EXTRACT(log_line,
-                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            'uid=([0-9]+) act="([a-z]*)" val=(-?[0-9]+)',
                             1) AS BIGINT) AS p_uid,
                        REGEXP_EXTRACT(log_line,
-                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            'uid=([0-9]+) act="([a-z]*)" val=(-?[0-9]+)',
                             2) AS p_act,
                        CAST(REGEXP_EXTRACT(log_line,
-                            'uid=([0-9]+) act="([a-z]+)" val=([0-9]+)',
+                            'uid=([0-9]+) act="([a-z]*)" val=(-?[0-9]+)',
                             3) AS BIGINT) AS p_val
                 FROM line)
 SELECT src.event_id,
@@ -15897,10 +15920,12 @@ FROM p GROUP BY family, major ORDER BY family, major
 _q("q609_nested_json_flatten",
    oracle="""
 WITH j AS (SELECT event_id,
-                  CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
+                  CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+                            AND value IS NOT NULL
+                  THEN CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
                          ',"kind":"', event_type, '"},"vals":[',
                          CAST(CAST(ROUND(value * 100) AS BIGINT)
-                              AS STRING), ',7]}') AS payload
+                              AS STRING), ',7]}') END AS payload
            FROM events WHERE event_id < 300)
 SELECT event_id,
        CAST(json_extract(payload, '$.meta.uid') AS BIGINT) AS uid,
@@ -15911,10 +15936,12 @@ FROM j ORDER BY event_id
 """,
    engine_sql="""
 WITH j AS (SELECT event_id,
-                  CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
+                  CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+                            AND value IS NOT NULL
+                  THEN CONCAT('{"meta":{"uid":', CAST(user_id AS STRING),
                          ',"kind":"', event_type, '"},"vals":[',
                          CAST(CAST(ROUND(value * 100) AS BIGINT)
-                              AS STRING), ',7]}') AS payload
+                              AS STRING), ',7]}') END AS payload
            FROM events WHERE event_id < 300),
      p AS (SELECT event_id,
                   FROM_JSON(payload,
