@@ -7480,7 +7480,13 @@ _q("q359_full_dedup_pipeline", oracle=None, builder=_q359_builder)
 # records inside each block (mktsegment) by the sort key, compare each
 # record only to its w=2 successors — the classic O(n·w) entity-
 # resolution candidate generator (vs the O(n²) naive pass).
-_q("q360_sorted_neighborhood", """
+# Engine plan: the window-1/window-2 neighbors ARE LEAD(1)/LEAD(2) —
+# two linear window passes instead of the segment self-join, whose
+# band predicate is a post-filter over |segment|^2 pairs (profiled at
+# 69 s on sf1's 150k customers; the LEAD plan is ~1 s and stays linear
+# at any scale). The oracle keeps the textbook banded-join form.
+_q("q360_sorted_neighborhood",
+   oracle="""
 WITH r AS (SELECT c_custkey, c_mktsegment, c_acctbal,
                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                      ORDER BY c_acctbal, c_custkey) AS rn
@@ -7490,6 +7496,22 @@ SELECT a.c_custkey AS i, b.c_custkey AS j,
 FROM r a JOIN r b
   ON a.c_mktsegment = b.c_mktsegment AND b.rn - a.rn BETWEEN 1 AND 2
 WHERE b.c_acctbal - a.c_acctbal <= 50.0
+ORDER BY i, j
+""",
+   engine_sql="""
+WITH r AS (SELECT c_custkey, c_acctbal,
+                  LEAD(c_custkey, 1) OVER w AS j1,
+                  LEAD(c_acctbal, 1) OVER w AS b1,
+                  LEAD(c_custkey, 2) OVER w AS j2,
+                  LEAD(c_acctbal, 2) OVER w AS b2
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey)),
+     p AS (SELECT c_custkey AS i, j1 AS j, b1 - c_acctbal AS gap FROM r
+           UNION ALL
+           SELECT c_custkey AS i, j2 AS j, b2 - c_acctbal AS gap FROM r)
+SELECT i, j, ROUND(gap, 2) AS bal_gap
+FROM p WHERE j IS NOT NULL AND gap <= 50.0
 ORDER BY i, j
 """)
 
