@@ -2916,12 +2916,20 @@ g AS (SELECT doc_id,
                                i -> ARRAY_JOIN(SLICE(tk, i, 5), ' '))),
                 ARRAY()) AS gs
       FROM tok WHERE SIZE(tk) >= 5),
-bench AS (SELECT DISTINCT EXPLODE(gs) AS gram FROM g WHERE doc_id % 10 = 0),
-cand AS (SELECT doc_id, gram FROM g LATERAL VIEW EXPLODE(gs) AS gram
-         WHERE doc_id % 10 <> 0)
-SELECT c.doc_id, COUNT(*) AS hits
-FROM cand c JOIN bench b ON c.gram = b.gram
-GROUP BY c.doc_id ORDER BY c.doc_id
+-- one explode pass: the benchmark flag rides along and a per-gram
+-- window MAX replaces the bench-distinct + join (gs is ARRAY_DISTINCT
+-- per doc, so instance count per (doc, gram) is exactly 1 and SUM==
+-- COUNT(*) of the join form); halves the expensive 5-gram string
+-- construction, which Spark otherwise recomputes per CTE reference
+a AS (SELECT doc_id, doc_id % 10 = 0 AS is_bench, gram
+      FROM g LATERAL VIEW EXPLODE(gs) AS gram),
+w AS (SELECT doc_id, is_bench,
+             MAX(CASE WHEN is_bench THEN 1 ELSE 0 END)
+               OVER (PARTITION BY gram) AS in_bench
+      FROM a)
+SELECT doc_id, COUNT(*) AS hits
+FROM w WHERE NOT is_bench AND in_bench = 1
+GROUP BY doc_id ORDER BY doc_id
 """)
 
 # Unigram language-model quality score: corpus-wide token frequencies
@@ -4147,17 +4155,23 @@ big AS (SELECT doc_id,
         FROM toks WHERE SIZE(t) >= 2),
 pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
           FROM big LATERAL VIEW EXPLODE(bs) x AS b),
+-- scan the exploded instances ONCE for counting: c1 and V are exact
+-- type-level derivations of cnt2 (SUM of integer-valued doubles and a
+-- row count), so the 4-pass instance re-scan + double instance join
+-- the textbook form implies collapses to one agg + one join (profiled
+-- 42 s -> much less at sf1; same values, AVG over identical per-type
+-- scores is ROUND(,4)-stable)
 cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
          FROM pairs GROUP BY w1, w2),
-cnt1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM pairs GROUP BY w1),
-v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS vs FROM pairs)
+cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM cnt1),
+sc AS (SELECT c.w1, c.w2, -LN((c.c2 + 1.0) / (c1.c1 + v.vs)) AS s
+       FROM cnt2 c JOIN cnt1 c1 ON c1.w1 = c.w1 CROSS JOIN v)
 SELECT p.doc_id,
-       ROUND(AVG(-LN((c.c2 + 1.0) / (c1.c1 + v.vs))), 4) AS nll,
+       ROUND(AVG(sc.s), 4) AS nll,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams
 FROM pairs p
-JOIN cnt2 c ON p.w1 = c.w1 AND p.w2 = c.w2
-JOIN cnt1 c1 ON p.w1 = c1.w1
-CROSS JOIN v
+JOIN sc ON sc.w1 = p.w1 AND sc.w2 = p.w2
 GROUP BY p.doc_id ORDER BY p.doc_id
 """)
 
