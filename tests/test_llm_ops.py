@@ -738,3 +738,30 @@ def test_similarity_tiers_tolerate_degenerate_vectors(spark):
                                 & (F.size("embedding") > 0)),
                       threshold=0.99, n_clusters=2, seed=1)
     assert surv.count() >= 1
+
+
+def test_simhash_arrow_tier_equals_catalyst_fold(spark, documents):
+    """The Arrow bit-vote tier must produce bit-identical fingerprints
+    to the Catalyst fold definition — the vote is exact integer math,
+    so equality is exact, including the sign bit (bit 63)."""
+    th = documents.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "),
+                    lambda t: F.xxhash64(t)).alias("th"))
+    both = th.select(
+        "doc_id",
+        D.simhash_from_hashes(F.col("th")).alias("a"),
+        D.simhash_from_hashes_arrow()(F.col("th")).alias("b"))
+    bad = both.filter(~F.col("a").eqNullSafe(F.col("b"))).count()
+    assert bad == 0
+    # degenerate strings too (empty -> [''] token; single token)
+    deg = spark.createDataFrame([(0, ""), (1, "x"), (2, "a b a")],
+                                "doc_id long, text string")
+    th2 = deg.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "),
+                    lambda t: F.xxhash64(t)).alias("th"))
+    rows = th2.select(
+        D.simhash_from_hashes(F.col("th")).alias("a"),
+        D.simhash_from_hashes_arrow()(F.col("th")).alias("b")).collect()
+    assert all(r.a == r.b for r in rows)
