@@ -12135,9 +12135,11 @@ WITH r AS (SELECT d.doc_id, g.r AS rater,
             FROM cnt GROUP BY doc_id),
      pbar AS (SELECT SUM(agree) * 1.0 / (COUNT(*) * 3 * 2) AS pb FROM pi),
      pj AS (SELECT cat, SUM(nij) AS nj FROM cnt GROUP BY cat),
-     pe AS (SELECT SUM(POWER(nj * 1.0
-                             / (SELECT SUM(nj) FROM pj), 2)) AS pe
-            FROM pj)
+     pjt AS (SELECT SUM(nj) AS tot FROM pj),
+     pe AS (SELECT LIST_REDUCE(LIST_SORT(LIST(POWER(nj * 1.0 / pjt.tot,
+                                               2))),
+                             (a, b) -> a + b) AS pe
+            FROM pj CROSS JOIN pjt)
 SELECT FLOOR(pbar.pb * 1000000) / 1000000.0 AS p_observed,
        FLOOR(pe.pe * 1000000) / 1000000.0 AS p_expected,
        FLOOR((pbar.pb - pe.pe) / (1 - pe.pe) * 1000000) / 1000000.0
@@ -12157,9 +12159,11 @@ WITH r AS (SELECT d.doc_id, g.r AS rater,
             FROM cnt GROUP BY doc_id),
      pbar AS (SELECT SUM(agree) * 1.0 / (COUNT(*) * 3 * 2) AS pb FROM pi),
      pj AS (SELECT cat, SUM(nij) AS nj FROM cnt GROUP BY cat),
-     pe AS (SELECT SUM(POWER(nj * 1.0
-                             / (SELECT SUM(nj) FROM pj), 2)) AS pe
-            FROM pj)
+     pjt AS (SELECT SUM(nj) AS tot FROM pj),
+     pe AS (SELECT AGGREGATE(SORT_ARRAY(COLLECT_LIST(POWER(nj * 1.0
+                             / pjt.tot, 2))),
+                             CAST(0 AS DOUBLE), (a, b) -> a + b) AS pe
+            FROM pj CROSS JOIN pjt)
 SELECT FLOOR(pbar.pb * 1000000) / 1000000.0 AS p_observed,
        FLOOR(pe.pe * 1000000) / 1000000.0 AS p_expected,
        FLOOR((pbar.pb - pe.pe) / (1 - pe.pe) * 1000000) / 1000000.0
@@ -13998,7 +14002,13 @@ FROM r CROSS JOIN lo ORDER BY r.source
 # Sampling-temperature sweep: language mixture weights at T = 0.5, 1,
 # 2 side by side (wᵢ ∝ pᵢ^(1/T), renormalized) — how flat each
 # temperature makes the mixture, one table.
-_q("q554_temperature_sweep", """
+# The z normalizers sum a handful of DOUBLES; Spark's partial-agg
+# merge order is task-completion-dependent, so a plain SUM can drift
+# one ulp between runs and flip a FLOOR(x*1e6) boundary (observed once
+# in a contended sweep). Both dialects therefore fold a SORTED list —
+# the same left fold over the same sequence is bit-deterministic.
+_q("q554_temperature_sweep",
+   oracle="""
 WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
            GROUP BY lang),
      t AS (SELECT SUM(n) AS nt FROM c),
@@ -14009,7 +14019,33 @@ WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
                   pr AS e10,
                   POWER(pr, 0.5) AS e20
            FROM p),
-     z AS (SELECT SUM(e05) AS z05, SUM(e10) AS z10, SUM(e20) AS z20
+     z AS (SELECT LIST_REDUCE(LIST_SORT(LIST(e05)), (a, b) -> a + b) AS z05,
+                  LIST_REDUCE(LIST_SORT(LIST(e10)), (a, b) -> a + b) AS z10,
+                  LIST_REDUCE(LIST_SORT(LIST(e20)), (a, b) -> a + b) AS z20
+           FROM e)
+SELECT e.lang, e.n,
+       FLOOR(e.e05 * 1000000.0 / z.z05) / 1000000.0 AS w_t05,
+       FLOOR(e.e10 * 1000000.0 / z.z10) / 1000000.0 AS w_t10,
+       FLOOR(e.e20 * 1000000.0 / z.z20) / 1000000.0 AS w_t20
+FROM e CROSS JOIN z ORDER BY e.lang
+""",
+   engine_sql="""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           GROUP BY lang),
+     t AS (SELECT SUM(n) AS nt FROM c),
+     p AS (SELECT c.lang, c.n, CAST(c.n AS DOUBLE) / t.nt AS pr
+           FROM c CROSS JOIN t),
+     e AS (SELECT lang, n, pr,
+                  POWER(pr, 2.0) AS e05,
+                  pr AS e10,
+                  POWER(pr, 0.5) AS e20
+           FROM p),
+     z AS (SELECT AGGREGATE(SORT_ARRAY(COLLECT_LIST(e05)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b) AS z05,
+                  AGGREGATE(SORT_ARRAY(COLLECT_LIST(e10)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b) AS z10,
+                  AGGREGATE(SORT_ARRAY(COLLECT_LIST(e20)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b) AS z20
            FROM e)
 SELECT e.lang, e.n,
        FLOOR(e.e05 * 1000000.0 / z.z05) / 1000000.0 AS w_t05,
