@@ -239,6 +239,43 @@ def test_no_unguarded_descending_sequence_lint():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_no_orderdependent_float_sum_lint():
+    """Registry lint: SUM over POWER/SQRT/LN/EXP doubles feeding a
+    FLOOR(x*1e5+) must fold a SORTED list — Spark's partial-agg merge
+    order is task-completion-dependent, so a plain SUM drifts one ulp
+    between runs and flips the floor boundary (q554 flaked exactly
+    this way in a contended round-7 sweep; q507 was the same class)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/lint_float_sum_floor.py"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_sum_order_determinism_across_parallelism(spark):
+    """Regression net for the order-determinism class: the two fixed
+    queries must produce IDENTICAL rows under different shuffle
+    parallelism (different partition counts exercise different
+    partial-agg merge shapes)."""
+    from shredder_spark import queries as q
+
+    for name in ("q554_temperature_sweep", "q507_fleiss_kappa"):
+        query = q.registry()[name]
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = [tuple(r) for r in
+                 query.run(spark, "/root/testdata/sf0.001").collect()]
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+            b = [tuple(r) for r in
+                 query.run(spark, "/root/testdata/sf0.001").collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b, name
+
+
 GLOBAL_WINDOW_REWRITES = [
     # round-5 scale rewrites of the round-4 raw-row global windows:
     # builders route through operators/scale_windows.py, SQL rewrites
