@@ -27,6 +27,24 @@ normalization breaks. It deliberately exercises the same machinery as
 the headliners (range scan → shuffle agg → running-sum window, all
 whole-stage-codegen JVM) without touching parquet, so storage-cache
 state cannot leak into it.
+
+Round 8 instrument fix (round-7 verdict "What's wrong #1"): the r7
+control ran at cv 0.32 (30 reps, one control per query rep, one
+global median), and the global-median normalization then manufactured
+phantom regressions (q43 "+33%", q05 "+12%") that the raw min series
+contradicted (q43 −12%, q05 −23%). Back-check: the r7 control reps
+were bimodal — a slow VM phase covered part of the run; a query rep
+inside a fast phase divided by the phase-blind GLOBAL control median
+reads as "slower at reference speed" even though nothing regressed.
+The fix is structural, not more averaging: (a) ~62 control reps
+(gap of 2 at every query boundary, so each query rep is bracketed);
+(b) per-rep LOCAL normalization — each query rep divides by the speed
+factor of its own bracketing controls (the 4 reps around it), so a
+mid-run VM phase hits a query and its divisor together and cancels;
+(c) the reported control median/cv use a 20%-trimmed core so a few
+phase-transition outliers can't dominate the stamp. ``ref_s`` stays
+pinned at the round-6 value — re-pinning would erase the very drift
+the control exists to expose.
 """
 
 from __future__ import annotations
@@ -56,6 +74,9 @@ HEADLINE = [
 ]
 
 CYCLES = 3          # timed reps per headline query (median reported)
+CTRL_PER_GAP = 2    # control reps at every query boundary (~62 total)
+TRIM_FRAC = 0.2     # trimmed-core fraction for the control stamp
+ROUND_TAG = "r08"   # versioned full-artifact name (bump per round)
 
 # Control workload + pinned reference shared with the sweep tools so
 # every committed artifact carries the same session-speed stamp
@@ -78,19 +99,37 @@ def main() -> None:
     for name in HEADLINE:
         _drain(reg[name].run(spark, sf_dir))
 
-    # Interleaved timed passes: control / query / control / query …
-    # across CYCLES full cycles, so any VM speed phase hits the control
-    # and every query alike (ceiling_ab methodology).
-    control_reps: list[float] = []
+    # Interleaved timed passes with BRACKETING control gaps: a gap of
+    # CTRL_PER_GAP control reps runs at every query boundary, so each
+    # query rep is bracketed by the gap before and the gap after it.
+    # Each rep then normalizes by its LOCAL bracketing controls — a VM
+    # speed phase mid-run hits a query and its divisor together and
+    # cancels, instead of skewing one side of a global median.
+    control_gaps: list[list[float]] = []
     qreps: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(CYCLES):
-        for name in HEADLINE:
+    qgap: dict[str, list[int]] = {name: [] for name in HEADLINE}
+
+    def run_gap() -> None:
+        gap = []
+        for _ in range(CTRL_PER_GAP):
             t0 = time.perf_counter()
             _control(spark)
-            control_reps.append(round(time.perf_counter() - t0, 4))
+            gap.append(round(time.perf_counter() - t0, 4))
+        control_gaps.append(gap)
+
+    run_gap()
+    for _ in range(CYCLES):
+        for name in HEADLINE:
+            qgap[name].append(len(control_gaps) - 1)
             t0 = time.perf_counter()
             _drain(reg[name].run(spark, sf_dir))
             qreps[name].append(round(time.perf_counter() - t0, 4))
+            run_gap()
+
+    def trimmed(xs: list[float], frac: float = TRIM_FRAC) -> list[float]:
+        s = sorted(xs)
+        k = int(len(s) * frac)
+        return s[k:len(s) - k] or s
 
     timings = {name: round(statistics.median(reps), 4)
                for name, reps in qreps.items()}
@@ -98,11 +137,27 @@ def main() -> None:
     # cross-round tables need the min series too (medians read ~5-10%
     # higher than mins by construction, not by regression)
     timings_min = {name: min(reps) for name, reps in qreps.items()}
-    ctl_median = statistics.median(control_reps)
-    ctl_mean = statistics.fmean(control_reps)
-    ctl_cv = (statistics.pstdev(control_reps) / ctl_mean
+    control_reps = [t for gap in control_gaps for t in gap]
+    ctl_core = trimmed(control_reps)
+    ctl_median = statistics.median(ctl_core)
+    ctl_mean = statistics.fmean(ctl_core)
+    ctl_cv = (statistics.pstdev(ctl_core) / ctl_mean
               if ctl_mean else 0.0)
+    raw_mean = statistics.fmean(control_reps)
+    ctl_cv_raw = (statistics.pstdev(control_reps) / raw_mean
+                  if raw_mean else 0.0)
     vs_ref = ctl_median / CONTROL_REF_S
+
+    # Per-rep local normalization: rep / (median of its 4 bracketing
+    # control reps / ref_s); per-query value = median across cycles.
+    normalized: dict[str, float] = {}
+    for name in HEADLINE:
+        norm_reps = []
+        for rep, g in zip(qreps[name], qgap[name]):
+            local = control_gaps[g] + control_gaps[g + 1]
+            local_vs = statistics.median(local) / CONTROL_REF_S
+            norm_reps.append(rep / local_vs if local_vs else rep)
+        normalized[name] = round(statistics.median(norm_reps), 4)
 
     # Ingest bench: fixed-width text → snappy Avro (BASELINE.md shape).
     ingest_rates: dict = {}
@@ -124,23 +179,27 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "control": {
             "reps": control_reps,
+            "gaps": control_gaps,
             "median": round(ctl_median, 4),
             "cv": round(ctl_cv, 4),
+            "cv_raw": round(ctl_cv_raw, 4),
+            "trim_frac": TRIM_FRAC,
             "ref_s": CONTROL_REF_S,
             "vs_ref": round(vs_ref, 4),
         },
-        # headline medians at reference VM speed: divide by the session
-        # speed factor. Compare THESE across rounds; raw medians
-        # conflate engine changes with VM phases.
-        "queries_normalized": {
-            name: round(t / vs_ref, 4)
-            for name, t in timings.items() if name in qreps
-        },
+        # headline reps at reference VM speed, each rep divided by the
+        # speed factor of its own bracketing controls (median over
+        # cycles). Compare THESE across rounds; raw medians conflate
+        # engine changes with VM phases.
+        "queries_normalized": normalized,
         "queries_min": timings_min,
         "reps": qreps,
-        "method": ("interleaved control A/B/A, median of "
-                   f"{CYCLES} reps; control frozen at ref_s="
-                   f"{CONTROL_REF_S}s (round 6)"),
+        "method": ("bracketed control gaps (x{g} per boundary, ~{n} "
+                   "reps), per-rep local normalization, {t:.0%}-trimmed "
+                   "control stamp, median of {c} reps; control frozen "
+                   "at ref_s={r}s (round 6)").format(
+                       g=CTRL_PER_GAP, n=len(control_reps),
+                       t=TRIM_FRAC, c=CYCLES, r=CONTROL_REF_S),
     }
     if ingest_rates:
         out["ingest"] = ingest_rates
@@ -152,10 +211,24 @@ def main() -> None:
     # committed file (BENCH_full.json, also $BENCH_FULL_OUT), and the
     # last stdout line is a compact summary budgeted well under 1.5 KB
     # (metric/value/per-query medians/control median+vs_ref/sf only).
-    full_path = os.environ.get("BENCH_FULL_OUT", "BENCH_full.json")
+    # Versioned artifact name (round-7 verdict "What's wrong #4"):
+    # BENCH_r<N>_full.json per round so history survives without git
+    # archaeology; BENCH_full.json stays as a pointer for old readers.
+    round_tag = os.environ.get("BENCH_ROUND", ROUND_TAG)
+    full_path = os.environ.get("BENCH_FULL_OUT",
+                               f"BENCH_{round_tag}_full.json")
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh)
+        if os.path.basename(full_path) != "BENCH_full.json":
+            link = os.path.join(os.path.dirname(full_path) or ".",
+                                "BENCH_full.json")
+            try:
+                if os.path.islink(link) or os.path.exists(link):
+                    os.remove(link)
+                os.symlink(os.path.basename(full_path), link)
+            except OSError:
+                pass
     except OSError as e:
         print(f"full-artifact write skipped: {e!r}", file=sys.stderr)
     compact = {

@@ -4556,47 +4556,60 @@ FROM o ORDER BY o_orderkey
 
 
 def _q266_builder(spark: SparkSession) -> DataFrame:
-    # Cogrouped applyInPandas: per-customer order rollup merged with
-    # the customer dim in one grouped-map pass (pyspark
-    # GroupedData.cogroup). Key union semantics — customers with no
-    # orders surface with n_orders=0 — which SQL spells as a FULL
-    # OUTER JOIN of the aggregate. Integer-cents arithmetic keeps the
-    # pandas path bit-identical to the oracle.
+    # Cogrouped applyInPandas: per-nation customer rollup merged with
+    # the per-nation supplier rollup in one grouped-map pass (pyspark
+    # GroupedData.cogroup). Key union semantics — a nation present on
+    # only one side still surfaces, zeros on the other — which SQL
+    # spells as a FULL OUTER JOIN of the two aggregates. The cogroup
+    # key is the BOUNDED nationkey domain (25 values), so the Python
+    # path runs 25 grouped-map invocations with real per-group work
+    # (thousands of rows each) — the group count is set by the key
+    # domain, not the row count, so invocation overhead stays O(25) at
+    # any data scale. (Per-high-cardinality-key merges belong on the
+    # relational tier — q06/q08 — not on cogroup.) Integer-cents
+    # arithmetic keeps the pandas path bit-identical to the oracle.
     import pandas as pd
 
-    orders = spark.table("orders").select(
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    cust = spark.table("customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    supp = spark.table("supplier").select(
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"))
 
-    def merge(key, o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, c_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
         (k,) = key
-        n = len(o_pdf)
-        total = int(o_pdf["cents"].sum()) if n else 0
-        seg = c_pdf["c_mktsegment"].iloc[0] if len(c_pdf) else None
-        return pd.DataFrame({"custkey": [k], "n_orders": [n],
-                             "total_price": [total / 100.0],
-                             "mktsegment": [seg]})
+        nc, ns = len(c_pdf), len(s_pdf)
+        cb = int(c_pdf["cents"].sum()) if nc else 0
+        sb = int(s_pdf["cents"].sum()) if ns else 0
+        return pd.DataFrame({"nationkey": [k],
+                             "n_cust": [nc], "n_supp": [ns],
+                             "cust_bal": [cb / 100.0],
+                             "supp_bal": [sb / 100.0]})
 
-    out = (orders.groupBy("o_custkey")
-           .cogroup(cust.groupBy("c_custkey"))
+    out = (cust.groupBy("c_nationkey")
+           .cogroup(supp.groupBy("s_nationkey"))
            .applyInPandas(
                merge,
-               "custkey long, n_orders long, total_price double, "
-               "mktsegment string"))
-    return out.orderBy("custkey")
+               "nationkey long, n_cust long, n_supp long, "
+               "cust_bal double, supp_bal double"))
+    return out.orderBy("nationkey")
 
 
 _q("q266_cogroup_merge", """
-WITH oa AS (SELECT o_custkey, COUNT(*) AS n,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM orders GROUP BY o_custkey)
-SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
-       CAST(COALESCE(oa.n, 0) AS BIGINT) AS n_orders,
-       CAST(COALESCE(oa.cents, 0) AS DOUBLE) / 100.0 AS total_price,
-       c.c_mktsegment AS mktsegment
-FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
-ORDER BY custkey
+WITH ca AS (SELECT c_nationkey AS k, COUNT(*) AS n,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents
+            FROM customer GROUP BY c_nationkey),
+     sa AS (SELECT s_nationkey AS k, COUNT(*) AS n,
+                   SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS cents
+            FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(ca.k, sa.k) AS nationkey,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_supp,
+       CAST(COALESCE(ca.cents, 0) AS DOUBLE) / 100.0 AS cust_bal,
+       CAST(COALESCE(sa.cents, 0) AS DOUBLE) / 100.0 AS supp_bal
+FROM ca FULL OUTER JOIN sa ON ca.k = sa.k
+ORDER BY nationkey
 """, builder=_q266_builder)
 
 
@@ -16961,8 +16974,71 @@ ORDER BY qty_band, price_10k
 # ---------------------------------------------------------------- B681
 # Empirical copula grid: the joint distribution of (quantity, price)
 # mapped to quintile bands via DISC cutoffs (scale-safe — no global
-# rank window), 5×5 dependence-structure counts.
-_q("q639_copula_grid", """
+# rank window), 5×5 dependence-structure counts. The oracle spells
+# the cuts as 8 PERCENTILE_DISC sort-aggregates; the engine text
+# computes identical cut vectors in two linear passes — per-value
+# counts for the bounded quantity domain, and a two-level
+# bucket-count → in-bucket order-statistic pass for price (the
+# classic distributed exact-quantile shape: cumulative window runs
+# over the ~110-row bucket aggregate, the in-bucket window over the
+# ≤4 candidate buckets' per-value counts, never the raw rows).
+# DISC(k/5) = smallest value whose cumulative count reaches
+# r_k = ceil(k*n/5), done in exact integer arithmetic.
+_q("q639_copula_grid", engine_sql="""
+WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+     tg AS (SELECT k, CAST((k * n + 4) DIV 5 AS BIGINT) AS r
+            FROM (SELECT CAST(k AS BIGINT) AS k
+                  FROM VALUES (1), (2), (3), (4) AS t(k))
+            CROSS JOIN nn),
+     xd AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x),
+     xc AS (SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM xd),
+     xk AS (SELECT tg.k, MIN(xc.x) AS xv
+            FROM tg JOIN xc ON xc.cum >= tg.r GROUP BY tg.k),
+     xcut AS (SELECT MIN(CASE WHEN k = 1 THEN xv END) AS x1,
+                     MIN(CASE WHEN k = 2 THEN xv END) AS x2,
+                     MIN(CASE WHEN k = 3 THEN xv END) AS x3,
+                     MIN(CASE WHEN k = 4 THEN xv END) AS x4
+              FROM xk),
+     yb AS (SELECT y DIV 100000 AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM v GROUP BY y DIV 100000),
+     ybc AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum,
+                    SUM(cnt) OVER (ORDER BY b) - cnt AS prev
+             FROM yb),
+     cand AS (SELECT tg.k, tg.r, MIN(ybc.b) AS b
+              FROM tg JOIN ybc ON ybc.cum >= tg.r GROUP BY tg.k, tg.r),
+     cand2 AS (SELECT c.k, c.r - y.prev AS lr, c.b
+               FROM cand c JOIN ybc y ON y.b = c.b),
+     yv AS (SELECT y DIV 100000 AS b, y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM v WHERE y DIV 100000 IN (SELECT b FROM cand)
+            GROUP BY y DIV 100000, y),
+     yvc AS (SELECT b, y,
+                    SUM(cnt) OVER (PARTITION BY b ORDER BY y) AS lcum
+             FROM yv),
+     yk AS (SELECT c.k, MIN(w.y) AS yv
+            FROM cand2 c JOIN yvc w ON w.b = c.b AND w.lcum >= c.lr
+            GROUP BY c.k),
+     ycut AS (SELECT MIN(CASE WHEN k = 1 THEN yv END) AS y1,
+                     MIN(CASE WHEN k = 2 THEN yv END) AS y2,
+                     MIN(CASE WHEN k = 3 THEN yv END) AS y3,
+                     MIN(CASE WHEN k = 4 THEN yv END) AS y4
+              FROM yk),
+     b AS (SELECT CASE WHEN v.x <= xcut.x1 THEN 1
+                       WHEN v.x <= xcut.x2 THEN 2
+                       WHEN v.x <= xcut.x3 THEN 3
+                       WHEN v.x <= xcut.x4 THEN 4 ELSE 5 END AS bx,
+                  CASE WHEN v.y <= ycut.y1 THEN 1
+                       WHEN v.y <= ycut.y2 THEN 2
+                       WHEN v.y <= ycut.y3 THEN 3
+                       WHEN v.y <= ycut.y4 THEN 4 ELSE 5 END AS by
+           FROM v CROSS JOIN xcut CROSS JOIN ycut)
+SELECT CAST(bx AS BIGINT) AS qty_quintile,
+       CAST(by AS BIGINT) AS price_quintile,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bx, by ORDER BY qty_quintile, price_quintile
+""", oracle="""
 WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
            FROM lineitem),
