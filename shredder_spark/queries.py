@@ -280,7 +280,10 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_discount - 0.05) AS a, ROUND(l_extendedprice, 1) AS r,
        CAST(FLOOR(l_quantity) AS DOUBLE) AS f, CAST(CEIL(l_quantity) AS DOUBLE) AS c,
        CAST(l_linenumber % 3 AS BIGINT) AS md, ROUND(POWER(l_discount, 2), 4) AS pw,
-       ROUND(SQRT(l_extendedprice), 2) AS sq, ROUND(LN(l_extendedprice + 1), 4) AS lg
+       CASE WHEN l_extendedprice >= 0
+            THEN ROUND(SQRT(l_extendedprice), 2) END AS sq,
+       CASE WHEN l_extendedprice + 1 > 0
+            THEN ROUND(LN(l_extendedprice + 1), 4) END AS lg
 FROM lineitem ORDER BY l_orderkey, l_linenumber
 """)
 
@@ -1224,7 +1227,8 @@ SELECT o_orderkey,
        ROUND(PERCENT_RANK() OVER w + 5e-10, 4) AS pr,
        ROUND(CUME_DIST() OVER w + 5e-10, 4) AS cd
 FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice NULLS LAST, o_orderkey)
 ORDER BY o_orderkey
 """)
 
@@ -1513,7 +1517,8 @@ FROM part ORDER BY p_partkey
 """,
    engine_sql="""
 SELECT p_partkey, ASCII(p_brand) AS a, CHAR(65 + p_size % 26) AS c,
-       FORMAT_STRING('%d-%s', p_size, p_brand) AS f,
+       IF(p_size IS NULL OR p_brand IS NULL, NULL,
+          FORMAT_STRING('%d-%s', p_size, p_brand)) AS f,
        LEFT(p_name, 4) AS lf, RIGHT(p_name, 4) AS rt,
        CAST(LEVENSHTEIN(p_brand, 'Brand#10') AS BIGINT) AS lv
 FROM part ORDER BY p_partkey
@@ -2147,7 +2152,7 @@ GROUP BY f.cohort, a.wk ORDER BY cohort, wk
 
 _q("q149_decile_stats", """
 WITH d AS (SELECT o_totalprice,
-                  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS dec
+                  NTILE(10) OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey) AS dec
            FROM orders)
 SELECT dec, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi,
@@ -2432,8 +2437,9 @@ FROM p ORDER BY vec_id
 _q("q164_map_higher_order",
    oracle="""
 SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS dbl_price,
-       CAST(CAST(o_totalprice > 100000 AS INT)
-            + CAST(o_custkey > 100000 AS INT) AS BIGINT) AS n_big,
+       CAST(COALESCE(CAST(o_totalprice > 100000 AS INT), 0)
+            + CAST(COALESCE(o_custkey > 100000, FALSE) AS INT) AS BIGINT)
+         AS n_big,
        'PRICE' AS uk
 FROM orders ORDER BY o_orderkey
 """,
@@ -2508,7 +2514,7 @@ _q("q167_cc_dedup_clusters", oracle=None, builder=_q167_builder)
 _q("q168_min_cost_supplier", """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         CAST(FLOOR(MIN(l_extendedprice / l_quantity) * 10000 + 0.5)
+         CAST(FLOOR(MIN(l_extendedprice / NULLIF(l_quantity, 0)) * 10000 + 0.5)
               AS BIGINT) AS unit_e4
   FROM lineitem GROUP BY l_partkey, l_suppkey)
 SELECT p.p_partkey, s.s_suppkey, s.s_name, c.unit_e4
@@ -2772,7 +2778,8 @@ SELECT l_orderkey, l_linenumber,
        ROUND(DEGREES(l_discount), 4)                AS dg,
        ROUND(RADIANS(l_quantity), 4)                AS rd,
        CAST(SIGN(l_quantity - 25) AS BIGINT)        AS sg,
-       ROUND(LOG10(l_extendedprice), 4)             AS l10,
+       CASE WHEN l_extendedprice > 0
+            THEN ROUND(LOG10(l_extendedprice), 4) END AS l10,
        ROUND(LOG2(l_quantity + 1), 4)               AS l2,
        ROUND(CBRT(l_extendedprice), 4)              AS cb
 FROM lineitem ORDER BY l_orderkey, l_linenumber
@@ -2826,7 +2833,8 @@ FROM customer ORDER BY c_custkey
 """,
    engine_sql="""
 SELECT c_custkey,
-       TO_JSON(NAMED_STRUCT('name', c_name, 'nk', c_nationkey)) AS js
+       TO_JSON(NAMED_STRUCT('name', c_name, 'nk', c_nationkey),
+               MAP('ignoreNullFields', 'false')) AS js
 FROM customer ORDER BY c_custkey
 """)
 
@@ -2840,7 +2848,8 @@ SELECT o_orderkey,
        COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS nv,
        CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL
             THEN 'closed' ELSE 'open' END AS nv2,
-       CASE WHEN o_totalprice >= 200000
+       CASE WHEN o_totalprice IS NULL THEN NULL
+            WHEN o_totalprice >= 200000
             THEN ROUND(SQRT(o_totalprice - 200000), 2)
             ELSE CAST(-1 AS DOUBLE) END AS sq,
        CASE WHEN o_totalprice < 200000 THEN TRUE ELSE FALSE END AS nan
@@ -3197,11 +3206,11 @@ _q("q205_pivot_multi_agg",
    oracle="""
 SELECT o_orderpriority,
        ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O_s,
-       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)                    AS O_c,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)         AS O_c,
        ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F_s,
-       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)                    AS F_c,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)         AS F_c,
        ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P_s,
-       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)                    AS P_c
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)         AS P_c
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
    engine_sql="""
@@ -3297,7 +3306,8 @@ FROM part ORDER BY p_partkey
    engine_sql="""
 SELECT p_partkey, parsed.brand AS brand, CAST(parsed.sz AS BIGINT) AS sz
 FROM (SELECT p_partkey,
-             FROM_CSV(CONCAT(p_brand, ',', CAST(p_size AS STRING)),
+             FROM_CSV(CONCAT(p_brand, ',',
+                             COALESCE(CAST(p_size AS STRING), '')),
                       'brand STRING, sz INT') AS parsed
       FROM part)
 ORDER BY p_partkey
@@ -3366,8 +3376,9 @@ FROM orders ORDER BY o_orderkey
 """,
    engine_sql="""
 SELECT o_orderkey,
-       FORMAT_STRING('%s|%05d|%x', o_orderstatus, o_orderkey,
-                     CAST(o_custkey AS INT)) AS s
+       IF(o_orderstatus IS NULL OR o_custkey IS NULL, NULL,
+          FORMAT_STRING('%s|%05d|%x', o_orderstatus, o_orderkey,
+                        CAST(o_custkey AS INT))) AS s
 FROM orders ORDER BY o_orderkey
 """)
 
@@ -3634,8 +3645,8 @@ FROM events ORDER BY event_id
 _q("q226_map_zip_with",
    oracle="""
 SELECT o_orderkey,
-       ROUND(CAST(o_totalprice AS DOUBLE) + CAST(o_custkey AS DOUBLE), 2)
-         AS base_sum,
+       ROUND(COALESCE(CAST(o_totalprice AS DOUBLE), 0)
+             + COALESCE(CAST(o_custkey AS DOUBLE), 0), 2) AS base_sum,
        ROUND(CAST(o_orderkey AS DOUBLE), 2) AS key_only,
        ROUND(1.5, 2) AS tax_only
 FROM orders ORDER BY o_orderkey
@@ -4608,7 +4619,7 @@ SELECT COALESCE(ca.k, sa.k) AS nationkey,
        CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_supp,
        CAST(COALESCE(ca.cents, 0) AS DOUBLE) / 100.0 AS cust_bal,
        CAST(COALESCE(sa.cents, 0) AS DOUBLE) / 100.0 AS supp_bal
-FROM ca FULL OUTER JOIN sa ON ca.k = sa.k
+FROM ca FULL OUTER JOIN sa ON ca.k IS NOT DISTINCT FROM sa.k
 ORDER BY nationkey
 """, builder=_q266_builder)
 
@@ -4764,10 +4775,10 @@ WITH t AS (SELECT o_orderkey,
                   CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
            FROM orders WHERE o_orderkey <= 2000)
 SELECT o_orderkey,
-       ROUND((EXP(x) - EXP(-x)) / 2, 2) AS sinh_x,
-       ROUND((EXP(x) + EXP(-x)) / 2, 2) AS cosh_x,
-       ROUND((EXP(2*x) - 1) / (EXP(2*x) + 1), 2) AS tanh_x,
-       ROUND(LN(x + SQRT(x*x + 1)), 2) AS asinh_x
+       ROUND((EXP(x) - EXP(-x)) / 2, 2) + 0 AS sinh_x,
+       ROUND((EXP(x) + EXP(-x)) / 2, 2) + 0 AS cosh_x,
+       ROUND((EXP(2*x) - 1) / (EXP(2*x) + 1), 2) + 0 AS tanh_x,
+       ROUND(LN(x + SQRT(x*x + 1)), 2) + 0 AS asinh_x
 FROM t ORDER BY o_orderkey
 """,
    engine_sql="""
@@ -4775,10 +4786,10 @@ WITH t AS (SELECT o_orderkey,
                   CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
            FROM orders WHERE o_orderkey <= 2000)
 SELECT o_orderkey,
-       ROUND(SINH(x), 2) AS sinh_x,
-       ROUND(COSH(x), 2) AS cosh_x,
-       ROUND(TANH(x), 2) AS tanh_x,
-       ROUND(ASINH(x), 2) AS asinh_x
+       ROUND(SINH(x), 2) + 0 AS sinh_x,
+       ROUND(COSH(x), 2) + 0 AS cosh_x,
+       ROUND(TANH(x), 2) + 0 AS tanh_x,
+       ROUND(ASINH(x), 2) + 0 AS asinh_x
 FROM t ORDER BY o_orderkey
 """)
 
@@ -4836,7 +4847,7 @@ WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS wt,
                   (CAST(('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))
                         AS UBIGINT) + 1) / 4294967296.0 AS u
            FROM orders),
-     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w),
+     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w WHERE wt > 0),
      r AS (SELECT o_orderkey, wt,
                   ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rn
            FROM k)
@@ -4848,7 +4859,7 @@ WITH w AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS wt,
                   (CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 8),
                              16, 10) AS DOUBLE) + 1) / 4294967296.0 AS u
            FROM orders),
-     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w),
+     k AS (SELECT o_orderkey, wt, LN(u) / wt AS k FROM w WHERE wt > 0),
      -- pure top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
      -- (per-partition heaps, no single-task global sort/window)
      top AS (SELECT o_orderkey, wt FROM k
@@ -5532,7 +5543,7 @@ _q("q296_gini", """
 WITH c AS (SELECT o_orderpriority AS p,
                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
                   o_orderkey
-           FROM orders),
+           FROM orders WHERE o_totalprice IS NOT NULL),
      r AS (SELECT p, x,
                   ROW_NUMBER() OVER (PARTITION BY p
                                      ORDER BY x, o_orderkey) AS i,
@@ -5707,9 +5718,11 @@ FROM per_b
 
 _q("q302_bitmap_overlap", """
 WITH u AS (SELECT DISTINCT o_custkey FROM orders
-           WHERE o_orderpriority = '1-URGENT'),
+           WHERE o_orderpriority = '1-URGENT'
+             AND o_custkey IS NOT NULL),
      l AS (SELECT DISTINCT o_custkey FROM orders
-           WHERE o_orderpriority = '5-LOW')
+           WHERE o_orderpriority = '5-LOW'
+             AND o_custkey IS NOT NULL)
 SELECT CAST((SELECT COUNT(*) FROM u WHERE o_custkey IN
              (SELECT o_custkey FROM l)) AS BIGINT) AS n_both,
        CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM u UNION
@@ -5726,10 +5739,12 @@ WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / 100000.0 AS x,
            FROM orders WHERE o_orderkey <= 2000)
 SELECT o_orderkey,
        ROUND(SQRT(x * x + y * y), 2) AS hyp,
-       ROUND(COS(x) / SIN(x), 2) + 0 AS cot_x,
+       CASE WHEN SIN(x) <> 0
+            THEN ROUND(COS(x) / SIN(x), 2) + 0 END AS cot_x,
        ROUND(LN(1 + x), 4) AS l1p,
        ROUND(EXP(x) - 1, 4) AS em1,
-       CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END AS sgn
+       CASE WHEN x IS NULL THEN NULL
+            WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END AS sgn
 FROM t ORDER BY o_orderkey
 """,
    engine_sql="""
@@ -5738,7 +5753,8 @@ WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / 100000.0 AS x,
            FROM orders WHERE o_orderkey <= 2000)
 SELECT o_orderkey,
        ROUND(HYPOT(x, y), 2) AS hyp,
-       ROUND(COT(x), 2) + 0 AS cot_x,
+       CASE WHEN SIN(x) <> 0
+            THEN ROUND(COT(x), 2) + 0 END AS cot_x,
        ROUND(LOG1P(x), 4) AS l1p,
        ROUND(EXPM1(x), 4) AS em1,
        SIGNUM(x) AS sgn
@@ -5750,7 +5766,8 @@ FROM t ORDER BY o_orderkey
 _q("q304_map_entries",
    oracle="""
 SELECT c_custkey,
-       'n=' || c_name || ',s=' || c_mktsegment AS entries_str,
+       CONCAT_WS(',', 'n=' || c_name, 's=' || c_mktsegment)
+         AS entries_str,
        TRUE AS has_n, FALSE AS has_x
 FROM customer ORDER BY c_custkey
 """,
@@ -6698,7 +6715,9 @@ def _q335_builder(spark: SparkSession) -> DataFrame:
     def geo_mean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
 
-    orders = spark.table("orders")
+    # geometric mean is defined over positive values (matches the
+    # oracle's WHERE; log of a 0/negative total would poison the mean)
+    orders = spark.table("orders").filter(F.col("o_totalprice") > 0)
     return (orders.groupBy("o_orderpriority")
             .agg(F.round(geo_mean(F.col("o_totalprice").cast("double")), 2)
                  .alias("gm"))
@@ -6708,7 +6727,8 @@ def _q335_builder(spark: SparkSession) -> DataFrame:
 _q("q335_pandas_udaf_geomean", """
 SELECT o_orderpriority,
        ROUND(EXP(AVG(LN(CAST(o_totalprice AS DOUBLE)))), 2) AS gm
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+FROM orders WHERE o_totalprice > 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """, builder=_q335_builder)
 
 # ------------------------------------------------- probabilistic
@@ -6879,7 +6899,8 @@ WITH d AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS draw),
                   (CAST(('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)
                         || '#' || CAST(d.draw AS VARCHAR)), 1, 8))
                        AS UBIGINT) + 0.5) / 4294967296.0 AS un
-           FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
+           FROM orders o CROSS JOIN d
+           WHERE o.o_orderkey <= 2000 AND o.o_totalprice > 0),
      k AS (SELECT draw, o_orderkey, w,
                   LN(w) - LN(-LN(un)) AS gkey
            FROM u),
@@ -6897,7 +6918,8 @@ WITH d AS (SELECT EXPLODE(SEQUENCE(0, 9)) AS draw),
                         CAST(o.o_orderkey AS STRING), '#',
                         CAST(d.draw AS STRING))), 1, 8), 16, 10)
                        AS DOUBLE) + 0.5) / 4294967296.0 AS un
-           FROM orders o CROSS JOIN d WHERE o.o_orderkey <= 2000),
+           FROM orders o CROSS JOIN d
+           WHERE o.o_orderkey <= 2000 AND o.o_totalprice > 0),
      k AS (SELECT draw, o_orderkey, w,
                   LN(w) - LN(-LN(un)) AS gkey
            FROM u),
@@ -7859,13 +7881,16 @@ FROM s ORDER BY l_partkey
 # stddev of ln returns — all windows partitioned by part.
 _q("q376_return_volatility", """
 WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
-                  AVG(l_extendedprice / l_quantity) AS px
+                  AVG(l_extendedprice / NULLIF(l_quantity, 0)) AS px
            FROM lineitem WHERE l_partkey < 100
            GROUP BY l_partkey, day),
+     d2 AS (SELECT l_partkey, px,
+                   LAG(px) OVER (PARTITION BY l_partkey
+                                 ORDER BY day) AS ppx
+            FROM d),
      r AS (SELECT l_partkey,
-                  LN(px / LAG(px) OVER (PARTITION BY l_partkey
-                                        ORDER BY day)) AS lr
-           FROM d)
+                  CASE WHEN px > 0 AND ppx > 0 THEN LN(px / ppx) END AS lr
+           FROM d2)
 SELECT l_partkey, CAST(COUNT(lr) AS BIGINT) AS n_returns,
        ROUND(STDDEV_SAMP(lr), 4) AS vol
 FROM r GROUP BY l_partkey HAVING COUNT(lr) >= 5 ORDER BY l_partkey
@@ -7875,7 +7900,7 @@ FROM r GROUP BY l_partkey HAVING COUNT(lr) >= 5 ORDER BY l_partkey
 # 14 daily moves, partitioned by part.
 _q("q377_rsi", """
 WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
-                  AVG(l_extendedprice / l_quantity) AS px
+                  AVG(l_extendedprice / NULLIF(l_quantity, 0)) AS px
            FROM lineitem WHERE l_partkey < 20 GROUP BY l_partkey, day),
      mv AS (SELECT l_partkey, day,
                    px - LAG(px) OVER (PARTITION BY l_partkey ORDER BY day)
@@ -8477,7 +8502,7 @@ ORDER BY o_orderpriority, t_val
 # slow one (both windows partitioned by part).
 _q("q396_sma_crossover", """
 WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
-                  AVG(l_extendedprice / l_quantity) AS px
+                  AVG(l_extendedprice / NULLIF(l_quantity, 0)) AS px
            FROM lineitem WHERE l_partkey < 50 GROUP BY l_partkey, day),
      s AS (SELECT l_partkey, day,
                   AVG(px) OVER (PARTITION BY l_partkey ORDER BY day
@@ -8563,7 +8588,7 @@ _q("q399_price_elasticity", """
 WITH x AS (SELECT p.p_brand, LN(l.l_quantity) AS lq,
                   LN(l.l_extendedprice / l.l_quantity) AS lp
            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-           WHERE l.l_quantity > 0)
+           WHERE l.l_quantity > 0 AND l.l_extendedprice > 0)
 SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(REGR_SLOPE(lq, lp), 4) AS elasticity
 FROM x GROUP BY p_brand ORDER BY p_brand
@@ -8725,7 +8750,7 @@ WITH d AS (SELECT YEAR(CAST(o_orderdate AS DATE)) AS yr,
 SELECT CAST(yr AS BIGINT) AS yr,
        ROUND(h1_rev * 365.0 / 181, 2) AS run_rate,
        ROUND(full_rev, 2) AS actual,
-       ROUND(h1_rev * 365.0 / 181 / full_rev, 4) AS attainment
+       ROUND(h1_rev * 365.0 / 181 / NULLIF(full_rev, 0), 4) AS attainment
 FROM mid ORDER BY yr
 """,
    engine_sql="""
@@ -8739,7 +8764,7 @@ WITH d AS (SELECT YEAR(CAST(o_orderdate AS DATE)) AS yr,
 SELECT CAST(yr AS BIGINT) AS yr,
        ROUND(h1_rev * 365.0 / 181, 2) AS run_rate,
        ROUND(full_rev, 2) AS actual,
-       ROUND(h1_rev * 365.0 / 181 / full_rev, 4) AS attainment
+       ROUND(h1_rev * 365.0 / 181 / NULLIF(full_rev, 0), 4) AS attainment
 FROM mid ORDER BY yr
 """)
 
@@ -8965,7 +8990,8 @@ WITH fy AS (SELECT o_custkey, MIN(YEAR(CAST(o_orderdate AS DATE))) AS y0
            FROM orders o JOIN fy ON fy.o_custkey = o.o_custkey)
 SELECT CAST(yr AS BIGINT) AS yr, kind,
        ROUND(SUM(rev), 2) AS revenue,
-       ROUND(SUM(rev) / SUM(SUM(rev)) OVER (PARTITION BY yr), 4) AS share
+       ROUND(SUM(rev) / NULLIF(SUM(SUM(rev)) OVER (PARTITION BY yr), 0), 4)
+         AS share
 FROM r GROUP BY yr, kind ORDER BY yr, kind
 """)
 
@@ -9440,7 +9466,8 @@ WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100) AS BIGINT) AS k
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      w AS (SELECT flag, day, c,
                   SUM(k) OVER w20 AS s1,
                   SUM(k * k) OVER w20 AS s2,
@@ -9469,7 +9496,8 @@ FROM m ORDER BY flag, day
 _q("q431_stochastic_oscillator", """
 WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   SUM(CAST(l_extendedprice AS DOUBLE)) AS rev
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      k AS (SELECT flag, day,
                   CASE WHEN MAX(rev) OVER w14 = MIN(rev) OVER w14 THEN NULL
                        ELSE 100.0 * (rev - MIN(rev) OVER w14)
@@ -9493,7 +9521,8 @@ _q("q432_on_balance_volume", """
 WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   SUM(CAST(l_extendedprice AS DOUBLE)) AS rev,
                   SUM(CAST(l_quantity AS DOUBLE)) AS vol
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      s AS (SELECT flag, day, vol,
                   SIGN(rev - LAG(rev) OVER (PARTITION BY flag ORDER BY day))
                     AS dir
@@ -9522,8 +9551,8 @@ WITH m AS (SELECT p.p_brand AS brand,
            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
            GROUP BY p.p_brand, DATE_TRUNC('month', l.l_shipdate))
 SELECT brand, mon,
-       FLOOR(pv * 100.0 / v) / 10000.0 AS vwap,
-       FLOOR(SUM(pv) OVER w3 * 100.0 / SUM(v) OVER w3) / 10000.0
+       FLOOR(pv * 100.0 / NULLIF(v, 0)) / 10000.0 AS vwap,
+       FLOOR(SUM(pv) OVER w3 * 100.0 / NULLIF(SUM(v) OVER w3, 0)) / 10000.0
          AS vwap_3m
 FROM m
 WINDOW w3 AS (PARTITION BY brand ORDER BY mon
@@ -9963,7 +9992,7 @@ SELECT seg, CAST(SUM(rel) AS BIGINT) AS n_rel,
        FLOOR(AVG(CASE WHEN rel = 1
                       THEN CAST(cumrel AS DOUBLE) / rk END) * 10000)
          / 10000.0 AS ap
-FROM r GROUP BY seg ORDER BY seg
+FROM r GROUP BY seg HAVING SUM(rel) > 0 ORDER BY seg
 """,
    builder=_q445_builder)
 
@@ -9993,7 +10022,7 @@ WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
                              THEN (POWER(2, rel) - 1) / LOG2(irk + 1) END)
                       AS idcg
              FROM r GROUP BY seg)
-SELECT seg, FLOOR(dcg * 10000.0 / idcg) / 10000.0 AS ndcg
+SELECT seg, FLOOR(dcg * 10000.0 / NULLIF(idcg, 0)) / 10000.0 AS ndcg
 FROM dcg ORDER BY seg
 """,
    engine_sql="""
@@ -10018,7 +10047,7 @@ WITH s AS (SELECT c_mktsegment AS seg, c_custkey,
                              THEN (POWER(2, rel) - 1) / LOG2(irk + 1) END)
                       AS idcg
              FROM r GROUP BY seg)
-SELECT seg, FLOOR(dcg * 10000.0 / idcg) / 10000.0 AS ndcg
+SELECT seg, FLOOR(dcg * 10000.0 / NULLIF(idcg, 0)) / 10000.0 AS ndcg
 FROM dcg ORDER BY seg
 """)
 
@@ -10258,8 +10287,16 @@ FROM risk WHERE d > 0 ORDER BY t_days
 # ---------------------------------------------------------------- B493
 # Rolling 30-day correlation between the A and R daily revenue series
 # (co-movement monitor): conditional-agg pivot to two aligned series,
-# CORR over a ROWS frame on exact integer cents.
-_q("q452_rolling_correlation", """
+# correlation over a ROWS frame from EXACT integer moment sums.
+# Native CORR can't be used: Spark's ANSI window CORR throws
+# DIVIDE_BY_ZERO on a zero-variance frame (verified; a constant
+# 30-day stretch is legal data), and a CASE guard cannot suppress
+# window evaluation. Both texts instead build Σx/Σx²/Σxy per frame in
+# exact wide-integer arithmetic (DuckDB HUGEINT / Spark DECIMAL(38,0)
+# — cents² overflows BIGINT), so cov/vx/vy are identical integers on
+# both engines, the zero-variance guard is explicit, and the final
+# double division is deterministic.
+_q("q452_rolling_correlation", oracle="""
 WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   SUM(CASE WHEN l_returnflag = 'A'
                       THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -10267,16 +10304,63 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   SUM(CASE WHEN l_returnflag = 'R'
                       THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                       ELSE 0 END) AS cr
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
-                  CORR(CAST(ca AS DOUBLE), CAST(cr AS DOUBLE)) OVER w30
-                    AS rho,
+                  CAST(COUNT(*) OVER w30 AS HUGEINT) AS n,
+                  SUM(CAST(ca AS HUGEINT)) OVER w30 AS sx,
+                  SUM(CAST(cr AS HUGEINT)) OVER w30 AS sy,
+                  SUM(CAST(ca AS HUGEINT) * ca) OVER w30 AS sxx,
+                  SUM(CAST(cr AS HUGEINT) * cr) OVER w30 AS syy,
+                  SUM(CAST(ca AS HUGEINT) * cr) OVER w30 AS sxy,
                   ROW_NUMBER() OVER (ORDER BY day) AS rn
            FROM d
            WINDOW w30 AS (ORDER BY day
-                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
-SELECT day, FLOOR(rho * 10000) / 10000.0 AS rho30
-FROM w WHERE rn >= 30 ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+     v AS (SELECT day, rn,
+                  CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                  CAST(n * syy - sy * sy AS DOUBLE) AS vy
+           FROM w)
+SELECT day,
+       FLOOR(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / (SQRT(vx) * SQRT(vy)) END * 10000)
+         / 10000.0 AS rho30
+FROM v WHERE rn >= 30 ORDER BY day
+""", engine_sql="""
+WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  SUM(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS ca,
+                  SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS cr
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
+     w AS (SELECT day,
+                  CAST(COUNT(*) OVER w30 AS DECIMAL(38, 0)) AS n,
+                  SUM(CAST(ca AS DECIMAL(19, 0))) OVER w30 AS sx,
+                  SUM(CAST(cr AS DECIMAL(19, 0))) OVER w30 AS sy,
+                  SUM(CAST(ca AS DECIMAL(19, 0))
+                      * CAST(ca AS DECIMAL(19, 0))) OVER w30 AS sxx,
+                  SUM(CAST(cr AS DECIMAL(19, 0))
+                      * CAST(cr AS DECIMAL(19, 0))) OVER w30 AS syy,
+                  SUM(CAST(ca AS DECIMAL(19, 0))
+                      * CAST(cr AS DECIMAL(19, 0))) OVER w30 AS sxy,
+                  ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM d
+           WINDOW w30 AS (ORDER BY day
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+     v AS (SELECT day, rn,
+                  CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                  CAST(n * syy - sy * sy AS DOUBLE) AS vy
+           FROM w)
+SELECT day,
+       FLOOR(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / (SQRT(vx) * SQRT(vy)) END * 10000)
+         / 10000.0 AS rho30
+FROM v WHERE rn >= 30 ORDER BY day
 """)
 
 # ---------------------------------------------------------------- B494
@@ -10844,7 +10928,8 @@ FROM sweep GROUP BY day ORDER BY day
 _q("q467_var_cvar", """
 WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      ch AS (SELECT c - LAG(c) OVER (ORDER BY day) AS chg FROM d),
      v AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY chg)
              AS var95
@@ -10943,7 +11028,8 @@ WITH g AS (SELECT c_mktsegment AS seg,
                       * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sxx,
                   MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mx,
                   MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mn
-           FROM customer GROUP BY c_mktsegment),
+           FROM customer GROUP BY c_mktsegment
+           HAVING COUNT(*) >= 2),
      m AS (SELECT seg, n, CAST(sx AS DOUBLE) / n AS mu,
                   SQRT((CAST(sxx AS DOUBLE)
                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
@@ -10951,7 +11037,7 @@ WITH g AS (SELECT c_mktsegment AS seg,
                   mx, mn
            FROM g)
 SELECT seg, n,
-       FLOOR(GREATEST(mx - mu, mu - mn) / s * 10000) / 10000.0
+       FLOOR(GREATEST(mx - mu, mu - mn) / NULLIF(s, 0.0) * 10000) / 10000.0
          AS grubbs_g
 FROM m ORDER BY seg
 """)
@@ -10964,7 +11050,8 @@ _q("q472_runs_test", """
 WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100) AS BIGINT) AS k
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      med AS (SELECT flag, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY k)
                AS m
              FROM d GROUP BY flag),
@@ -11000,7 +11087,8 @@ WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100000) AS BIGINT)
                     AS k
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      w AS (SELECT flag, day, k,
                   SUM(k) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
            FROM d
@@ -11015,7 +11103,8 @@ SELECT flag,
        FLOOR(SUM(CASE WHEN pe7 IS NOT NULL
                       THEN CAST((e7 - pe7) * (e7 - pe7) AS DOUBLE)
                       ELSE 0 END)
-             / SUM(CAST(e7 * e7 AS DOUBLE)) * 10000) / 10000.0 AS dw
+             / NULLIF(SUM(CAST(e7 * e7 AS DOUBLE)), 0) * 10000)
+         / 10000.0 AS dw
 FROM l GROUP BY flag ORDER BY flag
 """)
 
@@ -11520,7 +11609,8 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   SUM(CASE WHEN l_returnflag = 'R'
                       THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                       ELSE 0 END) AS cr
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      t AS (SELECT PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY ca) AS pa,
                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY cr) AS pr
            FROM d),
@@ -14493,8 +14583,9 @@ WITH y AS (SELECT c.c_mktsegment AS seg,
                   JOIN y c ON c.seg = b.seg AND c.yr = b.y1)
 SELECT seg, CAST(y0 AS BIGINT) AS first_year,
        CAST(y1 AS BIGINT) AS last_year,
-       FLOOR((POWER(CAST(r1 AS DOUBLE) / r0, 1.0 / (y1 - y0)) - 1)
-             * 1000000) / 1000000.0 AS cagr
+       CASE WHEN r0 > 0 AND r1 > 0 THEN
+         FLOOR((POWER(CAST(r1 AS DOUBLE) / r0, 1.0 / (y1 - y0)) - 1)
+               * 1000000) / 1000000.0 END AS cagr
 FROM j ORDER BY seg
 """)
 
@@ -14539,7 +14630,8 @@ SELECT CAST(y.yr AS BIGINT) AS yr, y.n_orders,
        CAST(y.rc AS BIGINT) AS revenue_cents,
        CAST(FLOOR(y.rc * 1.0 / y.n_orders) AS BIGINT) AS aov_cents,
        FLOOR((y.rc - LAG(y.rc) OVER (ORDER BY y.yr))
-             * 1000000.0 / LAG(y.rc) OVER (ORDER BY y.yr)) / 1000000.0
+             * 1000000.0 / NULLIF(LAG(y.rc) OVER (ORDER BY y.yr), 0))
+         / 1000000.0
          AS yoy_growth,
        seg.seg AS top_segment
 FROM y JOIN seg ON seg.yr = y.yr AND seg.rk = 1
@@ -14812,7 +14904,8 @@ _q("q578_saturation_knee", """
 WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   CAST(COUNT(*) AS BIGINT) AS n_lines,
                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rc
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      cut AS (SELECT PERCENTILE_DISC(0.25) WITHIN GROUP
                       (ORDER BY n_lines) AS c1,
                     PERCENTILE_DISC(0.5) WITHIN GROUP
@@ -15580,7 +15673,7 @@ WITH base AS (SELECT CAST(SUM(CASE WHEN o_totalprice > 200000
                        / COUNT(*) AS p0,
                      CAST(COUNT(*) AS DOUBLE) / 2 AS n_arm
               FROM orders)
-SELECT CAST(n_arm AS BIGINT) AS n_per_arm,
+SELECT CAST(FLOOR(n_arm) AS BIGINT) AS n_per_arm,
        FLOOR(p0 * 1000000) / 1000000.0 AS baseline_rate,
        FLOOR((1.959964 + 0.841621)
              * SQRT(2 * p0 * (1 - p0) / n_arm) * 1000000) / 1000000.0
@@ -16426,7 +16519,8 @@ WITH py AS (SELECT l_partkey AS part,
                    EXTRACT(YEAR FROM l_shipdate) AS yr,
                    CAST(FLOOR(
                      SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                     * 1.0 / SUM(CAST(ROUND(l_quantity) AS BIGINT)))
+                     * 1.0
+                     / NULLIF(SUM(CAST(ROUND(l_quantity) AS BIGINT)), 0))
                      AS BIGINT) AS unit_cents
             FROM lineitem WHERE l_partkey <= 500
             GROUP BY l_partkey, EXTRACT(YEAR FROM l_shipdate)),
@@ -16892,7 +16986,8 @@ _q("q636_rank_biserial",
 WITH v AS (SELECT c_mktsegment AS seg,
                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
            FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             AND c_acctbal IS NOT NULL),
      r AS (SELECT seg, c,
                   RANK() OVER (ORDER BY c)
                     + (COUNT(*) OVER (PARTITION BY c) - 1) / 2.0 AS rk
@@ -16914,7 +17009,8 @@ FROM a
 WITH v AS (SELECT c_mktsegment AS seg,
                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
            FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             AND c_acctbal IS NOT NULL),
      -- tie-averaged ranks from per-cents counts (q328's trick): the
      -- cumulative window runs over the bounded per-value aggregate,
      -- never the raw customer rows.
@@ -17578,7 +17674,8 @@ _q("q654_cohens_d", """
 WITH s AS (SELECT c_mktsegment AS seg,
                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
            FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             AND c_acctbal IS NOT NULL),
      g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS sx,
                   SUM(c * c) AS sxx
            FROM s GROUP BY seg),
@@ -17817,7 +17914,8 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100000) AS BIGINT)
                     AS k
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
                   SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
                   SUM(k * k * k) OVER w30 AS s3,
@@ -17848,7 +17946,8 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100) AS BIGINT)
                     AS k
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
                   SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
                   COUNT(*) OVER w30 AS n,
@@ -18106,7 +18205,8 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 1000000) AS BIGINT)
                     AS k
-           FROM lineitem GROUP BY CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
                   SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
                   SUM(k * k * k) OVER w30 AS s3,
@@ -18313,7 +18413,8 @@ _q("q676_longest_streaks", """
 WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100) AS BIGINT) AS k
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      med AS (SELECT flag,
                     PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY k) AS m
              FROM d GROUP BY flag),
@@ -18343,7 +18444,8 @@ _q("q677_record_counting", """
 WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
                                       AS BIGINT)) / 100) AS BIGINT) AS k
-           FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
+           FROM lineitem WHERE l_shipdate IS NOT NULL
+           GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      r AS (SELECT flag, day, k,
                   MAX(k) OVER (PARTITION BY flag ORDER BY day
                                ROWS BETWEEN UNBOUNDED PRECEDING
@@ -18483,7 +18585,7 @@ WITH w AS (SELECT c.c_mktsegment AS seg, o.o_orderkey,
                   (CAST(('0x' || SUBSTRING(MD5(CAST(o.o_orderkey AS VARCHAR)),
                          1, 8)) AS UBIGINT) + 1) / 4294967296.0 AS u
            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
-     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w),
+     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w WHERE wt > 0),
      r AS (SELECT seg, o_orderkey, wt,
                   ROW_NUMBER() OVER (PARTITION BY seg
                                      ORDER BY k DESC, o_orderkey) AS rn
@@ -18498,7 +18600,7 @@ WITH w AS (SELECT c.c_mktsegment AS seg, o.o_orderkey,
                              1, 8), 16, 10) AS DOUBLE) + 1)
                   / 4294967296.0 AS u
            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
-     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w),
+     k AS (SELECT seg, o_orderkey, wt, LN(u) / wt AS k FROM w WHERE wt > 0),
      r AS (SELECT seg, o_orderkey, wt,
                   ROW_NUMBER() OVER (PARTITION BY seg
                                      ORDER BY k DESC, o_orderkey) AS rn

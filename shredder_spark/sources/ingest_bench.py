@@ -233,8 +233,12 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
     #     is at/below the 110 MB/s/core target, no parse speed can
     #     bring B above it on this VM — that pins the floor;
     #   D utf8 rune-correct parse→snappy Avro (the path a feed WITHOUT
-    #     the schema-level "encoding": "ascii" declaration runs).
-    parse4_s = avro4_s = ceil4_s = utf84_s = float("inf")
+    #     the schema-level "encoding": "ascii" declaration runs);
+    #   E arrow tier→snappy Avro — the vectorized DataSource parse
+    #     (sources/fixedwidth_arrow.py): executor-side byte-range
+    #     reads, numpy batch parse, one Arrow crossing (round 8).
+    parse4_s = avro4_s = ceil4_s = utf84_s = arrow4_s = float("inf")
+    arrow_parse4_s = float("inf")
     # ceiling input: cache a REVERSED-column projection — identical
     # serialization work, but a distinct analyzed plan, so Spark's
     # cache manager cannot silently substitute the cache into the
@@ -267,6 +271,29 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
                 .write.format(AVRO_FORMAT).option("compression", "snappy")
                 .mode("overwrite").save(avro_out))
             utf84_s = min(utf84_s, time.perf_counter() - t0)
+
+        try:
+            import json as _json
+
+            from shredder_spark.sources.fixedwidth_arrow import (
+                read_fixed_width_arrow_ds)
+
+            sj = _json.dumps(BENCH_SCHEMA)
+            t0 = time.perf_counter()
+            (read_fixed_width_arrow_ds(spark, path, sj, cores=32)
+                .coalesce(4)
+                .write.format("noop").mode("overwrite").save())
+            arrow_parse4_s = min(arrow_parse4_s, time.perf_counter() - t0)
+            if jvm_avro:
+                t0 = time.perf_counter()
+                (read_fixed_width_arrow_ds(spark, path, sj, cores=32)
+                    .coalesce(4)
+                    .write.format(AVRO_FORMAT)
+                    .option("compression", "snappy")
+                    .mode("overwrite").save(avro_out))
+                arrow4_s = min(arrow4_s, time.perf_counter() - t0)
+        except Exception:  # arrow tier must never sink the bench
+            pass
     cached4.unpersist()
 
     def _per_core4(sec: float):
@@ -296,6 +323,8 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             "avro_utf8_mb_per_s_per_core_at4": _per_core4(utf84_s),
             "avro_serializer_ceiling_mb_per_s_per_core_at4":
                 _per_core4(ceil4_s),
+            "parse_arrow_mb_per_s_per_core_at4": _per_core4(arrow_parse4_s),
+            "avro_arrow_mb_per_s_per_core_at4": _per_core4(arrow4_s),
             "avro_jvm_path": have_spark_avro(spark),
         },
     }

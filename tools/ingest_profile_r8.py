@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Round-8 ingest gap profile → committed artifact (verdict task 4).
+
+Round 7 closed with: engine →Avro 35.8 MB/s/core at the 4-task shape
+vs its own in-VM zero-parse serializer ceiling of 104.7 — "the
+environment argument covers the bar, not the remaining 3× headroom".
+This tool pins where the headroom actually goes, with interleaved
+A/B reps of each stage at the 4-task shape:
+
+1. expression-tier parse (noop sink) — the r7 path;
+2. arrow-tier parse (sources/fixedwidth_arrow.py DataSource: executor
+   -side byte-range read + numpy batch parse, one Arrow crossing);
+3. serializer ceiling (cached typed rows → snappy Avro; ceiling_ab
+   methodology, distinct analyzed plan so the cache can't leak);
+4. end-to-end →Avro on both tiers.
+
+The committed claim this artifact carries: measured end-to-end equals
+harmonic(parse, serializer) within a few percent on BOTH tiers —
+parse and serialize run sequentially per row batch in the same task,
+so rates compose harmonically; there is no unexplained loss. The
+arrow tier lifts the parse leg (the r7 bottleneck); past it, the
+binding constraint is the serializer+row-conversion half, which is
+spark-avro's InternalRow encode (the measured ceiling), not engine
+code.
+
+Usage: python tools/ingest_profile_r8.py [reps] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "INGEST_PROFILE_r8.json"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from shredder_spark.benchcontrol import control_stats
+    from shredder_spark.session import get_spark
+    from shredder_spark.sinks.avro import AVRO_FORMAT, have_spark_avro
+    from shredder_spark.sources.fixedwidth import read_fixed_width
+    from shredder_spark.sources.fixedwidth_arrow import (
+        read_fixed_width_arrow_ds)
+    from shredder_spark.sources.ingest_bench import (
+        BENCH_BASE, BENCH_SCHEMA, ensure_fixture)
+
+    spark = get_spark("ingest-profile-r8")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    man = ensure_fixture(spark, sf_dir)
+    path, total = man["path"], man["bytes"]
+    mb = total / 1e6
+    sj = json.dumps(BENCH_SCHEMA)
+    avro_out = os.path.join(BENCH_BASE, "avro_profile_r8")
+    assert have_spark_avro(spark)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def avro(df):
+        (df.write.format(AVRO_FORMAT).option("compression", "snappy")
+         .mode("overwrite").save(avro_out))
+
+    typed = read_fixed_width(spark, path, BENCH_SCHEMA)
+    ceiling_in = typed.select(*reversed(typed.columns)).coalesce(4).cache()
+    noop(ceiling_in)  # fill, untimed
+
+    stages = {
+        "expr_parse": lambda: noop(
+            read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)),
+        "arrow_parse": lambda: noop(
+            read_fixed_width_arrow_ds(spark, path, sj, cores=32)
+            .coalesce(4)),
+        "serializer_ceiling": lambda: avro(ceiling_in),
+        "expr_avro": lambda: avro(
+            read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(4)),
+        "arrow_avro": lambda: avro(
+            read_fixed_width_arrow_ds(spark, path, sj, cores=32)
+            .coalesce(4)),
+    }
+    for fn in stages.values():  # warm-up
+        fn()
+    times: dict[str, list[float]] = {k: [] for k in stages}
+    for _ in range(reps):
+        for name, fn in stages.items():  # interleaved
+            t0 = time.perf_counter()
+            fn()
+            times[name].append(round(time.perf_counter() - t0, 4))
+    ceiling_in.unpersist()
+
+    def per_core(name: str) -> dict:
+        med = statistics.median(times[name])
+        return {"reps_s": times[name], "median_s": round(med, 4),
+                "mb_per_s_per_core_median": round(mb / med / 4, 2),
+                "mb_per_s_per_core_best":
+                    round(mb / min(times[name]) / 4, 2)}
+
+    out = {
+        "metric": "ingest_profile",
+        "sf_dir": sf_dir,
+        "input_bytes": total,
+        "tasks": 4,
+        "method": (f"interleaved {reps} reps after warm-up; "
+                   "all stages at the 4-task BASELINE shape"),
+        "stages": {k: per_core(k) for k in stages},
+    }
+    # the harmonic-composition check the artifact exists to commit
+    def rate(name):
+        return out["stages"][name]["mb_per_s_per_core_median"]
+    for tier in ("expr", "arrow"):
+        p, c = rate(f"{tier}_parse"), rate("serializer_ceiling")
+        pred = 1.0 / (1.0 / p + 1.0 / c)
+        meas = rate(f"{tier}_avro")
+        out[f"harmonic_check_{tier}"] = {
+            "parse": p, "serializer_ceiling": c,
+            "predicted_end_to_end": round(pred, 2),
+            "measured_end_to_end": meas,
+            "ratio": round(meas / pred, 3),
+        }
+    out["control"] = control_stats(spark)
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k.startswith("harmonic") or k == "control"},
+                     default=str))
+    print("written:", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
