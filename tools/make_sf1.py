@@ -38,7 +38,12 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1")
-REPLICAS = 10
+# 10 replicas of sf0.1 = sf1 (the default). SHREDDER_SF_REPLICAS=100
+# with SHREDDER_SF1_DIR=/tmp/shredder_sf10 derives sf10 by the SAME
+# construction (round-8 second-decade probe) — replica structure,
+# near-dup density, and FK offsets all generalize; only the replica
+# count changes.
+REPLICAS = int(os.environ.get("SHREDDER_SF_REPLICAS", "10"))
 
 OFFSETS = {
     "customer": {"c_custkey": 15_000},
@@ -75,8 +80,16 @@ def documents() -> None:
     n_docs = 5_000
     out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
     for r in range(REPLICAS):
+        cache: dict = {}
+
         def dropped(tok: str) -> bool:
-            return r > 0 and zlib.crc32(f"{r}:{tok}".encode()) % 100 < 40
+            if r == 0:
+                return False
+            hit = cache.get(tok)
+            if hit is None:
+                hit = zlib.crc32(f"{r}:{tok}".encode()) % 100 < 40
+                cache[tok] = hit
+            return hit
         for d, t, lg, src_ in zip(doc_id, text, lang, source):
             toks = [w for w in t.split(" ") if not dropped(w)]
             nt = " ".join(toks)

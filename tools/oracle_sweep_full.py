@@ -2,7 +2,11 @@
 an arbitrary sf (default sf0.1 — 10x the driver's correctness gate).
 Rows-only queries are executed for shape/stability but not compared.
 
-    python tools/oracle_sweep_full.py [sf_dir] > SWEEP.json
+    python tools/oracle_sweep_full.py [sf_dir] [sample_n] [seed] > SWEEP.json
+
+``sample_n`` (optional) runs a seeded random subsample of the paired
+registry instead of all of it — the sf10 decade-probe spot-check shape
+(rows-only queries are skipped in sample mode).
 
 Prints one JSON line: counts + per-query failures (empty list = all
 green). Uses the same vanilla-session + canonicalization conventions
@@ -24,6 +28,8 @@ from shredder_spark import queries as queries_mod
 from tests.oracle_utils import compare_query, duckdb_connect  # noqa: F401
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SAMPLE_N = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 
 def main() -> None:
@@ -37,10 +43,17 @@ def main() -> None:
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries_mod.registry()
+    names = sorted(reg)
+    if SAMPLE_N:
+        import random
+
+        paired = [n for n in names if reg[n].oracle is not None]
+        names = sorted(random.Random(SEED).sample(
+            paired, min(SAMPLE_N, len(paired))))
     t0 = time.time()
     failures: dict[str, list[str]] = {}
     n_paired = n_rows_only = 0
-    for name in sorted(reg):
+    for name in names:
         q = reg[name]
         try:
             if q.oracle is None:
@@ -61,6 +74,8 @@ def main() -> None:
     out = {
         "metric": "oracle_sweep_full",
         "sf_dir": SF_DIR,
+        "sample_n": SAMPLE_N or None,
+        "seed": SEED if SAMPLE_N else None,
         "paired": n_paired,
         "rows_only": n_rows_only,
         "failures": failures,

@@ -1,4 +1,5 @@
-"""Scale-robustness sweep: sf0.01 -> sf0.1 -> sf1 (two decades).
+"""Scale-robustness sweep: sf0.01 -> sf0.1 -> sf1 -> sf10 (three
+decades, two measured 10x steps above the driver data).
 
 Evidence for the 100 TB posture that a single-sf bench can't give:
 per-query wall-time slopes across 10x data steps, the LSH
@@ -11,6 +12,12 @@ docstring for the replica construction that keeps near-dup density
 scale-invariant). Run:
 
     python tools/make_sf1.py && python tools/scale_sweep.py > SCALE_SWEEP.json
+
+sf10 is the same construction with SHREDDER_SF_REPLICAS=100 (round-8
+second-decade probe); its leg is skipped when the directory is absent:
+
+    SHREDDER_SF_REPLICAS=100 SHREDDER_SF1_DIR=/tmp/shredder_sf10 \
+        python tools/make_sf1.py
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ SF_DIRS = {
     "0.01": "/root/testdata/sf0.01",
     "0.1": "/root/testdata/sf0.1",
     "1": os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1"),
+    "10": os.environ.get("SHREDDER_SF10_DIR", "/tmp/shredder_sf10"),
 }
 
 TIMED = [
@@ -123,9 +131,9 @@ def main() -> None:
 
         lsh = dict(num_perm=64, bands=16, threshold=0.5, seed=1)
         src = docs.select("doc_id", "text")
-        cap = 200 if sf == "1" else 10**9
+        cap = 200 if sf in ("1", "10") else 10**9
         blocklist = None
-        if sf == "1":
+        if sf in ("1", "10"):
             blocklist = oversized_lsh_buckets(
                 src, "doc_id", "text", max_bucket_size=cap,
                 num_perm=lsh["num_perm"], bands=lsh["bands"],
@@ -176,36 +184,41 @@ def main() -> None:
         stats["neardup_equal"] = bool(admitted == keepers)
         stats["neardup_keepers"] = len(keepers)
         stats["neardup_contract"] = (
-            "capped-200+blocklist" if sf == "1" else "uncapped")
+            "capped-200+blocklist" if sf in ("1", "10") else "uncapped")
         out["sfs"][sf] = stats
 
-    # oracle re-check at sf1 (engine vs DuckDB on the same derived files)
-    sf1 = SF_DIRS["1"]
-    if os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+    # oracle re-check at the derived sfs (engine vs DuckDB on the
+    # same derived files)
+    for sf_label in ("1", "10"):
+        sfd = SF_DIRS[sf_label]
+        if not os.path.exists(os.path.join(sfd, "lineitem.parquet")):
+            continue
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
         for t in TABLES:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'")
+                f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
         oracle_ok: dict = {}
         for name in ORACLE_CHECK:
             q = reg[name]
-            s = q.run(spark, sf1).collect()
+            s = q.run(spark, sfd).collect()
             o = con.execute(q.oracle).fetchall()
             oracle_ok[name] = bool(_norm(s) == _norm(o))
-        out["oracle_at_sf1"] = oracle_ok
+        out[f"oracle_at_sf{sf_label}"] = oracle_ok
 
     # decade slopes: time ratio per 10x rows (1.0 = perfectly linear)
     sfs = out["sfs"]
-    if "0.1" in sfs and "1" in sfs:
-        slopes = {}
-        for name in TIMED:
-            a, b = sfs["0.1"]["timings"][name], sfs["1"]["timings"][name]
-            slopes[name] = round(b / a, 2) if a else None
-        slopes["minhash_candidates"] = round(
-            sfs["1"]["minhash_candidates"]
-            / max(sfs["0.1"]["minhash_candidates"], 1), 2)
-        out["x10_ratios"] = slopes
+    for lo, hi, key in (("0.1", "1", "x10_ratios"),
+                        ("1", "10", "x10_ratios_sf1_to_sf10")):
+        if lo in sfs and hi in sfs:
+            slopes = {}
+            for name in TIMED:
+                a, b = sfs[lo]["timings"][name], sfs[hi]["timings"][name]
+                slopes[name] = round(b / a, 2) if a else None
+            slopes["minhash_candidates"] = round(
+                sfs[hi]["minhash_candidates"]
+                / max(sfs[lo]["minhash_candidates"], 1), 2)
+            out[key] = slopes
 
     # session-speed stamp: the artifact self-describes the VM phase it
     # was measured in (round-6 verdict task 8)
