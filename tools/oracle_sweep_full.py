@@ -40,6 +40,7 @@ def main() -> None:
              # sf0.1 sort/join queries in a 682-query single-JVM run;
              # the box has 128 GiB — size the heap like session.py does
              .config("spark.driver.memory", "24g")
+             .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries_mod.registry()
@@ -61,6 +62,20 @@ def main() -> None:
                 assert q.run(spark, SF_DIR).count() >= 0
                 continue
             n_paired += 1
+            rowcap = int(os.environ.get("SWEEP_ROWCAP", "0"))
+            if rowcap:
+                n_eng = q.run(spark, SF_DIR).count()
+                if n_eng > rowcap:
+                    import duckdb as _dd
+
+                    from tests.oracle_utils import duckdb_connect
+                    con = duckdb_connect(SF_DIR)
+                    n_ora = con.execute(
+                        f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()[0]
+                    if n_eng != n_ora:
+                        failures[name] = [
+                            f"count-only mismatch: {n_eng} vs {n_ora}"]
+                    continue
             problems = compare_query(spark, SF_DIR, q)
             if problems:
                 failures[name] = problems
