@@ -274,10 +274,10 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
     # driver — Python str() re-derivation would disagree with Spark's
     # CAST(… AS STRING) for booleans (True vs true) and some float
     # formats, silently falling back to offset 0.
-    tagged = (df.withColumn("_sw_b", bucket)
-              .withColumn("_sw_g", _group_key(groups, with_bucket=False)))
+    pre = (df.withColumn("_sw_b", bucket)
+           .withColumn("_sw_g", _group_key(groups, with_bucket=False)))
     w = Window.partitionBy(*groups, "_sw_b").orderBy(*_ordering(order))
-    tagged = tagged.withColumn("_sw_rn", F.row_number().over(w))
+    tagged = pre.withColumn("_sw_rn", F.row_number().over(w))
     need_rank = rank_col is not None
     need_dense = dense_rank_col is not None
     if need_rank:
@@ -285,10 +285,36 @@ def with_grouped_ranks(df: DataFrame, groups: Sequence[str], order: OrderSpec,
     if need_dense:
         tagged = tagged.withColumn("_sw_drk", F.dense_rank().over(w))
 
+    # Offsets: the rank offsets need per-cell counts (computable from
+    # the pre-window frame), but the dense-rank offset needs the max
+    # local dense_rank per cell — a window-output quantity. Actions
+    # don't share exchanges, so aggregating the lazy window frame
+    # would pay the full shuffle+sort a second time (and a distinct
+    # order-tuple count over the pre-window frame costs even more than
+    # the window itself). Instead the window output is persisted ONCE
+    # (memory-and-disk local checkpoint — the persist-once/read-twice
+    # trade a cluster job would make): the offsets aggregate is then a
+    # cheap cached scan and the returned frame reads the same blocks.
     aggs = [F.count(F.lit(1)).alias("n")]
     if need_dense:
+        # Rank offsets need only per-cell counts, but the dense-rank
+        # offset (max local dense_rank per cell) is a window-output
+        # quantity, and actions don't share exchanges — aggregating
+        # the lazy frame would pay the 60 M-row shuffle+sort twice.
+        # Persist the window output once (compressed columnar cache,
+        # spills to disk under pressure): the offsets aggregate is
+        # then a column-pruned cache scan and the returned frame reads
+        # the same blocks. At sf10 this is ~3× the lazy double-pass.
+        # Cache substitution hides the Window node from downstream
+        # plan inspection, so the no-few-task-sort property is
+        # enforced HERE, on the lazy frame, on every call.
+        from pyspark import StorageLevel
+        assert_no_low_cardinality_window(tagged)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         aggs.append(F.max("_sw_drk").alias("d"))
-    rows = tagged.groupBy("_sw_g", "_sw_b").agg(*aggs).collect()
+        rows = tagged.groupBy("_sw_g", "_sw_b").agg(*aggs).collect()
+    else:
+        rows = pre.groupBy("_sw_g", "_sw_b").agg(*aggs).collect()
     sep = "\x1f"
     by_group: dict[str, list] = {}
     for r in rows:

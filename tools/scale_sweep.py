@@ -29,6 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Size the single-JVM heap to the largest leg BEFORE the JVM starts:
+# sf10's 60 M-row window/sort tasks at 32 threads need cluster-realistic
+# execution memory (~1.5 GB/core, what an executor actually ships with).
+# The 8g default (256 MB/core) measures spill behavior, not the
+# operator — the box has 128 GiB, so the honest shape is affordable.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 import duckdb
 
 from shredder_spark import queries as queries_mod
@@ -234,6 +241,13 @@ def main() -> None:
     # was measured in (round-6 verdict task 8)
     from shredder_spark.benchcontrol import control_stats
     out["control"] = control_stats(spark)
+    out["session"] = {
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "initial_shuffle_partitions": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            None),
+    }
     print(json.dumps(out))
     out_path = os.environ.get("SWEEP_OUT")
     if out_path:
