@@ -215,8 +215,11 @@ def main() -> None:
     # BENCH_r<N>_full.json per round so history survives without git
     # archaeology; BENCH_full.json stays as a pointer for old readers.
     round_tag = os.environ.get("BENCH_ROUND", ROUND_TAG)
-    full_path = os.environ.get("BENCH_FULL_OUT",
-                               f"BENCH_{round_tag}_full.json")
+    # a non-default sf (smoke run) must not clobber the committed
+    # sf0.1 artifact — divert it unless BENCH_FULL_OUT says otherwise
+    default_full = (f"BENCH_{round_tag}_full.json" if sf == "0.1"
+                    else f"/tmp/BENCH_{round_tag}_sf{sf}.json")
+    full_path = os.environ.get("BENCH_FULL_OUT", default_full)
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh)

@@ -140,21 +140,15 @@ def write_avro_ocf(
     wire = _to_wire(df)
 
     def _write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from shredder_spark.sinks.avro_vec import write_ocf_arrow
+
         pid = TaskContext.get().partitionId()
         rc = RecordCodec(avro_schema)
         path = os.path.join(out_dir, f"{prefix}{pid:05d}.avro")
-        n = 0
         with open(path, "wb") as fh:
-
-            def rows() -> Iterator[tuple]:
-                nonlocal n
-                for batch in batches:
-                    cols = [c.to_pylist() for c in batch.columns]
-                    for row in zip(*cols):
-                        n += 1
-                        yield row
-
-            write_ocf(fh, rc, rows(), codec=codec)
+            # vectorized batch encoder (byte-identical records to the
+            # per-row codec — tests/test_avro_vec.py)
+            n = write_ocf_arrow(fh, rc, batches, codec=codec)
         if n == 0:
             os.remove(path)  # reference writes no empty-chunk files
         yield pa.RecordBatch.from_pydict({"partition": [pid], "rows": [n]})

@@ -1,0 +1,360 @@
+"""Vectorized Avro binary encoder: Arrow batch → Avro records, columnar.
+
+The per-row codec (``avro_codec.RecordCodec``) encodes field-by-field
+in Python — fine for Kafka framing (one record per message), but the
+OCF sink hot loop is O(rows × fields) interpreter work. This module
+encodes a whole Arrow batch with numpy:
+
+1. per field, compute the encoded byte LENGTH of every row (varint
+   widths via threshold sums, string lengths straight from the Arrow
+   offsets buffer);
+2. row lengths sum → exclusive cumsum = output offset of every row;
+3. per field, scatter the bytes into the output at
+   ``row_offset + Σ(previous field lengths)`` — ≤10 vectorized
+   stores for a varint column, ``width`` stores for a fixed column,
+   one gather/scatter pair for string payloads.
+
+Exactness: ``encode_batch(rc, batch)`` equals
+``b"".join(rc.encode(row) for row in rows)`` byte-for-byte (pinned in
+tests/test_avro_vec.py), so every existing OCF reader — ours and any
+spec-conforming one — consumes the output unchanged.
+
+Type surface: the engine's wire form (SURVEY.md §1.3) — boolean, int,
+long, float, double, bytes, string, and the temporal logicals as
+pre-converted epoch ints — with optional ``["null", T]`` unions.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from shredder_spark.sinks.avro_codec import (
+    MAGIC, RecordCodec, compress_block, write_bytes, write_long)
+
+_VARINT_MAX = 10
+_U64_ONE = np.uint64(1)
+
+_INT_TYPES = frozenset({
+    "int", "long", "date", "timestamp-millis", "timestamp-micros",
+    "time-millis", "time-micros"})
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def _varint_len(z: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value: 1 + (# of 7-bit thresholds ≤ z)."""
+    n = np.ones(len(z), dtype=np.int64)
+    for k in range(1, _VARINT_MAX):
+        n += (z >= (_U64_ONE << np.uint64(7 * k)))
+    return n
+
+
+def _scatter_varint(out: np.ndarray, pos: np.ndarray, z: np.ndarray,
+                    nb: np.ndarray, mask: np.ndarray | None) -> None:
+    for k in range(_VARINT_MAX):
+        m = nb > k
+        if mask is not None:
+            m = m & mask
+        if m.all():  # dense plane: skip the fancy-index compaction
+            byte = ((z >> np.uint64(7 * k)) & np.uint64(0x7F)) \
+                .astype(np.uint8)
+            cont = (nb > (k + 1)).astype(np.uint8) << np.uint8(7)
+            out[pos + k] = byte | cont
+            continue
+        if not m.any():
+            break  # nb is checked in increasing k: once empty, done
+        byte = ((z[m] >> np.uint64(7 * k)) & np.uint64(0x7F)) \
+            .astype(np.uint8)
+        cont = (nb[m] > (k + 1)).astype(np.uint8) << np.uint8(7)
+        out[pos[m] + k] = byte | cont
+
+
+def _scatter_fixed(out: np.ndarray, pos: np.ndarray, planes: np.ndarray,
+                   mask: np.ndarray | None) -> None:
+    if mask is not None:
+        pos = pos[mask]
+        planes = planes[mask]
+    for j in range(planes.shape[1]):
+        out[pos + j] = planes[:, j]
+
+
+def _scatter_payload(out: np.ndarray, dst: np.ndarray, data: np.ndarray,
+                     src: np.ndarray, lens: np.ndarray,
+                     valid: np.ndarray) -> None:
+    m = valid & (lens > 0)
+    if not m.any():
+        return
+    lm = lens[m]
+    dm = dst[m]
+    sm = src[m]
+    w = lm[0]
+    if (lm == w).all():  # uniform width (fixed-width feeds): 2-D gather
+        cols = np.arange(w, dtype=np.int64)
+        out[dm[:, None] + cols] = data[sm[:, None] + cols]
+        return
+    total = int(lm.sum())
+    cum = np.zeros(len(lm), dtype=np.int64)
+    np.cumsum(lm[:-1], out=cum[1:])
+    reps = np.repeat(np.arange(len(lm)), lm)
+    within = np.arange(total, dtype=np.int64) - cum[reps]
+    out[dm[reps] + within] = data[sm[reps] + within]
+
+
+class _Prep:
+    __slots__ = ("length", "write")
+
+    def __init__(self, length, write):
+        self.length = length
+        self.write = write
+
+
+def _prep_field(fname: str, tname: str, null_index: int,
+                col: pa.Array) -> _Prep:
+    if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+        col = col.combine_chunks()
+    n = len(col)
+    nullable = null_index >= 0
+    has_nulls = col.null_count > 0
+    if has_nulls and not nullable:
+        raise ValueError(f"null in non-nullable field {fname}")
+    valid = None
+    if has_nulls:
+        valid = ~col.is_null().to_numpy(zero_copy_only=False)
+
+    if tname == "boolean":
+        vals = pc.fill_null(col, False).to_numpy(zero_copy_only=False) \
+            .astype(np.uint8).reshape(n, 1)
+        vlen = np.ones(n, dtype=np.int64)
+
+        def write_val(out, pos, mask):
+            _scatter_fixed(out, pos, vals, mask)
+
+    elif tname in _INT_TYPES:
+        iv = pc.fill_null(col, 0)
+        if not pa.types.is_integer(iv.type):
+            iv = iv.cast(pa.int64())  # temporal logicals → epoch ints
+        v = iv.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        z = _zigzag(v)
+        vlen = _varint_len(z)
+
+        def write_val(out, pos, mask):
+            _scatter_varint(out, pos, z, vlen, mask)
+
+    elif tname in ("float", "double"):
+        width = 4 if tname == "float" else 8
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False) \
+            .astype(f"<f{width}", copy=False)
+        planes = np.ascontiguousarray(v).view(np.uint8).reshape(n, width)
+        vlen = np.full(n, width, dtype=np.int64)
+
+        def write_val(out, pos, mask):
+            _scatter_fixed(out, pos, planes, mask)
+
+    elif tname in ("string", "bytes"):
+        fc = pc.fill_null(col, "" if tname == "string" else b"")
+        big = pa.types.is_large_string(fc.type) \
+            or pa.types.is_large_binary(fc.type)
+        odt, osz = (np.int64, 8) if big else (np.int32, 4)
+        offs = np.frombuffer(fc.buffers()[1], dtype=odt, count=n + 1,
+                             offset=fc.offset * osz).astype(np.int64)
+        dbuf = fc.buffers()[2]
+        data = (np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None else np.empty(0, dtype=np.uint8))
+        src = offs[:-1]
+        lens = offs[1:] - src
+        zl = _zigzag(lens)
+        hlen = _varint_len(zl)
+        vlen = hlen + lens
+        all_valid = np.ones(n, dtype=bool)
+
+        def write_val(out, pos, mask):
+            _scatter_varint(out, pos, zl, hlen, mask)
+            _scatter_payload(out, pos + hlen, data, src, lens,
+                             all_valid if mask is None else mask)
+
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported avro type {tname!r}")
+
+    if not nullable:
+        return _Prep(vlen, lambda out, cur: write_val(out, cur, None))
+
+    # union branch indexes are 0/1 → their zigzag varints are the
+    # single bytes 0x00/0x02
+    null_byte = np.uint8(null_index << 1)
+    val_byte = np.uint8((1 - null_index) << 1)
+    if valid is None:
+        length = 1 + vlen
+
+        def write(out, cur):
+            out[cur] = val_byte
+            write_val(out, cur + 1, None)
+    else:
+        length = 1 + np.where(valid, vlen, 0)
+
+        def write(out, cur):
+            out[cur] = np.where(valid, val_byte, null_byte)
+            write_val(out, cur + 1, valid)
+
+    return _Prep(length, write)
+
+
+def encode_batch(rc: RecordCodec, batch: pa.RecordBatch) -> bytes:
+    """Avro binary of every record in ``batch``, concatenated —
+    byte-identical to the per-row codec's output."""
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    if batch.num_columns != len(rc.fields):
+        raise ValueError(
+            f"batch has {batch.num_columns} columns, schema has "
+            f"{len(rc.fields)} fields")
+    preps = []
+    total = np.zeros(n, dtype=np.int64)
+    for (fname, tname, null_index), col in zip(rc.fields, batch.columns):
+        p = _prep_field(fname, tname, null_index, col)
+        preps.append(p)
+        total = total + p.length
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(total[:-1], out=starts[1:])
+    out = np.zeros(int(total.sum()), dtype=np.uint8)
+    cur = starts
+    for p in preps:
+        p.write(out, cur)
+        cur = cur + p.length
+    return out.tobytes()
+
+
+def write_ocf_arrow(
+    fh: io.BufferedIOBase,
+    rc: RecordCodec,
+    batches: Iterable[pa.RecordBatch],
+    *,
+    codec: str = "snappy",
+    sync: bytes | None = None,
+    block_rows: int = 65536,
+) -> int:
+    """Write Arrow batches as an Avro OCF stream (header/blocks/sync
+    framing identical to ``avro_codec.write_ocf``); returns row count."""
+    if sync is None:
+        sync = (zlib.crc32(rc.schema_json.encode())
+                & 0xFFFFFFFF).to_bytes(4, "big") * 4
+    fh.write(MAGIC)
+    meta = io.BytesIO()
+    write_long(meta, 2)
+    write_bytes(meta, b"avro.schema")
+    write_bytes(meta, rc.schema_json.encode("utf-8"))
+    write_bytes(meta, b"avro.codec")
+    write_bytes(meta, codec.encode())
+    write_long(meta, 0)
+    fh.write(meta.getvalue())
+    fh.write(sync)
+
+    n_total = 0
+    for batch in batches:
+        for s in range(0, batch.num_rows, block_rows):
+            chunk = batch.slice(s, min(block_rows, batch.num_rows - s))
+            if chunk.num_rows == 0:
+                continue
+            payload = encode_batch(rc, chunk)
+            comp = compress_block(codec, payload)
+            head = io.BytesIO()
+            write_long(head, chunk.num_rows)
+            write_long(head, len(comp))
+            fh.write(head.getvalue())
+            fh.write(comp)
+            fh.write(sync)
+            n_total += chunk.num_rows
+    return n_total
+
+
+def wire_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Temporal columns → epoch ints (timestamp[us/ms]→long,
+    date32→int), the codec wire form — columnar equivalent of
+    ``sinks.avro._to_wire``."""
+    cols, changed = [], False
+    for col in batch.columns:
+        if pa.types.is_timestamp(col.type):
+            cols.append(col.cast(pa.int64()))
+            changed = True
+        elif pa.types.is_date32(col.type):
+            cols.append(col.cast(pa.int32()))
+            changed = True
+        else:
+            cols.append(col)
+    if not changed:
+        return batch
+    return pa.RecordBatch.from_arrays(cols, names=batch.schema.names)
+
+
+def fixed_width_to_avro_fused(
+    spark,
+    path: str,
+    schema,
+    out_dir: str,
+    *,
+    tasks: int = 32,
+    codec: str = "snappy",
+    prefix: str = "part-",
+    batch_rows: int = 65536,
+) -> int:
+    """Reference-shaped single-stage ingest: each task reads its byte
+    range, numpy-parses the fixed-width matrix, vector-encodes Avro and
+    writes one OCF file — data never materializes as Spark rows and
+    never crosses into the JVM (cf. the reference's chunked
+    parse→serialize pipeline, `fixed2avro/Exporters.go:105-138`). The
+    per-partition imperative body is exactly what RDD.mapPartitions is
+    for; everything upstream/downstream of ingest stays DataFrame.
+
+    Returns total rows written. Output files match
+    ``write_avro_ocf``'s schema (nullable unions) and naming.
+    """
+    import os
+
+    from shredder_spark.avro_schema import FixedSchema, \
+        parse_avro_fixed_schema
+    from shredder_spark.sinks.avro import spark_schema_to_avro
+    from shredder_spark.sources.fixedwidth_arrow import (
+        FixedWidthArrowReader, _Range, _parse_batch)
+    from shredder_spark.utils import ensure_package_on_executors
+
+    fs = schema if isinstance(schema, FixedSchema) \
+        else parse_avro_fixed_schema(schema)
+    avro_schema = spark_schema_to_avro(fs.to_struct_type())
+
+    ensure_package_on_executors(spark)
+    os.makedirs(out_dir, exist_ok=True)
+    planner = FixedWidthArrowReader(
+        {"path": path, "cores": str(tasks)}, fs)
+    ranges = [(i, p.path, p.start, p.end)
+              for i, p in enumerate(planner.partitions())]
+
+    def run(it) -> Iterator[tuple]:
+        for i, fpath, s, e in it:
+            rdr = FixedWidthArrowReader({"path": fpath, "cores": "1"}, fs)
+            mat = rdr._matrix(rdr._range_bytes(_Range(fpath, s, e)))
+            rc = RecordCodec(avro_schema)
+            out_path = os.path.join(out_dir, f"{prefix}{i:05d}.avro")
+
+            def gen() -> Iterator[pa.RecordBatch]:
+                for j in range(0, mat.shape[0], batch_rows):
+                    yield wire_batch(_parse_batch(mat[j:j + batch_rows], fs))
+
+            with open(out_path, "wb") as fh:
+                n = write_ocf_arrow(fh, rc, gen(), codec=codec)
+            if n == 0:
+                os.remove(out_path)
+            yield (i, n)
+
+    counts = (spark.sparkContext
+              .parallelize(ranges, max(len(ranges), 1))
+              .mapPartitions(run).collect())
+    return int(sum(n for _, n in counts))

@@ -238,7 +238,7 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
     #     (sources/fixedwidth_arrow.py): executor-side byte-range
     #     reads, numpy batch parse, one Arrow crossing (round 8).
     parse4_s = avro4_s = ceil4_s = utf84_s = arrow4_s = float("inf")
-    arrow_parse4_s = float("inf")
+    arrow_parse4_s = fused4_s = float("inf")
     # ceiling input: cache a REVERSED-column projection — identical
     # serialization work, but a distinct analyzed plan, so Spark's
     # cache manager cannot silently substitute the cache into the
@@ -292,6 +292,16 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
                     .option("compression", "snappy")
                     .mode("overwrite").save(avro_out))
                 arrow4_s = min(arrow4_s, time.perf_counter() - t0)
+            # F fused tier: byte-range read → numpy parse → vectorized
+            # Avro encode → snappy OCF in one Python pass (no JVM row
+            # materialization — sinks/avro_vec.py)
+            from shredder_spark.sinks.avro_vec import (
+                fixed_width_to_avro_fused)
+            t0 = time.perf_counter()
+            fixed_width_to_avro_fused(
+                spark, path, BENCH_SCHEMA,
+                os.path.join(BENCH_BASE, "avro_fused_out"), tasks=4)
+            fused4_s = min(fused4_s, time.perf_counter() - t0)
         except Exception:  # arrow tier must never sink the bench
             pass
     cached4.unpersist()
@@ -325,6 +335,7 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
                 _per_core4(ceil4_s),
             "parse_arrow_mb_per_s_per_core_at4": _per_core4(arrow_parse4_s),
             "avro_arrow_mb_per_s_per_core_at4": _per_core4(arrow4_s),
+            "avro_fused_mb_per_s_per_core_at4": _per_core4(fused4_s),
             "avro_jvm_path": have_spark_avro(spark),
         },
     }

@@ -45,6 +45,7 @@ def main() -> int:
     from shredder_spark.benchcontrol import control_stats
     from shredder_spark.session import get_spark
     from shredder_spark.sinks.avro import AVRO_FORMAT, have_spark_avro
+    from shredder_spark.sinks.avro_vec import fixed_width_to_avro_fused
     from shredder_spark.sources.fixedwidth import read_fixed_width
     from shredder_spark.sources.fixedwidth_arrow import (
         read_fixed_width_arrow_ds)
@@ -84,6 +85,12 @@ def main() -> int:
         "arrow_avro": lambda: avro(
             read_fixed_width_arrow_ds(spark, path, sj, cores=32)
             .coalesce(4)),
+        # round-8b: single-stage Python pipeline — byte-range read →
+        # numpy parse → vectorized Avro encode → snappy OCF, no JVM
+        # row materialization (sinks/avro_vec.py)
+        "fused_avro": lambda: fixed_width_to_avro_fused(
+            spark, path, BENCH_SCHEMA,
+            os.path.join(BENCH_BASE, "avro_fused_r8"), tasks=4),
     }
     for fn in stages.values():  # warm-up
         fn()
