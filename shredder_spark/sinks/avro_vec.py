@@ -207,12 +207,11 @@ def _prep_field(fname: str, tname: str, null_index: int,
     return _Prep(length, write)
 
 
-def encode_batch(rc: RecordCodec, batch: pa.RecordBatch) -> bytes:
-    """Avro binary of every record in ``batch``, concatenated —
-    byte-identical to the per-row codec's output."""
+def _encode_core(rc: RecordCodec, batch: pa.RecordBatch):
+    """Encode every record; returns (byte array, row starts, row
+    lengths) so callers can take the concatenation (OCF blocks) or
+    per-row slices (Kafka framing) without re-encoding."""
     n = batch.num_rows
-    if n == 0:
-        return b""
     if batch.num_columns != len(rc.fields):
         raise ValueError(
             f"batch has {batch.num_columns} columns, schema has "
@@ -230,7 +229,27 @@ def encode_batch(rc: RecordCodec, batch: pa.RecordBatch) -> bytes:
     for p in preps:
         p.write(out, cur)
         cur = cur + p.length
+    return out, starts, total
+
+
+def encode_batch(rc: RecordCodec, batch: pa.RecordBatch) -> bytes:
+    """Avro binary of every record in ``batch``, concatenated —
+    byte-identical to the per-row codec's output."""
+    if batch.num_rows == 0:
+        return b""
+    out, _, _ = _encode_core(rc, batch)
     return out.tobytes()
+
+
+def encode_batch_rows(rc: RecordCodec, batch: pa.RecordBatch) -> list:
+    """Per-record Avro bytes (the Kafka message-value shape): one
+    vectorized pass + row-offset slicing."""
+    if batch.num_rows == 0:
+        return []
+    out, starts, lens = _encode_core(rc, batch)
+    mv = memoryview(out)
+    return [bytes(mv[s:s + ln]) for s, ln in
+            zip(starts.tolist(), lens.tolist())]
 
 
 def write_ocf_arrow(

@@ -102,13 +102,26 @@ def avro_encode_col(df: DataFrame, columns: list[str] | None = None) -> DataFram
     ensure_package_on_executors(df.sparkSession)
     wire = _to_wire(df.select(*columns))
     wire_cols = wire.columns
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), nullable=True)
+         for f in wire.schema.fields])
 
     @F.pandas_udf(BinaryType())
     def _encode(*cols: pd.Series) -> pd.Series:
+        # vectorized batch encode (sinks/avro_vec.py) — one numpy pass
+        # per Arrow batch, per-row slices out; byte-identical to
+        # RecordCodec.encode (tests/test_avro_vec.py)
+        from shredder_spark.sinks.avro_vec import encode_batch_rows
+
         rc = RecordCodec(avro_schema)
-        n = len(cols[0])
-        vals = [c.tolist() for c in cols]
-        return pd.Series([rc.encode(tuple(v[i] for v in vals)) for i in range(n)])
+        pdf = pd.DataFrame(dict(zip(wire_cols, cols)))
+        batch = pa.RecordBatch.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False)
+        return pd.Series(encode_batch_rows(rc, batch))
 
     return wire.withColumn("_avro", _encode(*[F.col(c) for c in wire_cols]))
 

@@ -206,3 +206,12 @@ def test_fused_fixed_width_to_avro(spark, tmp_path):
     assert got.schema == want.schema
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_encode_batch_rows_per_record():
+    rc = RecordCodec(SCHEMA)
+    rows = _random_rows(400, 17)
+    from shredder_spark.sinks.avro_vec import encode_batch_rows
+    got = encode_batch_rows(rc, _batch(rows))
+    assert got == [rc.encode(r) for r in rows]
+    assert encode_batch_rows(rc, _batch([])) == []
