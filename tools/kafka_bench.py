@@ -143,6 +143,10 @@ def main() -> int:
     except Exception as e:  # pragma: no cover
         out["wire_tier"] = {"error": repr(e)}
 
+    # session-speed stamp (round-6 task 8 convention)
+    from shredder_spark.benchcontrol import control_stats
+    out["control"] = control_stats(spark)
+
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "method"},
