@@ -18821,3 +18821,154 @@ def _q684_builder(spark: SparkSession) -> DataFrame:
 _q("q684_mmr_diversified_topk",
    oracle=_mmr_oracle_sql(10),
    builder=_q684_builder)
+
+
+# ---------------------------------------------------------------- B753
+# Bit-packed sign-signature ANN (Charikar SRP compressed to its
+# storage-minimal form): each 64-dim vector's sign bits pack into two
+# 32-bit words (two BIGINTs — portable: no signed-shift-63 edge on
+# either engine), Hamming distance = BIT_COUNT(XOR) per word, top-5
+# neighbors per probe. 64x storage shrink vs float32; the candidate
+# scan moves 16 bytes/vector instead of 256 and the distance kernel is
+# two popcounts — the shape a 100 TB ANN first pass wants. NULL /
+# ragged vectors excluded per the B738 totality convention; NULL
+# elements contribute 0 bits identically on both dialects.
+_q("q685_hamming_signature_topk",
+   oracle="""
+WITH t AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+sig AS (SELECT vec_id,
+  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
+      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(32, 64),
+      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+  FROM t),
+d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(BIT_COUNT(XOR(p.w0, c.w0))
+                  + BIT_COUNT(XOR(p.w1, c.w1)) AS BIGINT) AS hamming
+      FROM sig p JOIN sig c ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM d)
+SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, hamming
+FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk
+""",
+   engine_sql="""
+WITH t AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND SIZE(embedding) = 64),
+sig AS (SELECT vec_id,
+  AGGREGATE(SEQUENCE(0, 31), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(ELEMENT_AT(v, i + 1) > 0,
+                           SHIFTLEFT(CAST(1 AS BIGINT), i),
+                           CAST(0 AS BIGINT))) AS w0,
+  AGGREGATE(SEQUENCE(32, 63), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(ELEMENT_AT(v, i + 1) > 0,
+                           SHIFTLEFT(CAST(1 AS BIGINT), i - 32),
+                           CAST(0 AS BIGINT))) AS w1
+  FROM t),
+d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(BIT_COUNT(p.w0 ^ c.w0)
+                  + BIT_COUNT(p.w1 ^ c.w1) AS BIGINT) AS hamming
+      FROM sig p JOIN sig c ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM d)
+SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, hamming
+FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk
+""")
+
+# ---------------------------------------------------------------- B754
+# Two-stage asymmetric ANN: Hamming signatures prefilter to 20
+# candidates per probe (16 bytes/vector scanned), then ONLY those
+# 20 pairs pay the exact cosine rerank (quantized integer dots per the
+# q465 determinism idiom) for the final top-5. The production
+# retrieve-then-rerank shape: the expensive kernel's row count is set
+# by k, not by corpus size. Recall vs single-stage exact cosine is
+# pinned in tests/test_hamming_ann.py.
+_q("q686_hamming_prefilter_cosine_rerank",
+   oracle="""
+WITH t AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
+sig AS (SELECT vec_id,
+  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
+      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(32, 64),
+      i -> CASE WHEN v[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+  FROM t),
+cand AS (SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY BIT_COUNT(XOR(p.w0, c.w0))
+                      + BIT_COUNT(XOR(p.w1, c.w1)), c.vec_id) AS rnk
+    FROM sig p JOIN sig c ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+  WHERE rnk <= 20),
+q AS (SELECT vec_id, g.i AS i,
+             CAST(ROUND(CAST(v[g.i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+      FROM t, UNNEST(GENERATE_SERIES(1, LEN(v))) AS g(i)),
+n AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY vec_id
+      HAVING SUM(qv * qv) > 0),
+dot AS (SELECT cand.probe_id, cand.neighbor_id, SUM(a.qv * b.qv) AS dp
+        FROM cand JOIN q a ON a.vec_id = cand.probe_id
+                  JOIN q b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+        GROUP BY cand.probe_id, cand.neighbor_id),
+s AS (SELECT dot.probe_id, dot.neighbor_id,
+             dot.dp / (SQRT(CAST(na.n2 AS DOUBLE))
+                       * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY dot.probe_id
+               ORDER BY dot.dp / (SQRT(CAST(na.n2 AS DOUBLE))
+                        * SQRT(CAST(nb.n2 AS DOUBLE))) DESC,
+                        dot.neighbor_id) AS rk
+      FROM dot JOIN n na ON na.vec_id = dot.probe_id
+               JOIN n nb ON nb.vec_id = dot.neighbor_id)
+SELECT probe_id, CAST(rk AS BIGINT) AS rnk, neighbor_id,
+       CAST(FLOOR(cos * 10000) / 10000.0 AS DOUBLE) AS cos_sim
+FROM s WHERE rk <= 5 ORDER BY probe_id, rnk
+""",
+   engine_sql="""
+WITH t AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND SIZE(embedding) = 64),
+sig AS (SELECT vec_id,
+  AGGREGATE(SEQUENCE(0, 31), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(ELEMENT_AT(v, i + 1) > 0,
+                           SHIFTLEFT(CAST(1 AS BIGINT), i),
+                           CAST(0 AS BIGINT))) AS w0,
+  AGGREGATE(SEQUENCE(32, 63), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(ELEMENT_AT(v, i + 1) > 0,
+                           SHIFTLEFT(CAST(1 AS BIGINT), i - 32),
+                           CAST(0 AS BIGINT))) AS w1
+  FROM t),
+cand AS (SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY BIT_COUNT(p.w0 ^ c.w0)
+                      + BIT_COUNT(p.w1 ^ c.w1), c.vec_id) AS rnk
+    FROM sig p JOIN sig c ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+  WHERE rnk <= 20),
+q AS (SELECT vec_id, pos + 1 AS i,
+             CAST(ROUND(CAST(val AS DOUBLE) * 10000) AS BIGINT) AS qv
+      FROM t LATERAL VIEW POSEXPLODE(v) x AS pos, val),
+n AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY vec_id
+      HAVING SUM(qv * qv) > 0),
+dot AS (SELECT cand.probe_id, cand.neighbor_id, SUM(a.qv * b.qv) AS dp
+        FROM cand JOIN q a ON a.vec_id = cand.probe_id
+                  JOIN q b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+        GROUP BY cand.probe_id, cand.neighbor_id),
+s AS (SELECT dot.probe_id, dot.neighbor_id,
+             dot.dp / (SQRT(CAST(na.n2 AS DOUBLE))
+                       * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY dot.probe_id
+               ORDER BY dot.dp / (SQRT(CAST(na.n2 AS DOUBLE))
+                        * SQRT(CAST(nb.n2 AS DOUBLE))) DESC,
+                        dot.neighbor_id) AS rk
+      FROM dot JOIN n na ON na.vec_id = dot.probe_id
+               JOIN n nb ON nb.vec_id = dot.neighbor_id)
+SELECT probe_id, CAST(rk AS BIGINT) AS rnk, neighbor_id,
+       CAST(FLOOR(cos * 10000) / 10000.0 AS DOUBLE) AS cos_sim
+FROM s WHERE rk <= 5 ORDER BY probe_id, rnk
+""")
