@@ -352,35 +352,123 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_distance: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Blocks on the 4
-    16-bit quadrants (any pair within distance ≤3 shares at least one
-    exact quadrant — pigeonhole), so no all-pairs join."""
+                  max_distance: int = 3, n_blocks: int = 4,
+                  key_blocks: int = 1, salt_threshold: int = 4096,
+                  salts: int = 64) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, multi-index blocked.
+
+    The fingerprint splits into ``n_blocks`` equal bit blocks; the
+    blocking keys are all C(n_blocks, key_blocks) block-combinations
+    (pigeonhole: d ≤ max_distance flips at most d blocks, so a
+    qualifying pair shares ≥ n_blocks − d blocks and therefore at
+    least one whole key; requires n_blocks − max_distance ≥
+    key_blocks). The default is the classic 4 blocks × 16-bit
+    single-block keys. Wider keys (e.g. 8 blocks / 3-block 24-bit
+    keys) trade exploded rows for candidate selectivity — measured at
+    sf10 they DON'T pay on this corpus (4.2e8 candidates vs 9.8e8 for
+    14× the explode volume: SimHash bits are correlated across
+    common-vocabulary docs, so wider keys gain far less than the
+    2^8 a random model predicts); the knob exists for high-entropy
+    fingerprint corpora where the random model holds.
+
+    Three more scale properties:
+    - a pair sharing several keys is emitted exactly ONCE, at the
+      lexicographically-lowest all-equal block combination — computed
+      from the pair's equal-block bitmask with x&-x bit tricks, so
+      there is NO dropDuplicates shuffle of the quadratic candidate
+      set (at sf10 that shuffle alone was ~5·10^8 rows);
+    - key buckets larger than ``salt_threshold`` (degenerate content
+      voting to the same block words) are salted ``salts``-ways
+      (a-side keyed by hash(_id), b-side replicated), so a hot
+      bucket's |b|^2 comparisons spread over ``salts`` tasks instead
+      of one straggler;
+    - the fingerprint pass is persisted so the hot-key split doesn't
+      recompute the Arrow vote."""
+    from itertools import combinations
+
+    assert 64 % n_blocks == 0, "blocks must tile the 64-bit fingerprint"
+    assert n_blocks - max_distance >= key_blocks, \
+        "pigeonhole needs n_blocks - max_distance >= key_blocks"
+    bb = 64 // n_blocks
+    bmask = (1 << bb) - 1
+    combos = list(combinations(range(n_blocks), key_blocks))
+
+    # spread the fingerprint pass: local/small inputs arrive as a few
+    # splits and the Arrow vote is the dominant per-row cost (same
+    # pattern as minhash_lsh_pairs; a real cluster scan has thousands
+    # of splits and this branch never fires)
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "_id")
     # staged projection (see token_hashes): hash the tokens JVM-side
     # once, then compute the 64 bit votes in the Arrow tier — one numpy
     # bit matrix per batch instead of 64 interpreted fold branches per
     # row (the fold was the dominant cost of this pass at sf1)
-    s = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.split(F.col(text_col), " "),
+    s = src.select(
+        "_id",
+        F.transform(F.split(F.col("_text"), " "),
                     lambda t: F.xxhash64(t)).alias("_th"),
     ).select("_id", simhash_from_hashes_arrow()(F.col("_th")).alias("_sh"))
-    quads = s.select(
-        "_id", "_sh",
-        F.explode(F.array(*[
-            F.struct(F.lit(q).alias("q"),
-                     F.shiftrightunsigned("_sh", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"))
-            for q in range(4)
-        ])).alias("b")).select("_id", "_sh", "b.q", "b.qv")
-    a, b = quads.alias("a"), quads.alias("b")
-    return (
-        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv")) &
-               (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
-                hamming64(F.col("a._sh"), F.col("b._sh")).alias("dist"))
-        .dropDuplicates(["i", "j"])
-        .filter(F.col("dist") <= max_distance)
-    )
+
+    def _block(col: str, k: int):
+        return F.shiftrightunsigned(col, k * bb).bitwiseAND(F.lit(bmask))
+
+    structs = []
+    for ci, combo in enumerate(combos):
+        kv = _block("_sh", combo[0])
+        for pos, k in enumerate(combo[1:], start=1):
+            kv = kv + _block("_sh", k) * F.lit(1 << (bb * pos))
+        cm = sum(1 << k for k in combo)
+        structs.append(F.struct(F.lit(ci).alias("q"),
+                                kv.cast("long").alias("qv"),
+                                F.lit(cm).alias("cm")))
+    quads = (s.select("_id", "_sh",
+                      F.explode(F.array(*structs)).alias("b"))
+             .select("_id", "_sh", "b.q", "b.qv", "b.cm")
+             .persist())
+
+    # equal-block bitmask of the candidate pair, then its lowest
+    # key_blocks set bits: the pair is emitted only on the combo whose
+    # block mask IS those lowest bits (exactly-once, no dedup shuffle)
+    def _first_match_only():
+        eq = None
+        for k in range(n_blocks):
+            term = F.when(_block("a._sh", k) == _block("b._sh", k),
+                          F.lit(1 << k)).otherwise(F.lit(0))
+            eq = term if eq is None else eq + term
+        low = None
+        rest = eq
+        for _ in range(key_blocks):
+            bit = rest.bitwiseAND(-rest)
+            low = bit if low is None else low + bit
+            rest = rest - bit
+        return F.col("a.cm") == low
+
+    def _pairs(a, b, extra):
+        return (
+            a.join(b, (F.col("a.q") == F.col("b.q")) &
+                   (F.col("a.qv") == F.col("b.qv")) & extra &
+                   (F.col("a._id") < F.col("b._id")) & _first_match_only())
+            .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
+                    hamming64(F.col("a._sh"), F.col("b._sh")).alias("dist"))
+            .filter(F.col("dist") <= max_distance)
+        )
+
+    hot_keys = (quads.groupBy("q", "qv").count()
+                .filter(F.col("count") > salt_threshold).select("q", "qv"))
+    cold = quads.join(F.broadcast(hot_keys), ["q", "qv"], "left_anti")
+    cold_pairs = _pairs(cold.alias("a"), cold.alias("b"), F.lit(True))
+
+    hot = quads.join(F.broadcast(hot_keys), ["q", "qv"], "left_semi")
+    hot_a = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64("_id"), F.lit(salts)).cast("int"))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    hot_pairs = _pairs(hot_a.alias("a"), hot_b.alias("b"),
+                       F.col("a._salt") == F.col("b._salt"))
+    return cold_pairs.unionByName(hot_pairs)
 
 
 def ngrams_col(text: Column, n: int = 3) -> Column:
