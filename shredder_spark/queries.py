@@ -10966,7 +10966,12 @@ SELECT brand, n,
        FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
              * 1000000) / 1000000.0 AS beta
-FROM agg WHERE n * sxx > sx * sx ORDER BY brand
+-- variance guard in DOUBLE: sx*sx in BIGINT overflows at sf10 (the
+-- daily market-total sums square past 2^63; DuckDB silently widens
+-- to HUGEINT, ANSI Spark threw) — both engines evaluate the same
+-- IEEE expression so the comparison stays cross-engine-identical
+FROM agg WHERE CAST(n AS DOUBLE) * sxx > CAST(sx AS DOUBLE) * sx
+ORDER BY brand
 """)
 
 # ---------------------------------------------------------------- B510
