@@ -351,6 +351,11 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# one cached fingerprint+quads set per session (see simhash_pairs
+# docstring: the newest call evicts the previous call's cache)
+_SIMHASH_QUADS_CACHE: DataFrame | None = None
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_distance: int = 3, n_blocks: int = 4,
                   key_blocks: int = 1, salt_threshold: int = 4096,
@@ -383,7 +388,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
       bucket's |b|^2 comparisons spread over ``salts`` tasks instead
       of one straggler;
     - the fingerprint pass is persisted so the hot-key split doesn't
-      recompute the Arrow vote."""
+      recompute the Arrow vote. Lifecycle: the cache must outlive the
+      returned (lazy) DataFrame's first action, so it is NOT unpersisted
+      here; instead each new ``simhash_pairs`` call unpersists the
+      previous invocation's cache (module-level handle), capping the
+      session's pinned storage at one fingerprint set no matter how many
+      times the operator runs (round-9 advice: repeated harness calls
+      were stacking caches)."""
     from itertools import combinations
 
     assert 64 % n_blocks == 0, "blocks must tile the 64-bit fingerprint"
@@ -417,17 +428,32 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
     structs = []
     for ci, combo in enumerate(combos):
-        kv = _block("_sh", combo[0])
-        for pos, k in enumerate(combo[1:], start=1):
-            kv = kv + _block("_sh", k) * F.lit(1 << (bb * pos))
+        if key_blocks * bb < 64:
+            kv = _block("_sh", combo[0])
+            for pos, k in enumerate(combo[1:], start=1):
+                kv = kv + _block("_sh", k) * F.lit(1 << (bb * pos))
+        else:
+            # packed arithmetic would overflow signed long under ANSI
+            # (e.g. n_blocks=4, key_blocks=4: top term * 2^48 can pass
+            # 2^63-1) — XOR-fold via xxhash64 instead; equal blocks
+            # still map to equal keys, and a hash collision only merges
+            # buckets (extra candidates), never loses a qualifying pair
+            kv = F.xxhash64(*[_block("_sh", k) for k in combo])
         cm = sum(1 << k for k in combo)
         structs.append(F.struct(F.lit(ci).alias("q"),
                                 kv.cast("long").alias("qv"),
                                 F.lit(cm).alias("cm")))
+    global _SIMHASH_QUADS_CACHE
+    if _SIMHASH_QUADS_CACHE is not None:
+        try:
+            _SIMHASH_QUADS_CACHE.unpersist()
+        except Exception:  # session may be gone
+            pass
     quads = (s.select("_id", "_sh",
                       F.explode(F.array(*structs)).alias("b"))
              .select("_id", "_sh", "b.q", "b.qv", "b.cm")
              .persist())
+    _SIMHASH_QUADS_CACHE = quads
 
     # equal-block bitmask of the candidate pair, then its lowest
     # key_blocks set bits: the pair is emitted only on the combo whose

@@ -72,6 +72,23 @@ def test_simhash_properties(spark, doc_block):
     assert pairs.count() == 1
 
 
+def test_simhash_whole_fingerprint_key_no_ansi_overflow(spark, doc_block):
+    """key_blocks == n_blocks (64-bit packed key) must not hit ANSI
+    ARITHMETIC_OVERFLOW — the key is xxhash-folded instead of
+    arithmetic-packed (round-9 advice) — and must find the same
+    distance-0 pairs as the default single-block key."""
+    sub = doc_block.limit(20).select("doc_id", "text")
+    dup = sub.limit(3).select((F.col("doc_id") + 9000).alias("doc_id"),
+                              "text")
+    both = sub.unionAll(dup)
+    base = {(r.i, r.j) for r in D.simhash_pairs(
+        both, "doc_id", "text", max_distance=0).collect()}
+    folded = {(r.i, r.j) for r in D.simhash_pairs(
+        both, "doc_id", "text", max_distance=0, n_blocks=4,
+        key_blocks=4).collect()}
+    assert folded == base and len(folded) >= 3
+
+
 def test_ngram_jaccard(spark, doc_block):
     ng = _pairs(D.ngram_jaccard_pairs(doc_block, "doc_id", "text", n=3,
                                       threshold=0.5))

@@ -78,30 +78,34 @@ def documents() -> None:
     lang = tbl["lang"].to_pylist()
     source = tbl["source"].to_pylist()
     n_docs = 5_000
-    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
-    for r in range(REPLICAS):
-        cache: dict = {}
-
-        def dropped(tok: str) -> bool:
-            if r == 0:
-                return False
-            hit = cache.get(tok)
-            if hit is None:
-                hit = zlib.crc32(f"{r}:{tok}".encode()) % 100 < 40
-                cache[tok] = hit
-            return hit
-        for d, t, lg, src_ in zip(doc_id, text, lang, source):
-            toks = [w for w in t.split(" ") if not dropped(w)]
-            nt = " ".join(toks)
-            out["doc_id"].append(d + r * n_docs)
-            out["text"].append(nt)
-            out["lang"].append(lg)
-            out["source"].append(src_)
-            out["n_chars"].append(len(nt))
-    pq.write_table(pa.table(out, schema=pa.schema([
+    schema = pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
-        ("source", pa.string()), ("n_chars", pa.int64())])),
-        f"{DST}/documents.parquet")
+        ("source", pa.string()), ("n_chars", pa.int64())])
+    # stream one row-group per replica: at REPLICAS=1000 (sf100) the
+    # whole output is several GB of text — never hold it all in Python
+    with pq.ParquetWriter(f"{DST}/documents.parquet", schema) as writer:
+        for r in range(REPLICAS):
+            cache: dict = {}
+
+            def dropped(tok: str) -> bool:
+                if r == 0:
+                    return False
+                hit = cache.get(tok)
+                if hit is None:
+                    hit = zlib.crc32(f"{r}:{tok}".encode()) % 100 < 40
+                    cache[tok] = hit
+                return hit
+            out = {"doc_id": [], "text": [], "lang": [], "source": [],
+                   "n_chars": []}
+            for d, t, lg, src_ in zip(doc_id, text, lang, source):
+                toks = [w for w in t.split(" ") if not dropped(w)]
+                nt = " ".join(toks)
+                out["doc_id"].append(d + r * n_docs)
+                out["text"].append(nt)
+                out["lang"].append(lg)
+                out["source"].append(src_)
+                out["n_chars"].append(len(nt))
+            writer.write_table(pa.table(out, schema=schema))
 
 
 def embeddings() -> None:
@@ -110,24 +114,29 @@ def embeddings() -> None:
     emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
     label = np.asarray(tbl["label"].to_pylist(), dtype=np.int32)
     n, dim = emb.shape
-    ids, vecs, labels = [], [], []
-    for r in range(REPLICAS):
-        sign = (np.random.default_rng(1_000 + r).integers(0, 2, dim) * 2 - 1
-                if r else np.ones(dim, dtype=np.int64))
-        ids.append(vec_id + r * 2_000)
-        vecs.append(emb * sign.astype(np.float32))
-        labels.append(label)
-    pq.write_table(pa.table({
-        "vec_id": pa.array(np.concatenate(ids)),
-        "embedding": pa.array(list(np.concatenate(vecs)),
-                              type=pa.list_(pa.float32())),
-        "label": pa.array(np.concatenate(labels)),
-    }), f"{DST}/embeddings.parquet")
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    with pq.ParquetWriter(f"{DST}/embeddings.parquet", schema) as writer:
+        for r in range(REPLICAS):
+            sign = (np.random.default_rng(1_000 + r).integers(0, 2, dim) * 2
+                    - 1 if r else np.ones(dim, dtype=np.int64))
+            vecs = emb * sign.astype(np.float32)
+            writer.write_table(pa.table({
+                "vec_id": pa.array(vec_id + r * 2_000),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": pa.array(label, type=pa.int32()),
+            }, schema=schema))
 
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # REPLICAS=1000 (sf100) sorts a 600 M-row lineitem: bound the
+    # in-memory footprint and give the external sort a spill dir
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
     relational(con)
     documents()
     embeddings()
