@@ -412,6 +412,55 @@ def consume_from(bootstrap: str, topic: str, partition: int, *,
                 return out, offset
 
 
+def list_offsets_request(topic: str, partition: int, *,
+                         timestamp: int = -1,
+                         correlation_id: int = 3) -> bytes:
+    """ListOffsets v1 request (header included): timestamp -1 → high
+    watermark, -2 → log start offset."""
+    out = bytearray(_header(2, 1, correlation_id))
+    out += struct.pack(">i", -1)                       # replica_id
+    out += struct.pack(">i", 1)                        # one topic
+    out += _str(topic)
+    out += struct.pack(">i", 1)                        # one partition
+    out += struct.pack(">iq", partition, timestamp)
+    return bytes(out)
+
+
+def parse_list_offsets_response(resp: bytes) -> tuple[int, int]:
+    """→ (error_code, offset) for the single topic-partition asked."""
+    pos = 4                                            # corr id
+    (n_topics,) = struct.unpack_from(">i", resp, pos)
+    pos += 4
+    if n_topics != 1:
+        raise ValueError(f"list_offsets response has {n_topics} topics")
+    (tlen,) = struct.unpack_from(">h", resp, pos)
+    pos += 2 + tlen
+    (n_parts,) = struct.unpack_from(">i", resp, pos)
+    pos += 4
+    if n_parts != 1:
+        raise ValueError(f"list_offsets response has {n_parts} partitions")
+    _part, err, _ts, offset = struct.unpack_from(">ihqq", resp, pos)
+    return err, offset
+
+
+def high_watermark(bootstrap: str, topic: str, partition: int, *,
+                   timeout_s: float = 10.0) -> int:
+    """Probe one partition's high watermark (next offset to be
+    assigned) via ListOffsets v1 (timestamp=-1) — the streaming
+    source's ``latestOffset()`` planner probe (reference: the
+    consumer's per-partition offset bookkeeping,
+    ``kafkaavro/consumer.go:146-176``). One tiny request/response per
+    probe; no record bytes move."""
+    host, _, port = bootstrap.partition(":")
+    with socket.create_connection((host, int(port or 9092)),
+                                  timeout_s) as sock:
+        err, hwm = parse_list_offsets_response(_send_request(
+            sock, list_offsets_request(topic, partition)))
+    if err:
+        raise RuntimeError(f"list_offsets error {err}")
+    return hwm
+
+
 def read_kafka_wire(spark, topic: str, bootstrap_servers: str,
                     partitions: list[int]):
     """Distributed batch read over the wire protocol: one Spark task

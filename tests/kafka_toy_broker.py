@@ -108,8 +108,33 @@ class ToyKafkaBroker:
             return self._produce_v3(req, pos, corr)
         if api_key == 1 and api_version == 4:
             return self._fetch_v4(req, pos, corr)
+        if api_key == 2 and api_version == 1:
+            return self._list_offsets_v1(req, pos, corr)
         raise ValueError(f"toy broker: unsupported api {api_key} "
                          f"v{api_version}")
+
+    def _list_offsets_v1(self, req, pos, corr) -> bytes:
+        """ListOffsets v1: timestamp -1 → high watermark, -2 → log
+        start (the streaming source's hwm probe — a fetch would ship
+        record bytes just to read one i64)."""
+        pos += 4                                          # replica_id
+        (n_topics,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        assert n_topics == 1
+        topic, pos = _read_str(req, pos)
+        (n_parts,) = struct.unpack_from(">i", req, pos)
+        pos += 4
+        assert n_parts == 1
+        part, ts = struct.unpack_from(">iq", req, pos)
+        with self._lock:
+            hwm = self._hwm.get((topic, part), 0)
+        off = 0 if ts == -2 else hwm
+        out = bytearray(struct.pack(">i", corr))
+        out += struct.pack(">i", 1)
+        out += _str(topic)
+        out += struct.pack(">i", 1)
+        out += struct.pack(">ihqq", part, 0, -1, off)     # err, ts, offset
+        return bytes(out)
 
     def _metadata_v0(self, req, pos, corr) -> bytes:
         (n,) = struct.unpack_from(">i", req, pos)

