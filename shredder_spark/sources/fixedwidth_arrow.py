@@ -307,7 +307,8 @@ class FixedWidthArrowDataSource(DataSource):
     """``format("fixedwidth_arrow")`` — vectorized fixed-width reader.
 
     Options: ``path``, ``fixed_schema`` (Avro+len JSON), ``cores``
-    (input partitions, default 8), ``footer_prefix``.
+    (input partitions, default 8), ``footer_prefix``, ``batch_rows``
+    (rows per Arrow batch crossing to the JVM, default 65536).
     """
 
     @classmethod
@@ -332,6 +333,8 @@ class FixedWidthArrowReader(DataSourceReader):
         path = options["path"]
         self.fixed = fixed
         self.cores = int(options.get("cores", "8"))
+        self.batch_rows = int(options.get("batch_rows",
+                                          str(_ARROW_BATCH_ROWS)))
         self.footer_prefix = options.get(
             "footer_prefix", FOOTER_PREFIX).encode()
         if os.path.isdir(path):
@@ -405,8 +408,8 @@ class FixedWidthArrowReader(DataSourceReader):
 
     def read(self, part: _Range):
         mat = self._matrix(self._range_bytes(part))
-        for i in range(0, max(1, mat.shape[0]), _ARROW_BATCH_ROWS):
-            chunk = mat[i:i + _ARROW_BATCH_ROWS]
+        for i in range(0, max(1, mat.shape[0]), self.batch_rows):
+            chunk = mat[i:i + self.batch_rows]
             if chunk.shape[0] or i == 0:
                 yield _parse_batch(chunk, self.fixed)
 
@@ -421,6 +424,7 @@ def read_fixed_width_arrow_ds(
     schema: str | dict | FixedSchema,
     *,
     cores: int | None = None,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Vectorized DataSource tier: one Arrow crossing, executor-side
     byte-range reads."""
@@ -436,4 +440,6 @@ def read_fixed_width_arrow_ds(
               .option("fixed_schema", fs_json))
     if cores is not None:
         reader = reader.option("cores", str(cores))
+    if batch_rows is not None:
+        reader = reader.option("batch_rows", str(batch_rows))
     return reader.load(path)

@@ -88,6 +88,9 @@ def running_value_sum_tws(events: DataFrame) -> DataFrame:
     ``ImportError: cannot import name 'descriptor' from
     'google.protobuf'`` — the state-server protocol needs the protobuf
     package, which is not installed (and installs are out of scope).
+    Gate retested round 9 (2026-08-16, pyspark 4.1.2): ``import
+    google.protobuf`` still raises ModuleNotFoundError, the test still
+    skips with the pinned signature.
     tests/test_streaming.py::test_transform_with_state_gated pins this:
     it asserts batch equivalence when the environment supports the API
     and skips with the documented error signature when it doesn't;

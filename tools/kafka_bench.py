@@ -24,7 +24,7 @@ Whatever numbers this artifact records are the numbers BASELINE.md
 cites — one source of truth (same contract as tools/ceiling_ab.py).
 
 Usage: python tools/kafka_bench.py [reps] [out.json]
-(defaults: 5 reps, KAFKA_BENCH_r6.json, sf dir from
+(defaults: 5 reps, KAFKA_BENCH_r9_feed.json, sf dir from
 $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)
 """
 
@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "KAFKA_BENCH_r6.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "KAFKA_BENCH_r9_feed.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from shredder_spark.session import get_spark
@@ -63,8 +63,20 @@ def main() -> int:
         batch = prepare_kafka_batch(df, schema_id=7, key_col="order_key")
         batch.write.format("noop").mode("overwrite").save()
 
+    def parse_only(n_tasks: int):
+        # encode-stubbed A/B (round-8 verdict "what's wrong" #4): the
+        # same scan+parse+drain with the Avro-encode/frame stage
+        # removed — if THIS leg's per-core rate also collapses at 32
+        # tasks, the collapse is box saturation (memory bandwidth /
+        # hyperthread contention); if it scales while `frame` doesn't,
+        # the encode tier is the limit
+        df = read_fixed_width(spark, path, BENCH_SCHEMA).coalesce(n_tasks)
+        df.write.format("noop").mode("overwrite").save()
+
     stages = [("frame4", lambda: frame(4)),
-              ("frame32", lambda: frame(32))]
+              ("parse4", lambda: parse_only(4)),
+              ("frame32", lambda: frame(32)),
+              ("parse32", lambda: parse_only(32))]
 
     # warm-up (codegen compile, page cache)
     for _name, fn in stages:
@@ -101,6 +113,27 @@ def main() -> int:
                    "half, absent here)"),
         "framing_4tasks": rates("frame4", 4),
         "framing_32tasks": rates("frame32", 32),
+        "parse_only_4tasks": rates("parse4", 4),
+        "parse_only_32tasks": rates("parse32", 32),
+    }
+    # attribution: what the 4→32 per-core collapse measures
+    p4, p32 = (statistics.median(times["parse4"]),
+               statistics.median(times["parse32"]))
+    f4, f32 = (statistics.median(times["frame4"]),
+               statistics.median(times["frame32"]))
+    parse_scaling = (mb / p32 / 32) / (mb / p4 / 4)
+    frame_scaling = (mb / f32 / 32) / (mb / f4 / 4)
+    out["attribution"] = {
+        "parse_only_per_core_retention_4_to_32": round(parse_scaling, 3),
+        "frame_per_core_retention_4_to_32": round(frame_scaling, 3),
+        "encode_s_4tasks": round(f4 - p4, 3),
+        "encode_s_32tasks": round(f32 - p32, 3),
+        "read": ("retention = per-core MB/s at 32 tasks over per-core "
+                 "MB/s at 4 tasks (1.0 = perfect scaling). If "
+                 "parse-only retains as badly as frame, the collapse "
+                 "is the box (32 hyperthreads saturate before 8x the "
+                 "4-task bandwidth); the encode_s delta is the Avro "
+                 "encode stage's share of wall time at each width."),
     }
 
     # ---- wire tier (fallback): socket produce vs the in-process broker.

@@ -8,6 +8,15 @@ Rows-only queries are executed for shape/stability but not compared.
 registry instead of all of it — the sf10 decade-probe spot-check shape
 (rows-only queries are skipped in sample mode).
 
+``SWEEP_SHARD=i/k`` (env) runs the i-th of k deterministic shards
+(name-sorted round robin) — the full-registry sf10 pass is ~6 h
+single-process, so it runs as k concurrent shard processes (each with
+its own Spark/DuckDB) merged by tools/merge_sweep_shards.py.
+
+Artifacts are stamped with the bracketing GapControl (a 2-rep control
+gap every 25 queries, 20 %-trimmed core — round-8 verdict task 3), not
+the old end-of-run 5-rep control.
+
 Prints one JSON line: counts + per-query failures (empty list = all
 green). Uses the same vanilla-session + canonicalization conventions
 as the driver (tests/oracle_utils.compare_query).
@@ -33,16 +42,21 @@ SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 
 def main() -> None:
-    spark = (SparkSession.builder.master("local[16]")
+    shard = os.environ.get("SWEEP_SHARD")
+    n_threads = int(os.environ.get("SWEEP_THREADS", "16"))
+    driver_mem = os.environ.get("SWEEP_DRIVER_MEM", "24g")
+    spark = (SparkSession.builder.master(f"local[{n_threads}]")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.shuffle.partitions", str(n_threads))
              # Spark's default 1g driver heap OOMs around the heavier
              # sf0.1 sort/join queries in a 682-query single-JVM run;
              # the box has 128 GiB — size the heap like session.py does
-             .config("spark.driver.memory", "24g")
+             .config("spark.driver.memory", driver_mem)
              .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from shredder_spark.benchcontrol import GapControl
+    ctl = GapControl(spark, per_gap=2, every=25)
     reg = queries_mod.registry()
     names = sorted(reg)
     if SAMPLE_N:
@@ -51,11 +65,15 @@ def main() -> None:
         paired = [n for n in names if reg[n].oracle is not None]
         names = sorted(random.Random(SEED).sample(
             paired, min(SAMPLE_N, len(paired))))
+    if shard:
+        i, k = (int(x) for x in shard.split("/"))
+        names = [n for j, n in enumerate(names) if j % k == i]
     t0 = time.time()
     failures: dict[str, list[str]] = {}
     n_paired = n_rows_only = 0
     for name in names:
         q = reg[name]
+        ctl.maybe_gap()
         try:
             if q.oracle is None:
                 n_rows_only += 1
@@ -83,19 +101,20 @@ def main() -> None:
             failures[name] = [f"exception: {str(e)[:200]}"]
         print(f"{name} {'FAIL' if name in failures else 'ok'}",
               file=sys.stderr)
+    ctl.gap()
     # session-speed stamp: every committed artifact self-describes the
-    # VM phase it was measured in (round-6 verdict task 8)
-    from shredder_spark.benchcontrol import control_stats
+    # VM phase it was measured in (round-6 task 8; bracketed since r9)
     out = {
         "metric": "oracle_sweep_full",
         "sf_dir": SF_DIR,
         "sample_n": SAMPLE_N or None,
         "seed": SEED if SAMPLE_N else None,
+        "shard": shard,
         "paired": n_paired,
         "rows_only": n_rows_only,
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
-        "control": control_stats(spark),
+        "control": ctl.stamp(),
     }
     # stdout can be polluted by JVM warnings (GC log lines go to the
     # process stdout); emit the artifact on the LAST line and also to

@@ -6,7 +6,19 @@ DuckDB) and records wall time per query, so the slowest plans can be
 audited for scale problems ("would this survive another 100x?") with
 data instead of intuition.
 
-    python tools/profile_queries.py [sf_dir] > QUERY_PROFILE.json
+    python tools/profile_queries.py [sf_dir] [warm_top_n] > QUERY_PROFILE.json
+
+Round-9 instrument upgrades (round-8 verdict tasks 3 and 5):
+- **bracketing control** — a 2-rep control gap every 25 queries
+  (benchcontrol.GapControl), artifact stamped with the 20 %-trimmed
+  core over all gap reps; each query also records a locally-normalized
+  time (``topN_norm``) so a VM phase mid-run is visible and divisible.
+- **steady-state column** — the cold pass is a single shot (includes
+  codegen compile + first-touch page cache); the slowest
+  ``warm_top_n`` (default 40) queries are re-run warm (min of 2) into
+  ``topN_warm``, so cross-decade ratios can compare like regimes
+  (round 8's q110 read 113 s cold vs 11.3 s warmed — the regime split
+  confounded ratios).
 
 Results are collected via count() on the final DataFrame (forces full
 execution of every operator without driver-side materialization of
@@ -27,6 +39,7 @@ from pyspark.sql import SparkSession
 from shredder_spark import queries as queries_mod
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/shredder_sf1"
+WARM_TOP_N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
 
 def main() -> None:
@@ -36,12 +49,17 @@ def main() -> None:
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from shredder_spark.benchcontrol import GapControl
+    ctl = GapControl(spark, per_gap=2, every=25)
     reg = queries_mod.registry()
     times: dict[str, float] = {}
+    gidx: dict[str, int] = {}
     errors: dict[str, str] = {}
     t0 = time.time()
     for name in sorted(reg):
         q = reg[name]
+        ctl.maybe_gap()
+        gidx[name] = ctl.gap_index()
         t = time.time()
         try:
             q.run(spark, SF_DIR).count()
@@ -49,19 +67,48 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e)[:150]
         print(f"{name} {times.get(name, 'ERR')}", file=sys.stderr)
+    ctl.gap()
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
-    from shredder_spark.benchcontrol import control_stats
-    print(json.dumps({
+
+    # steady-state pass: min-of-2 warm reps for the cold top-N — the
+    # queries whose cross-decade ratios carry the scale claims
+    warm: dict[str, float] = {}
+    for name, _cold in ranked[:WARM_TOP_N]:
+        ctl.gap()
+        best = None
+        try:
+            for _ in range(2):
+                t = time.time()
+                reg[name].run(spark, SF_DIR).count()
+                dt = time.time() - t
+                best = dt if best is None else min(best, dt)
+            warm[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[f"warm:{name}"] = str(e)[:150]
+        print(f"warm {name} {warm.get(name, 'ERR')}", file=sys.stderr)
+    ctl.gap()
+
+    top30 = dict(ranked[:30])
+    out = {
         "metric": "query_profile",
         "sf_dir": SF_DIR,
         "n": len(times),
         "total_sec": round(sum(times.values()), 1),
         "elapsed_sec": round(time.time() - t0, 1),
-        "top30": dict(ranked[:30]),
+        "top30": top30,
+        "top30_norm": {name: round(times[name] / ctl.local_vs_ref(
+            gidx[name]), 3) for name in top30},
+        "topN_warm": warm,
+        "warm_top_n": WARM_TOP_N,
         "p50": ranked[len(ranked) // 2][1] if ranked else None,
         "errors": errors,
-        "control": control_stats(spark),
-    }))
+        "control": ctl.stamp(),
+    }
+    print(json.dumps(out))
+    out_path = os.environ.get("SWEEP_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,8 @@ def _norm(rows):
 def main() -> None:
     spark = get_spark("shredder-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    from shredder_spark.benchcontrol import GapControl
+    ctl = GapControl(spark, per_gap=2, every=1)
     reg = queries_mod.registry()
     out: dict = {"metric": "scale_sweep", "sfs": {}}
 
@@ -91,17 +93,28 @@ def main() -> None:
             "lineitem": load_table(spark, sf_dir, "lineitem").count(),
             "documents": load_table(spark, sf_dir, "documents").count(),
         }
+        # bracketing control gaps around every rep (round-8 verdict
+        # task 3): each rep normalizes by ITS local gap pair, so a VM
+        # phase hits the rep and its divisor together
         timings: dict = {}
+        timings_norm: dict = {}
         for name in TIMED:
             _drain(reg[name].run(spark, sf_dir))  # warm-up / codegen
-            best = None
+            ctl.gap()
+            best = best_norm = None
             for _ in range(2):
+                gi = ctl.gap_index()
                 t0 = time.perf_counter()
                 _drain(reg[name].run(spark, sf_dir))
                 dt = time.perf_counter() - t0
+                ctl.gap()
                 best = dt if best is None else min(best, dt)
+                dn = dt / ctl.local_vs_ref(gi)
+                best_norm = dn if best_norm is None else min(best_norm, dn)
             timings[name] = round(best, 3)
+            timings_norm[name] = round(best_norm, 3)
         stats["timings"] = timings
+        stats["timings_norm"] = timings_norm
 
         # LSH internals: candidate pairs before exact verification, and
         # verified pairs — the scale-critical quantities for q110
@@ -237,10 +250,9 @@ def main() -> None:
                 / max(sfs[lo]["minhash_candidates"], 1), 2)
             out[key] = slopes
 
-    # session-speed stamp: the artifact self-describes the VM phase it
-    # was measured in (round-6 verdict task 8)
-    from shredder_spark.benchcontrol import control_stats
-    out["control"] = control_stats(spark)
+    # session-speed stamp: bracketed gaps across the whole run
+    # (round-6 task 8; upgraded to GapControl in r9)
+    out["control"] = ctl.stamp()
     out["session"] = {
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
