@@ -76,7 +76,7 @@ HEADLINE = [
 CYCLES = 3          # timed reps per headline query (median reported)
 CTRL_PER_GAP = 2    # control reps at every query boundary (~62 total)
 TRIM_FRAC = 0.2     # trimmed-core fraction for the control stamp
-ROUND_TAG = "r08"   # versioned full-artifact name (bump per round)
+ROUND_TAG = "r09"   # versioned full-artifact name (bump per round)
 
 # Control workload + pinned reference shared with the sweep tools so
 # every committed artifact carries the same session-speed stamp

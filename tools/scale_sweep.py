@@ -1,5 +1,7 @@
-"""Scale-robustness sweep: sf0.01 -> sf0.1 -> sf1 -> sf10 (three
-decades, two measured 10x steps above the driver data).
+"""Scale-robustness sweep: sf0.01 -> sf0.1 -> sf1 -> sf10 -> sf100
+(four decades, THREE measured 10x steps above the driver data; the
+sf100 leg is the round-9 third-decade probe — 600 M-row lineitem,
+5 M-doc corpus).
 
 Evidence for the 100 TB posture that a single-sf bench can't give:
 per-query wall-time slopes across 10x data steps, the LSH
@@ -47,7 +49,12 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
     "1": os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1"),
     "10": os.environ.get("SHREDDER_SF10_DIR", "/tmp/shredder_sf10"),
+    "100": os.environ.get("SHREDDER_SF100_DIR", "/tmp/shredder_sf100"),
 }
+_only = os.environ.get("SWEEP_SFS")
+if _only:
+    keep = {x.strip() for x in _only.split(",")}
+    SF_DIRS = {k: v for k, v in SF_DIRS.items() if k in keep}
 
 TIMED = [
     "q01_scan_count",
@@ -57,6 +64,7 @@ TIMED = [
     "q21_ranking_windows",
     "q50_term_frequency",
     "q110_minhash_dedup_full",
+    "q115_simhash_pairs",
     "q140_bm25_search",
     "q355_exact_substring_spans",
 ]
@@ -98,11 +106,12 @@ def main() -> None:
         # phase hits the rep and its divisor together
         timings: dict = {}
         timings_norm: dict = {}
+        n_reps = 1 if sf == "100" else 2
         for name in TIMED:
             _drain(reg[name].run(spark, sf_dir))  # warm-up / codegen
             ctl.gap()
             best = best_norm = None
-            for _ in range(2):
+            for _ in range(n_reps):
                 gi = ctl.gap_index()
                 t0 = time.perf_counter()
                 _drain(reg[name].run(spark, sf_dir))
@@ -151,9 +160,9 @@ def main() -> None:
 
         lsh = dict(num_perm=64, bands=16, threshold=0.5, seed=1)
         src = docs.select("doc_id", "text")
-        cap = 200 if sf in ("1", "10") else 10**9
+        cap = 200 if sf in ("1", "10", "100") else 10**9
         blocklist = None
-        if sf in ("1", "10"):
+        if sf in ("1", "10", "100"):
             blocklist = oversized_lsh_buckets(
                 src, "doc_id", "text", max_bucket_size=cap,
                 num_perm=lsh["num_perm"], bands=lsh["bands"],
@@ -204,13 +213,14 @@ def main() -> None:
         stats["neardup_equal"] = bool(admitted == keepers)
         stats["neardup_keepers"] = len(keepers)
         stats["neardup_contract"] = (
-            "capped-200+blocklist" if sf in ("1", "10") else "uncapped")
+            "capped-200+blocklist" if sf in ("1", "10", "100")
+            else "uncapped")
         out["sfs"][sf] = stats
 
     # oracle re-check at the derived sfs (engine vs DuckDB on the
     # same derived files)
-    for sf_label in ("1", "10"):
-        sfd = SF_DIRS[sf_label]
+    for sf_label in ("1", "10", "100"):
+        sfd = SF_DIRS.get(sf_label, "/nonexistent")
         if not os.path.exists(os.path.join(sfd, "lineitem.parquet")):
             continue
         con = duckdb.connect()
@@ -239,7 +249,8 @@ def main() -> None:
     # decade slopes: time ratio per 10x rows (1.0 = perfectly linear)
     sfs = out["sfs"]
     for lo, hi, key in (("0.1", "1", "x10_ratios"),
-                        ("1", "10", "x10_ratios_sf1_to_sf10")):
+                        ("1", "10", "x10_ratios_sf1_to_sf10"),
+                        ("10", "100", "x10_ratios_sf10_to_sf100")):
         if lo in sfs and hi in sfs:
             slopes = {}
             for name in TIMED:
