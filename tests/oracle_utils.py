@@ -21,6 +21,11 @@ from shredder_spark.catalog import TABLES
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # belt for the big-sf sweeps: cap the oracle's memory and give it
+    # a spill dir so a materializing plan degrades to disk instead of
+    # OOM-killing the whole sweep process (round-9 q08@sf10 finding)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -233,3 +238,34 @@ def compare_query(spark, sf_dir: str, query) -> list[str]:
     if bad > 3:
         problems.append(f"... {bad} mismatched rows total")
     return problems
+
+def count_only_sql(oracle_sql: str) -> str:
+    """COUNT(*) wrapper for the rowcap path, with the top-level ORDER
+    BY stripped: ordering never changes a COUNT, but DuckDB does NOT
+    prune a subquery sort under COUNT — it materializes the full sort
+    input (measured: q08's 25-value-key full join at sf10 is ~6e9
+    rows, ~270 GB, OOM — round-9 finding). A trailing LIMIT/OFFSET
+    after the ORDER BY is kept (it DOES change the count). Only the
+    last paren-depth-0 ORDER BY is touched; nested sorts (inside
+    window frames or subqueries) stay."""
+    sql = oracle_sql
+    depth = 0
+    last = -1
+    upper = sql.upper()
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith("ORDER BY", i):
+            last = i
+    if last >= 0:
+        tail = sql[last:]
+        tail_u = tail.upper()
+        cut = len(tail)
+        for kw in ("LIMIT", "OFFSET"):
+            j = tail_u.find(kw)
+            if j >= 0:
+                cut = min(cut, j)
+        sql = sql[:last] + tail[cut:]
+    return f"SELECT COUNT(*) FROM ({sql})"

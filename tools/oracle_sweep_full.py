@@ -84,12 +84,14 @@ def main() -> None:
             if rowcap:
                 n_eng = q.run(spark, SF_DIR).count()
                 if n_eng > rowcap:
-                    import duckdb as _dd
-
-                    from tests.oracle_utils import duckdb_connect
+                    from tests.oracle_utils import (count_only_sql,
+                                                    duckdb_connect)
                     con = duckdb_connect(SF_DIR)
+                    # count_only_sql strips the top-level ORDER BY:
+                    # DuckDB materializes a subquery sort under
+                    # COUNT(*) (q08@sf10: ~6e9 rows, OOM)
                     n_ora = con.execute(
-                        f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()[0]
+                        count_only_sql(q.oracle)).fetchone()[0]
                     if n_eng != n_ora:
                         failures[name] = [
                             f"count-only mismatch: {n_eng} vs {n_ora}"]

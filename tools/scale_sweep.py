@@ -237,8 +237,8 @@ def main() -> None:
                 # full value-collect of a multi-million-row result
                 # blows driver.maxResultSize and proves little beyond
                 # the smaller sfs' value match — compare counts here
-                n_ora = con.execute(
-                    f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()[0]
+                from tests.oracle_utils import count_only_sql
+                n_ora = con.execute(count_only_sql(q.oracle)).fetchone()[0]
                 oracle_ok[name] = f"count_only:{bool(n_eng == n_ora)}"
                 continue
             s = eng.collect()
