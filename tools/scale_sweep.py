@@ -171,6 +171,16 @@ def main() -> None:
         keepers = {r.doc_id for r in dedupe_keepers(
             src, "doc_id", "text", max_bucket_size=cap, **lsh).collect()}
         batch_s = time.perf_counter() - t0
+        if os.environ.get("SWEEP_SKIP_INCREMENTAL"):
+            # the 8-batch incremental exhibit is the most expensive leg
+            # at a new decade; its flatness is pinned through sf10
+            # (SCALE_SWEEP_r8) — skippable when the probe's goal is the
+            # timed headliners + oracle checks
+            stats["neardup_batch_s"] = round(batch_s, 3)
+            stats["neardup_keepers"] = len(keepers)
+            stats["neardup_contract"] = "incremental-skipped"
+            out["sfs"][sf] = stats
+            continue
         state = tempfile.mkdtemp(prefix=f"neardup_sweep_{sf}_")
         try:
             # 8 arrival batches (round-6 verdict item 4): enough to
