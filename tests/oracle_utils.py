@@ -24,7 +24,9 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # belt for the big-sf sweeps: cap the oracle's memory and give it
     # a spill dir so a materializing plan degrades to disk instead of
     # OOM-killing the whole sweep process (round-9 q08@sf10 finding)
-    con.execute("SET memory_limit='24GB'")
+    import os as _os
+    con.execute("SET memory_limit='%s'"
+                % _os.environ.get("ORACLE_DUCKDB_MEM", "24GB"))
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(

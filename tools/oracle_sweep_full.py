@@ -87,11 +87,14 @@ def main() -> None:
                     from tests.oracle_utils import (count_only_sql,
                                                     duckdb_connect)
                     con = duckdb_connect(SF_DIR)
-                    # count_only_sql strips the top-level ORDER BY:
-                    # DuckDB materializes a subquery sort under
-                    # COUNT(*) (q08@sf10: ~6e9 rows, OOM)
-                    n_ora = con.execute(
-                        count_only_sql(q.oracle)).fetchone()[0]
+                    try:
+                        # count_only_sql strips the top-level ORDER
+                        # BY: DuckDB materializes a subquery sort
+                        # under COUNT(*) (q08@sf10: ~6e9 rows, OOM)
+                        n_ora = con.execute(
+                            count_only_sql(q.oracle)).fetchone()[0]
+                    finally:
+                        con.close()  # r9: leaked cons wedged a shard
                     if n_eng != n_ora:
                         failures[name] = [
                             f"count-only mismatch: {n_eng} vs {n_ora}"]
