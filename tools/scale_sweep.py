@@ -107,7 +107,8 @@ def main() -> None:
         timings: dict = {}
         timings_norm: dict = {}
         n_reps = 1 if sf == "100" else 2
-        for name in TIMED:
+        skip = {x for x in os.environ.get("SWEEP_SKIP", "").split(",") if x}
+        for name in [n for n in TIMED if n not in skip]:
             _drain(reg[name].run(spark, sf_dir))  # warm-up / codegen
             ctl.gap()
             best = best_norm = None
@@ -264,8 +265,9 @@ def main() -> None:
         if lo in sfs and hi in sfs:
             slopes = {}
             for name in TIMED:
-                a, b = sfs[lo]["timings"][name], sfs[hi]["timings"][name]
-                slopes[name] = round(b / a, 2) if a else None
+                a = sfs[lo]["timings"].get(name)
+                b = sfs[hi]["timings"].get(name)
+                slopes[name] = round(b / a, 2) if a and b else None
             slopes["minhash_candidates"] = round(
                 sfs[hi]["minhash_candidates"]
                 / max(sfs[lo]["minhash_candidates"], 1), 2)
