@@ -9470,7 +9470,9 @@ WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
            GROUP BY l_returnflag, CAST(l_shipdate AS DATE)),
      w AS (SELECT flag, day, c,
                   SUM(k) OVER w20 AS s1,
-                  SUM(k * k) OVER w20 AS s2,
+                  -- DECIMAL(38,0): the k² term alone passes 2^63 at
+                  -- sf100 (same ANSI-overflow class as q661/q670)
+                  SUM(CAST(k AS DECIMAL(38,0)) * k) OVER w20 AS s2,
                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day) AS rn
            FROM d
            WINDOW w20 AS (PARTITION BY flag ORDER BY day
@@ -12102,7 +12104,8 @@ WITH v AS (SELECT o_orderkey,
                              / 100) AS BIGINT) AS k
            FROM orders),
      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(k) AS sx,
-                  SUM(k * k) AS sxx,
+                  -- DECIMAL(38,0): Σk² ≈ 3.4e18 at sf100 grazes 2^63
+                  SUM(CAST(k AS DECIMAL(38,0)) * k) AS sxx,
                   PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c) AS q1,
                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS med,
                   PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c) AS q3
@@ -17923,7 +17926,11 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
            GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
                   SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
-                  SUM(k * k * k) OVER w30 AS s3,
+                  -- cube accumulates in DECIMAL(38,0): the 30-day sum
+                  -- reaches ~1.2e20 at sf10 (> 2^63; ANSI Spark threw,
+                  -- DuckDB silently widened to HUGEINT) — exact in
+                  -- both engines, headroom through sf1000
+                  SUM(CAST(k AS DECIMAL(38,0)) * k * k) OVER w30 AS s3,
                   COUNT(*) OVER w30 AS n,
                   ROW_NUMBER() OVER (ORDER BY day) AS rn
            FROM d
@@ -18203,8 +18210,8 @@ FROM s CROSS JOIN t ORDER BY s.seg
 
 # ---------------------------------------------------------------- B711
 # Rolling 30-day kurtosis (4th-moment excess) from exact integer
-# window sums at a scale where Σx⁴ stays far inside BIGINT — the
-# fat-tail monitor beside q661's skewness.
+# window sums (DECIMAL(38,0) accumulators since r9: Σx⁴ leaves BIGINT
+# at sf10) — the fat-tail monitor beside q661's skewness.
 _q("q670_rolling_kurtosis", """
 WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100)
@@ -18214,8 +18221,12 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
            GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
                   SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
-                  SUM(k * k * k) OVER w30 AS s3,
-                  SUM(k * k * k * k) OVER w30 AS s4,
+                  -- 3rd/4th moments in DECIMAL(38,0): at sf10 the raw
+                  -- k**4 TERM alone is ~6.6e20 (> 2^63) and the 30-day
+                  -- sum ~2e22 — same ANSI-overflow class as q661/q468
+                  SUM(CAST(k AS DECIMAL(38,0)) * k * k) OVER w30 AS s3,
+                  SUM(CAST(k AS DECIMAL(38,0)) * k * k * k)
+                    OVER w30 AS s4,
                   COUNT(*) OVER w30 AS n,
                   ROW_NUMBER() OVER (ORDER BY day) AS rn
            FROM d
