@@ -17961,7 +17961,10 @@ WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
            FROM lineitem WHERE l_shipdate IS NOT NULL
            GROUP BY CAST(l_shipdate AS DATE)),
      w AS (SELECT day,
-                  SUM(k) OVER w30 AS s1, SUM(k * k) OVER w30 AS s2,
+                  -- DECIMAL(38,0): Σk² ≈ 7.7e19 at sf10 (> 2^63) —
+                  -- same ANSI-overflow class as q661/q670
+                  SUM(k) OVER w30 AS s1,
+                  SUM(CAST(k AS DECIMAL(38,0)) * k) OVER w30 AS s2,
                   COUNT(*) OVER w30 AS n,
                   ROW_NUMBER() OVER (ORDER BY day) AS rn
            FROM d
@@ -18091,7 +18094,12 @@ WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
      xm AS (SELECT MIN(c) AS cmin FROM top)
 SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
        CAST(xm.cmin AS BIGINT) AS tail_threshold_cents,
-       FLOOR(COUNT(*) / SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin))
+       -- NULLIF totality guard: an all-equal tail (sf10's replica
+       -- construction copies o_totalprice, so the global top-100 is
+       -- one value repeated) gives SUM(LN)=0 — the estimator is
+       -- undefined there; NULL on both engines, not ANSI throw vs inf
+       FLOOR(COUNT(*) / NULLIF(SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin)),
+                               0.0)
              * 10000) / 10000.0 AS hill_alpha
 FROM top CROSS JOIN xm GROUP BY xm.cmin
 """,
@@ -18104,7 +18112,12 @@ WITH top AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
      xm AS (SELECT MIN(c) AS cmin FROM top)
 SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
        CAST(xm.cmin AS BIGINT) AS tail_threshold_cents,
-       FLOOR(COUNT(*) / SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin))
+       -- NULLIF totality guard: an all-equal tail (sf10's replica
+       -- construction copies o_totalprice, so the global top-100 is
+       -- one value repeated) gives SUM(LN)=0 — the estimator is
+       -- undefined there; NULL on both engines, not ANSI throw vs inf
+       FLOOR(COUNT(*) / NULLIF(SUM(LN(CAST(top.c AS DOUBLE) / xm.cmin)),
+                               0.0)
              * 10000) / 10000.0 AS hill_alpha
 FROM top CROSS JOIN xm GROUP BY xm.cmin
 """)
