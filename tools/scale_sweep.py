@@ -97,6 +97,7 @@ def main() -> None:
             print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
             continue
         stats: dict = {"dir": sf_dir}
+        print(f"== sf{sf} leg start", file=sys.stderr, flush=True)
         stats["rows"] = {
             "lineitem": load_table(spark, sf_dir, "lineitem").count(),
             "documents": load_table(spark, sf_dir, "documents").count(),
@@ -109,6 +110,7 @@ def main() -> None:
         n_reps = 1 if sf == "100" else 2
         skip = {x for x in os.environ.get("SWEEP_SKIP", "").split(",") if x}
         for name in [n for n in TIMED if n not in skip]:
+            print(f"  timing {name}", file=sys.stderr, flush=True)
             _drain(reg[name].run(spark, sf_dir))  # warm-up / codegen
             ctl.gap()
             best = best_norm = None
@@ -129,6 +131,7 @@ def main() -> None:
         # LSH internals: candidate pairs before exact verification, and
         # verified pairs — the scale-critical quantities for q110
         from shredder_spark.operators.dedup import minhash_lsh_pairs
+        print("  minhash internals", file=sys.stderr, flush=True)
         docs = load_table(spark, sf_dir, "documents")
         stats["minhash_candidates"] = minhash_lsh_pairs(
             docs, "doc_id", "text", threshold=0.8, verify=False).count()
@@ -137,6 +140,7 @@ def main() -> None:
 
         from shredder_spark.operators.substring_dedup import (
             duplicate_substring_spans)
+        print("  substr spans", file=sys.stderr, flush=True)
         stats["substr_spans"] = duplicate_substring_spans(
             docs.select("doc_id", "text"), min_len=60).count()
 
@@ -168,6 +172,7 @@ def main() -> None:
                 src, "doc_id", "text", max_bucket_size=cap,
                 num_perm=lsh["num_perm"], bands=lsh["bands"],
                 seed=lsh["seed"]).localCheckpoint(eager=True)
+        print("  batch dedup", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         keepers = {r.doc_id for r in dedupe_keepers(
             src, "doc_id", "text", max_bucket_size=cap, **lsh).collect()}
@@ -234,13 +239,12 @@ def main() -> None:
         sfd = SF_DIRS.get(sf_label, "/nonexistent")
         if not os.path.exists(os.path.join(sfd, "lineitem.parquet")):
             continue
-        con = duckdb.connect()
-        con.execute("SET TimeZone='UTC'")
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
+        from tests.oracle_utils import duckdb_connect
+        con = duckdb_connect(sfd)  # capped memory + spill dir (r9)
         oracle_ok: dict = {}
         for name in ORACLE_CHECK:
+            print(f"  oracle check sf{sf_label} {name}",
+                  file=sys.stderr, flush=True)
             q = reg[name]
             eng = q.run(spark, sfd)
             n_eng = eng.count()
