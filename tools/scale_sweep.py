@@ -84,6 +84,13 @@ def _norm(rows):
                         for v in r) for r in rows)
 
 
+def _checkpoint(out: dict) -> None:
+    out_path = os.environ.get("SWEEP_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out | {"partial": True}, fh)
+
+
 def main() -> None:
     spark = get_spark("shredder-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -107,7 +114,8 @@ def main() -> None:
         # phase hits the rep and its divisor together
         timings: dict = {}
         timings_norm: dict = {}
-        n_reps = 1 if sf == "100" else 2
+        n_reps = int(os.environ.get(
+            "SWEEP_REPS", "1" if sf == "100" else "2"))
         skip = {x for x in os.environ.get("SWEEP_SKIP", "").split(",") if x}
         for name in [n for n in TIMED if n not in skip]:
             print(f"  timing {name}", file=sys.stderr, flush=True)
@@ -186,6 +194,7 @@ def main() -> None:
             stats["neardup_keepers"] = len(keepers)
             stats["neardup_contract"] = "incremental-skipped"
             out["sfs"][sf] = stats
+            _checkpoint(out)
             continue
         state = tempfile.mkdtemp(prefix=f"neardup_sweep_{sf}_")
         try:
@@ -232,6 +241,11 @@ def main() -> None:
             "capped-200+blocklist" if sf in ("1", "10", "100")
             else "uncapped")
         out["sfs"][sf] = stats
+
+        # incremental checkpoint: a kill late in the run must not lose
+        # the finished legs (r9: the first sf100 attempt died at the
+        # box-OOM 75 min in, taking the whole artifact with it)
+        _checkpoint(out)
 
     # oracle re-check at the derived sfs (engine vs DuckDB on the
     # same derived files)
@@ -287,6 +301,7 @@ def main() -> None:
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             None),
     }
+    out.pop("partial", None)
     print(json.dumps(out))
     out_path = os.environ.get("SWEEP_OUT")
     if out_path:
