@@ -17,6 +17,13 @@ Artifacts are stamped with the bracketing GapControl (a 2-rep control
 gap every 25 queries, 20 %-trimmed core — round-8 verdict task 3), not
 the old end-of-run 5-rep control.
 
+Big-sf prerequisite: raise ``vm.max_map_count`` (default 65530) before
+a sf10+ run — q231-class DuckDB oracles (per-byte explode +
+STRING_AGG over a 750 M-row intermediate) allocate ~65 k mmap regions;
+at the kernel default the allocator hits the map ceiling with plenty
+of free RAM, reports OOM at tiny sizes, and leaves the process wedged
+(r9 finding: `sysctl -w vm.max_map_count=1048576`).
+
 Prints one JSON line: counts + per-query failures (empty list = all
 green). Uses the same vanilla-session + canonicalization conventions
 as the driver (tests/oracle_utils.compare_query).
