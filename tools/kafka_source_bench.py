@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Kafka-SOURCE throughput measurement → committed artifact.
 
-Round-7 verdict task 8: the ``format("kafkawire")`` source has parity
-and restart tests but no committed rows/s number. This measures batch
-and streaming consume against the in-process toy broker over real TCP
-sockets, beside the r6 sink-side numbers (KAFKA_BENCH_r6.json):
+First committed r7 (task 8); round 9 added the executor-side
+partitioned streaming tier and this tool's steady/empty/marginal
+decomposition. Measures batch and streaming consume against the
+in-process toy broker over real TCP sockets, beside the r6 sink-side
+numbers (KAFKA_BENCH_r6.json):
 
 1. **batch consume** — ``spark.read.format("kafkawire")`` at 4 and 32
    Kafka partitions (one executor task + one socket per partition,
