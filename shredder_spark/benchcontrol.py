@@ -98,7 +98,12 @@ class GapControl:
     def stamp(self) -> dict:
         reps = [t for g in self.gaps for t in g]
         if not reps:
-            return {"reps": [], "median": None, "cv": None,
+            # same key set as the populated branch: artifact consumers
+            # keying on reps_n / vs_ref must not see a shape change
+            # when no gaps ran (r9 advice)
+            return {"reps_n": 0, "gaps_n": 0, "per_gap": self.per_gap,
+                    "every": self.every, "median": None, "cv": None,
+                    "cv_raw": None, "trim_frac": self.trim_frac,
                     "ref_s": CONTROL_REF_S, "vs_ref": None}
         s = sorted(reps)
         k = int(len(s) * self.trim_frac)

@@ -394,7 +394,16 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
       previous invocation's cache (module-level handle), capping the
       session's pinned storage at one fingerprint set no matter how many
       times the operator runs (round-9 advice: repeated harness calls
-      were stacking caches)."""
+      were stacking caches).
+
+    Cache contract (single-threaded, one live result at a time): the
+    module-level handle is not thread-safe, and calling
+    ``simhash_pairs`` again unpersists the PREVIOUS call's cache even
+    if that call's returned lazy DataFrame has not been actioned yet —
+    the earlier result stays correct but silently recomputes its
+    fingerprint pass on first action. Action (or discard) each result
+    before requesting the next; interleave only if the recompute cost
+    is acceptable."""
     from itertools import combinations
 
     assert 64 % n_blocks == 0, "blocks must tile the 64-bit fingerprint"

@@ -241,6 +241,42 @@ def compare_query(spark, sf_dir: str, query) -> list[str]:
         problems.append(f"... {bad} mismatched rows total")
     return problems
 
+def _sql_mask(sql: str) -> str:
+    """Length-preserving mask of ``sql`` for structural scanning:
+    '--' line comments, single-quoted string literals (with ''
+    escapes) and double-quoted identifiers become spaces, so paren
+    depth tracking and keyword matching can't be corrupted by parens
+    or keywords INSIDE comments/strings (r9 advice: the old scanner
+    was comment/string-unaware)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            for p in range(i, j):
+                out[p] = " "
+            i = j
+        elif ch in ("'", '"'):
+            q = ch
+            j = i + 1
+            while j < n:
+                if sql[j] == q:
+                    if q == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2  # doubled-quote escape
+                        continue
+                    break
+                j += 1
+            j = min(j, n - 1)
+            for p in range(i, j + 1):
+                out[p] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def count_only_sql(oracle_sql: str) -> str:
     """COUNT(*) wrapper for the rowcap path, with the top-level ORDER
     BY stripped: ordering never changes a COUNT, but DuckDB does NOT
@@ -249,25 +285,33 @@ def count_only_sql(oracle_sql: str) -> str:
     rows, ~270 GB, OOM — round-9 finding). A trailing LIMIT/OFFSET
     after the ORDER BY is kept (it DOES change the count). Only the
     last paren-depth-0 ORDER BY is touched; nested sorts (inside
-    window frames or subqueries) stay."""
+    window frames or subqueries) stay. Scanning runs over a
+    comment/string-masked copy with word-boundary keyword matches
+    (r9 advice: parens in comments/strings corrupted depth tracking,
+    and an identifier like ``limit_x`` could truncate mid-token)."""
+    import re
+
     sql = oracle_sql
+    masked = _sql_mask(sql)
     depth = 0
     last = -1
-    upper = sql.upper()
-    for i, ch in enumerate(sql):
+    ob = re.compile(r"ORDER\s+BY\b", re.IGNORECASE)
+    for i, ch in enumerate(masked):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and upper.startswith("ORDER BY", i):
+        elif (depth == 0 and ch in "Oo"
+              and (i == 0 or not (masked[i - 1].isalnum()
+                                  or masked[i - 1] == "_"))
+              and ob.match(masked, i)):
             last = i
     if last >= 0:
-        tail = sql[last:]
-        tail_u = tail.upper()
-        cut = len(tail)
+        tail_m = masked[last:]
+        cut = len(tail_m)
         for kw in ("LIMIT", "OFFSET"):
-            j = tail_u.find(kw)
-            if j >= 0:
-                cut = min(cut, j)
-        sql = sql[:last] + tail[cut:]
+            m = re.search(rf"\b{kw}\b", tail_m, re.IGNORECASE)
+            if m:
+                cut = min(cut, m.start())
+        sql = sql[:last] + sql[last + cut:]
     return f"SELECT COUNT(*) FROM ({sql})"

@@ -35,6 +35,50 @@ def test_keeps_limit_after_stripped_order_by():
     assert "ORDER BY" not in out and "LIMIT 5 OFFSET 2" in out
 
 
+def test_comment_and_string_hazards():
+    # parens inside a -- comment must not corrupt depth tracking
+    out = count_only_sql(
+        "SELECT a FROM t -- bogus ( comment\nORDER BY a")
+    assert out.rstrip(")").rstrip().upper().endswith("COMMENT") or \
+        "ORDER BY a" not in out.split("-- bogus")[-1]
+    # keyword-looking text inside a string literal must be ignored
+    out2 = count_only_sql(
+        "SELECT a, 'ORDER BY fake' AS lbl FROM t ORDER BY a")
+    assert "'ORDER BY fake'" in out2
+    assert out2.count("ORDER BY") == 1  # only the literal survives
+    # an identifier containing LIMIT must not truncate mid-token
+    out3 = count_only_sql("SELECT a FROM t ORDER BY a, limit_x")
+    assert "limit_x" not in out3 and "LIMIT" not in out3.upper()
+    # a string with an unbalanced paren before the ORDER BY
+    out4 = count_only_sql("SELECT ')(' AS j, a FROM t ORDER BY a")
+    assert "ORDER BY" not in out4.replace("')('", "")
+
+
+def test_registry_oracles_scan_clean():
+    """Every registry oracle's COUNT wrapper must still PLAN in DuckDB
+    (r9 advice: the lexer hazards were invisible because no current
+    oracle tripped them — this pins that the rowcap path stays valid
+    as queries are added; EXPLAIN binds + plans without executing)."""
+    from shredder_spark import queries as queries_mod
+    from tests.oracle_utils import duckdb_connect
+
+    reg = queries_mod.registry()
+    con = duckdb_connect("/root/testdata/sf0.001")
+    bad = []
+    try:
+        for name in sorted(reg):
+            q = reg[name]
+            if q.oracle is None:
+                continue
+            try:
+                con.execute("EXPLAIN " + count_only_sql(q.oracle))
+            except Exception as e:  # noqa: BLE001
+                bad.append(f"{name}: {str(e)[:120]}")
+    finally:
+        con.close()
+    assert not bad, bad
+
+
 def test_counts_match_duckdb():
     con = duckdb.connect()
     con.execute("CREATE TABLE t AS SELECT range AS a, range % 7 AS b "

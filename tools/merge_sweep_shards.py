@@ -5,61 +5,83 @@ point: 150 queries / 5,099 s); k concurrent shard processes (each its
 own Spark JVM + DuckDB, SWEEP_SHARD=i/k) bring it inside a round.
 This merges their JSONs:
 
-    python tools/merge_sweep_shards.py OUT.json shard0.json shard1.json ...
+    python tools/merge_sweep_shards.py OUT.json shard0.json ... \
+        [--quiet PRE.json [POST.json]]
 
 - ``paired`` / ``rows_only`` / ``failures``: summed / unioned.
 - ``elapsed_sec``: max over shards (wall clock of the concurrent run);
   ``elapsed_cpu_sec``: sum (the single-process-equivalent cost).
-- ``control``: per-shard stamps kept under ``shards`` plus a pooled
-  stamp over every shard's gap medians — concurrency means shards
-  contend with each other, so the pooled vs_ref reads HIGH relative
-  to a quiet box; the honest interpretation note is embedded.
+- Shard completeness is VALIDATED (r9 advice): every shard must carry
+  a ``shard`` label "i/k", all with one consistent k, and the i's must
+  be exactly {0..k-1} with no duplicates — passing the same shard file
+  twice or omitting one is an error, not a silently wrong artifact.
+- ``control``: per-shard stamps ONLY (r9 verdict task 5 — shards
+  contend with each other, so an in-shard control measures contention,
+  not the VM; the old pooled median is dropped). The quiet-box
+  session-speed reference comes from ``--quiet``: control stamps
+  measured by tools/quiet_control.py on the idle box immediately
+  before shard launch and after shard join.
 """
 
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 
 
 def main() -> None:
-    out_path, shard_paths = sys.argv[1], sys.argv[2:]
+    argv = list(sys.argv[1:])
+    quiet_paths: list[str] = []
+    if "--quiet" in argv:
+        i = argv.index("--quiet")
+        quiet_paths = argv[i + 1:]
+        argv = argv[:i]
+    out_path, shard_paths = argv[0], argv[1:]
     shards = [json.load(open(p)) for p in shard_paths]
     assert shards, "no shard files given"
     sf_dirs = {s["sf_dir"] for s in shards}
     assert len(sf_dirs) == 1, f"mixed sf_dirs: {sf_dirs}"
+    # completeness: labels must be exactly {0..k-1}/k, disjoint
+    labels = [s.get("shard") for s in shards]
+    assert all(labels), f"shard file missing its 'shard' label: {labels}"
+    ks = {lab.split("/")[1] for lab in labels}
+    assert len(ks) == 1, f"inconsistent shard counts k: {ks}"
+    k = int(next(iter(ks)))
+    seen = [int(lab.split("/")[0]) for lab in labels]
+    assert sorted(seen) == list(range(k)), (
+        f"shards are not a complete disjoint partition: got {sorted(seen)}, "
+        f"want 0..{k - 1} (duplicate or missing shard file?)")
     failures: dict = {}
     for s in shards:
         failures.update(s.get("failures", {}))
-    medians = [s["control"]["median"] for s in shards
-               if s.get("control", {}).get("median")]
+    quiet = [json.load(open(p)) for p in quiet_paths]
     merged = {
         "metric": "oracle_sweep_full",
         "sf_dir": shards[0]["sf_dir"],
-        "sample_n": None,
-        "seed": None,
-        "shards": [s.get("shard") for s in shards],
+        "sample_n": shards[0].get("sample_n"),
+        "seed": shards[0].get("seed"),
+        "shards": labels,
         "paired": sum(s["paired"] for s in shards),
         "rows_only": sum(s["rows_only"] for s in shards),
         "failures": failures,
         "elapsed_sec": round(max(s["elapsed_sec"] for s in shards), 1),
         "elapsed_cpu_sec": round(sum(s["elapsed_sec"] for s in shards), 1),
         "control": {
-            "note": ("pooled over concurrent shards: shards contend "
-                     "with each other, so vs_ref reads high relative "
-                     "to a quiet-box run; per-shard stamps below"),
-            "median_of_shard_medians": (round(statistics.median(medians), 4)
-                                        if medians else None),
+            "note": ("per-shard stamps are CONTENDED (k concurrent "
+                     "shards); the quiet-box session-speed reference "
+                     "is 'quiet' (measured on the idle box before "
+                     "launch / after join)"),
+            "quiet": quiet or None,
             "shards": [s.get("control") for s in shards],
         },
     }
     with open(out_path, "w") as fh:
         json.dump(merged, fh)
-    print(json.dumps({k: merged[k] for k in
+    print(json.dumps({key: merged[key] for key in
                       ("paired", "rows_only", "elapsed_sec",
                        "elapsed_cpu_sec")} | {
-                          "n_failures": len(failures)}))
+                          "n_failures": len(failures),
+                          "quiet_vs_ref": [q.get("vs_ref") for q in quiet]}))
 
 
 if __name__ == "__main__":

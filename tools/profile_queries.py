@@ -23,6 +23,18 @@ Round-9 instrument upgrades (round-8 verdict tasks 3 and 5):
 Results are collected via count() on the final DataFrame (forces full
 execution of every operator without driver-side materialization of
 wide rows).
+
+Round-10 upgrades (r9 verdict task 1 — the sf100 full profile):
+- ``SWEEP_SHARD=i/k`` runs the i-th of k deterministic name-sorted
+  round-robin shards (same protocol as oracle_sweep_full.py) so the
+  third-decade profile fits inside a round; merge with
+  tools/merge_profile_shards.py (+ quiet-box control stamps from
+  tools/quiet_control.py — in-shard gaps are contended).
+- ``SWEEP_THREADS`` / ``SWEEP_DRIVER_MEM`` size the per-shard session
+  (sf100 shards: 8 threads / 24g each, 4 concurrent).
+- the artifact now carries the FULL per-query ``times`` (and
+  ``times_norm``) maps, not just top30 — cross-decade slope analysis
+  needs every query, and the merge needs the union.
 """
 
 from __future__ import annotations
@@ -43,20 +55,28 @@ WARM_TOP_N = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
 
 def main() -> None:
-    spark = (SparkSession.builder.master("local[16]")
+    shard = os.environ.get("SWEEP_SHARD")
+    n_threads = int(os.environ.get("SWEEP_THREADS", "16"))
+    driver_mem = os.environ.get("SWEEP_DRIVER_MEM", "24g")
+    spark = (SparkSession.builder.master(f"local[{n_threads}]")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.shuffle.partitions", "16")
-             .config("spark.driver.memory", "24g")
+             .config("spark.sql.shuffle.partitions", str(n_threads))
+             .config("spark.driver.memory", driver_mem)
+             .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     from shredder_spark.benchcontrol import GapControl
     ctl = GapControl(spark, per_gap=2, every=25)
     reg = queries_mod.registry()
+    names = sorted(reg)
+    if shard:
+        i, k = (int(x) for x in shard.split("/"))
+        names = [n for j, n in enumerate(names) if j % k == i]
     times: dict[str, float] = {}
     gidx: dict[str, int] = {}
     errors: dict[str, str] = {}
     t0 = time.time()
-    for name in sorted(reg):
+    for name in names:
         q = reg[name]
         ctl.maybe_gap()
         gidx[name] = ctl.gap_index()
@@ -92,9 +112,13 @@ def main() -> None:
     out = {
         "metric": "query_profile",
         "sf_dir": SF_DIR,
+        "shard": shard,
         "n": len(times),
         "total_sec": round(sum(times.values()), 1),
         "elapsed_sec": round(time.time() - t0, 1),
+        "times": times,
+        "times_norm": {name: round(t / ctl.local_vs_ref(gidx[name]), 3)
+                       for name, t in times.items()},
         "top30": top30,
         "top30_norm": {name: round(times[name] / ctl.local_vs_ref(
             gidx[name]), 3) for name in top30},
