@@ -417,17 +417,35 @@ def list_offsets_request(topic: str, partition: int, *,
                          correlation_id: int = 3) -> bytes:
     """ListOffsets v1 request (header included): timestamp -1 → high
     watermark, -2 → log start offset."""
+    return list_offsets_request_multi(topic, [partition],
+                                      timestamp=timestamp,
+                                      correlation_id=correlation_id)
+
+
+def list_offsets_request_multi(topic: str, partitions: list[int], *,
+                               timestamp: int = -1,
+                               correlation_id: int = 3) -> bytes:
+    """ListOffsets v1 over MANY partitions of one topic in a single
+    round-trip — the protocol is batched by design; the per-partition
+    helper above is the degenerate case. The streaming planner probes
+    EVERY source partition each microbatch (``latestOffset()``), so at
+    real partition counts one batched RPC replaces |partitions|
+    sequential round-trips on the driver's planning path (r9 verdict
+    task 8: per-batch RPC fan-out was a fixed per-microbatch cost
+    growing with partition count)."""
     out = bytearray(_header(2, 1, correlation_id))
     out += struct.pack(">i", -1)                       # replica_id
     out += struct.pack(">i", 1)                        # one topic
     out += _str(topic)
-    out += struct.pack(">i", 1)                        # one partition
-    out += struct.pack(">iq", partition, timestamp)
+    out += struct.pack(">i", len(partitions))
+    for partition in partitions:
+        out += struct.pack(">iq", partition, timestamp)
     return bytes(out)
 
 
-def parse_list_offsets_response(resp: bytes) -> tuple[int, int]:
-    """→ (error_code, offset) for the single topic-partition asked."""
+def parse_list_offsets_response_multi(resp: bytes) -> dict[int,
+                                                           tuple[int, int]]:
+    """→ {partition: (error_code, offset)} for one topic's entries."""
     pos = 4                                            # corr id
     (n_topics,) = struct.unpack_from(">i", resp, pos)
     pos += 4
@@ -437,10 +455,20 @@ def parse_list_offsets_response(resp: bytes) -> tuple[int, int]:
     pos += 2 + tlen
     (n_parts,) = struct.unpack_from(">i", resp, pos)
     pos += 4
-    if n_parts != 1:
-        raise ValueError(f"list_offsets response has {n_parts} partitions")
-    _part, err, _ts, offset = struct.unpack_from(">ihqq", resp, pos)
-    return err, offset
+    out: dict[int, tuple[int, int]] = {}
+    for _ in range(n_parts):
+        part, err, _ts, offset = struct.unpack_from(">ihqq", resp, pos)
+        pos += 22
+        out[part] = (err, offset)
+    return out
+
+
+def parse_list_offsets_response(resp: bytes) -> tuple[int, int]:
+    """→ (error_code, offset) for the single topic-partition asked."""
+    got = parse_list_offsets_response_multi(resp)
+    if len(got) != 1:
+        raise ValueError(f"list_offsets response has {len(got)} partitions")
+    return next(iter(got.values()))
 
 
 def high_watermark(bootstrap: str, topic: str, partition: int, *,

@@ -153,22 +153,26 @@ class KafkaWirePartitionStreamReader(DataSourceStreamReader):
         return {str(p): self.starting.get(p, 0) for p in self.parts}
 
     def latestOffset(self) -> dict:
-        # one socket for the whole probe: one tiny ListOffsets v1
-        # round-trip per partition, no record bytes move
+        # ONE batched ListOffsets v1 round-trip for every partition
+        # (r10: the protocol is multi-partition by design; sequential
+        # per-partition probes made the planner's fixed per-microbatch
+        # cost grow with partition count — at 1000s of partitions the
+        # probe loop, not the data path, would gate microbatch rate)
         import socket as _socket
 
         from shredder_spark.sinks.kafka_wire import (
-            _send_request, list_offsets_request,
-            parse_list_offsets_response)
+            _send_request, list_offsets_request_multi,
+            parse_list_offsets_response_multi)
 
         host, _, port = self.bootstrap.partition(":")
         out: dict = {}
         with _socket.create_connection((host, int(port or 9092)),
                                        10.0) as sock:
+            got = parse_list_offsets_response_multi(_send_request(
+                sock, list_offsets_request_multi(self.topic, self.parts,
+                                                 correlation_id=1)))
             for p in self.parts:
-                err, hwm = parse_list_offsets_response(_send_request(
-                    sock, list_offsets_request(self.topic, p,
-                                               correlation_id=p + 1)))
+                err, hwm = got[p]
                 if err:
                     raise RuntimeError(f"list_offsets error {err}")
                 frm = self._last.get(str(p), self.starting.get(p, 0))

@@ -124,16 +124,19 @@ class ToyKafkaBroker:
         topic, pos = _read_str(req, pos)
         (n_parts,) = struct.unpack_from(">i", req, pos)
         pos += 4
-        assert n_parts == 1
-        part, ts = struct.unpack_from(">iq", req, pos)
-        with self._lock:
-            hwm = self._hwm.get((topic, part), 0)
-        off = 0 if ts == -2 else hwm
+        entries = []
+        for _ in range(n_parts):                 # batched, like the real
+            part, ts = struct.unpack_from(">iq", req, pos)  # protocol
+            pos += 12
+            with self._lock:
+                hwm = self._hwm.get((topic, part), 0)
+            entries.append((part, 0 if ts == -2 else hwm))
         out = bytearray(struct.pack(">i", corr))
         out += struct.pack(">i", 1)
         out += _str(topic)
-        out += struct.pack(">i", 1)
-        out += struct.pack(">ihqq", part, 0, -1, off)     # err, ts, offset
+        out += struct.pack(">i", len(entries))
+        for part, off in entries:
+            out += struct.pack(">ihqq", part, 0, -1, off)  # err, ts, offset
         return bytes(out)
 
     def _metadata_v0(self, req, pos, corr) -> bytes:

@@ -376,3 +376,32 @@ def test_partition_stream_reader_planner_contract():
                   for r in rdr.read(sp)]
         assert [(pt, off) for pt, off, _k, _v in replay] == [
             (0, 0), (0, 1), (1, 0)]
+
+
+def test_list_offsets_multi_partition_round_trip():
+    """One batched ListOffsets v1 RPC covers many partitions (the
+    planner's per-microbatch probe shape — r10): watermarks for every
+    asked partition come back in a single round-trip, including
+    never-written partitions (0), and the single-partition helper
+    stays byte-compatible as the degenerate case."""
+    import socket
+
+    from shredder_spark.sinks.kafka_wire import (
+        KafkaWireProducer, _send_request, high_watermark,
+        list_offsets_request_multi, parse_list_offsets_response_multi)
+
+    with ToyKafkaBroker() as broker:
+        p = KafkaWireProducer(broker.bootstrap)
+        for i in range(5):
+            p.send("multi", 0, None, b"a")
+        for i in range(3):
+            p.send("multi", 2, None, b"b")
+        p.flush()
+        host, _, port = broker.bootstrap.partition(":")
+        with socket.create_connection((host, int(port)), 10.0) as sock:
+            got = parse_list_offsets_response_multi(_send_request(
+                sock, list_offsets_request_multi("multi", [0, 1, 2, 3])))
+        assert got == {0: (0, 5), 1: (0, 0), 2: (0, 3), 3: (0, 0)}
+        # degenerate single-partition path agrees
+        assert high_watermark(broker.bootstrap, "multi", 0) == 5
+        assert high_watermark(broker.bootstrap, "multi", 2) == 3

@@ -19,14 +19,19 @@ numbers (KAFKA_BENCH_r6.json):
    legacy ``simple`` fallback (driver-side sequential prefetch,
    jar-less tier, kept behind ``stream_mode=simple``). The round-8
    verdict's task 1 bar: partitioned streaming ≥ the batch tier's
-   rate at 4 tasks.
+   rate at 4 tasks. Round 10 adds the 32-partition empty-run
+   attribution (stream32_empty → stream32 marginal rate): the
+   stream32 vs batch32 gap is the fixed availableNow machinery, a
+   measured constant, and the planner's latestOffset probe is now ONE
+   batched multi-partition ListOffsets RPC per microbatch instead of
+   a per-partition round-trip loop.
 
 Both legs are per-row Python framing + CRC32C over the public wire
 protocol; the connector jar (absent here) is the production path.
 Stamped with the frozen session-speed control like every artifact.
 
 Usage: python tools/kafka_source_bench.py [reps] [out.json]
-(defaults: 3 reps, KAFKA_BENCH_r9.json)
+(defaults: 3 reps, KAFKA_BENCH_r10.json)
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ N_MSGS = 100_000
 
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "KAFKA_BENCH_r9.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "KAFKA_BENCH_r10.json"
 
     from kafka_toy_broker import ToyKafkaBroker
 
@@ -140,6 +145,24 @@ def main() -> int:
 
         stream_caught_up()               # catch the checkpoint up once
 
+        # r10 (r9 verdict task 8): same empty-run attribution at 32
+        # partitions — stream32's gap to batch32 is the fixed
+        # availableNow machinery, measured here, not an open question
+        empty32_ckpt = tempfile.mkdtemp()
+
+        def stream32_caught_up() -> None:
+            q = (spark.readStream.format("kafkawire")
+                 .option("bootstrap", broker.bootstrap)
+                 .option("topic", "bench32").option(
+                     "partitions", ",".join(str(i) for i in range(32)))
+                 .load()
+                 .writeStream.format("noop")
+                 .option("checkpointLocation", empty32_ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+
+        stream32_caught_up()             # catch the checkpoint up once
+
         stages = [("batch4", lambda: batch("bench4", 4), 4, N_MSGS),
                   ("batch32", lambda: batch("bench32", 32), 32, N_MSGS),
                   ("stream4", lambda: stream("bench4", 4), 4, N_MSGS),
@@ -147,6 +170,7 @@ def main() -> int:
                   ("stream4_steady",
                    lambda: stream("bench4s", 4), 4, N_STEADY),
                   ("stream4_empty", stream_caught_up, 4, 0),
+                  ("stream32_empty", stream32_caught_up, 32, 0),
                   ("stream4_simple",
                    lambda: stream("bench4", 4, "simple"), 4, N_MSGS)]
 
@@ -181,6 +205,12 @@ def main() -> int:
                              ("stream4_steady", N_STEADY)):
             net = max(out[name]["median_s"] - fixed, 1e-9)
             out[name]["msgs_per_s_marginal"] = round(n_msgs / net)
+        fixed32 = out["stream32_empty"]["median_s"]
+        net32 = max(out["stream32"]["median_s"] - fixed32, 1e-9)
+        out["stream32"]["msgs_per_s_marginal"] = round(N_MSGS / net32)
+        out["stream32"]["marginal_vs_batch32"] = round(
+            out["stream32"]["msgs_per_s_marginal"]
+            / out["batch32"]["msgs_per_s_median"], 3)
 
     out["control"] = control_stats(spark)
     with open(out_path, "w") as fh:
@@ -188,7 +218,7 @@ def main() -> int:
     print(json.dumps({k: out[k] for k in
                       ("batch4", "batch32", "stream4", "stream32",
                        "stream4_steady", "stream4_empty",
-                       "stream4_simple", "control")},
+                       "stream32_empty", "stream4_simple", "control")},
                      default=str)[:2000])
     print("written:", out_path)
     return 0
