@@ -359,7 +359,8 @@ _SIMHASH_QUADS_CACHE: DataFrame | None = None
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_distance: int = 3, n_blocks: int = 4,
                   key_blocks: int = 1, salt_threshold: int = 4096,
-                  salts: int = 64) -> DataFrame:
+                  salts: int = 64,
+                  _stages: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, multi-index blocked.
 
     The fingerprint splits into ``n_blocks`` equal bit blocks; the
@@ -481,29 +482,35 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             rest = rest - bit
         return F.col("a.cm") == low
 
-    def _pairs(a, b, extra):
+    def _cand(a, b, extra):
         return (
             a.join(b, (F.col("a.q") == F.col("b.q")) &
                    (F.col("a.qv") == F.col("b.qv")) & extra &
                    (F.col("a._id") < F.col("b._id")) & _first_match_only())
             .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"),
                     hamming64(F.col("a._sh"), F.col("b._sh")).alias("dist"))
-            .filter(F.col("dist") <= max_distance)
         )
 
     hot_keys = (quads.groupBy("q", "qv").count()
                 .filter(F.col("count") > salt_threshold).select("q", "qv"))
     cold = quads.join(F.broadcast(hot_keys), ["q", "qv"], "left_anti")
-    cold_pairs = _pairs(cold.alias("a"), cold.alias("b"), F.lit(True))
+    cold_cand = _cand(cold.alias("a"), cold.alias("b"), F.lit(True))
 
     hot = quads.join(F.broadcast(hot_keys), ["q", "qv"], "left_semi")
     hot_a = hot.withColumn(
         "_salt", F.pmod(F.xxhash64("_id"), F.lit(salts)).cast("int"))
     hot_b = hot.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
-    hot_pairs = _pairs(hot_a.alias("a"), hot_b.alias("b"),
-                       F.col("a._salt") == F.col("b._salt"))
-    return cold_pairs.unionByName(hot_pairs)
+    hot_cand = _cand(hot_a.alias("a"), hot_b.alias("b"),
+                     F.col("a._salt") == F.col("b._salt"))
+    if _stages is not None:
+        # introspection hook for tools/simhash_decompose.py: the SAME
+        # lazy frames the operator composes, so stage timings measure
+        # the real pipeline, not a re-implementation that could drift
+        _stages.update(quads=quads, hot_keys=hot_keys,
+                       cold_candidates=cold_cand, hot_candidates=hot_cand)
+    return (cold_cand.filter(F.col("dist") <= max_distance)
+            .unionByName(hot_cand.filter(F.col("dist") <= max_distance)))
 
 
 def ngrams_col(text: Column, n: int = 3) -> Column:
