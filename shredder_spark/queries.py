@@ -96,9 +96,21 @@ FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY n.n_name, c.c_custkey NULLS FIRST
 """)
 
+# r10: the full-outer exhibit rewritten scale-safe. The original
+# joined two FACT tables ON s_nationkey = c_nationkey (25 values), so
+# the OUTPUT was quadratic in sf — 6e9 rows at sf10 (the r9 DuckDB
+# count-only OOM), 6e11 at sf100, where it was the profile's one
+# multi-hour DNF. A full join whose exhibit value is "unmatched rows
+# survive on BOTH sides" doesn't need an output-explosive key: join on
+# the high-cardinality key with each side filtered differently, so
+# both null-extension directions appear structurally and the output
+# stays linear in |supplier|+|customer| at every sf (100 TB shape:
+# hash-partitioned SortMergeJoin, no row blow-up).
 _q("q08_full_join", """
 SELECT s.s_suppkey, c.c_custkey
-FROM supplier s FULL JOIN customer c ON s.s_nationkey = c.c_nationkey
+FROM (SELECT * FROM supplier WHERE s_nationkey < 20) s
+FULL JOIN (SELECT * FROM customer WHERE c_nationkey >= 5) c
+  ON s.s_suppkey = c.c_custkey
 ORDER BY s.s_suppkey NULLS LAST, c.c_custkey NULLS LAST
 """)
 
