@@ -52,9 +52,14 @@ def main() -> None:
     shard = os.environ.get("SWEEP_SHARD")
     n_threads = int(os.environ.get("SWEEP_THREADS", "16"))
     driver_mem = os.environ.get("SWEEP_DRIVER_MEM", "24g")
+    # see profile_queries.py: initial shuffle partitioning bounds
+    # per-task sort-array size on big-sf fact-fact joins (AQE
+    # coalesces the small ones back down); sf100 runs pass 64
+    shuffle_parts = os.environ.get("SWEEP_SHUFFLE_PARTITIONS",
+                                   str(n_threads))
     spark = (SparkSession.builder.master(f"local[{n_threads}]")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.shuffle.partitions", str(n_threads))
+             .config("spark.sql.shuffle.partitions", shuffle_parts)
              # Spark's default 1g driver heap OOMs around the heavier
              # sf0.1 sort/join queries in a 682-query single-JVM run;
              # the box has 128 GiB — size the heap like session.py does

@@ -58,9 +58,18 @@ def main() -> None:
     shard = os.environ.get("SWEEP_SHARD")
     n_threads = int(os.environ.get("SWEEP_THREADS", "16"))
     driver_mem = os.environ.get("SWEEP_DRIVER_MEM", "24g")
+    # Initial shuffle partitioning: AQE coalesces small queries back
+    # down, but the INITIAL count bounds per-task state on the big
+    # ones — at sf100 a fact-fact join at shuffle.partitions=8 builds
+    # 75 M-row per-task sort arrays, whose 1 GB contiguous allocations
+    # abort the JVM under GC pressure (r10 finding: q173/TPC-H Q21
+    # killed a 24g shard). Default stays = threads; big-sf runs pass
+    # SWEEP_SHUFFLE_PARTITIONS=64.
+    shuffle_parts = os.environ.get("SWEEP_SHUFFLE_PARTITIONS",
+                                   str(n_threads))
     spark = (SparkSession.builder.master(f"local[{n_threads}]")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.shuffle.partitions", str(n_threads))
+             .config("spark.sql.shuffle.partitions", shuffle_parts)
              .config("spark.driver.memory", driver_mem)
              .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
