@@ -65,6 +65,10 @@ def main() -> None:
              # the box has 128 GiB — size the heap like session.py does
              .config("spark.driver.memory", driver_mem)
              .config("spark.driver.maxResultSize", "8g")
+             # frequent ContextCleaner cycles: stale shuffle files of
+             # finished queries otherwise persist until a driver GC,
+             # which a big heap can defer across many queries (r10)
+             .config("spark.cleaner.periodicGC.interval", "2min")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     from shredder_spark.benchcontrol import GapControl

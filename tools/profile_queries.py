@@ -72,6 +72,12 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", shuffle_parts)
              .config("spark.driver.memory", driver_mem)
              .config("spark.driver.maxResultSize", "8g")
+             # shuffle files of finished queries are deleted by
+             # ContextCleaner only after their RDDs are GC'd — on a
+             # big heap that can lag many queries behind, and at sf100
+             # several concurrent shards' stale spill overran the disk
+             # (r10 finding). Force the cleanup cycle frequently.
+             .config("spark.cleaner.periodicGC.interval", "2min")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     from shredder_spark.benchcontrol import GapControl
