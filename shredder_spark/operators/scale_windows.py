@@ -556,3 +556,56 @@ def q343_scale(spark, sf_dir: str) -> DataFrame:
         out.append((int(row.decile), row.n, round(cum / tot, 4)))
     return spark.createDataFrame(
         out, "decile long, n long, cum_capture double").orderBy("decile")
+
+
+def exact_percentiles(df: DataFrame, value, ps: Sequence[float], *,
+                      buckets: int = 32) -> list:
+    """Exact ``PERCENTILE(value, p)`` (SQL interpolation semantics:
+    ``pos = (n-1)·p``, linear between the floor/ceil ranks) computed
+    DISTRIBUTED — no single-reduce value→count map.
+
+    Spark's exact ``percentile`` aggregate buffers a value→count
+    OpenHashMap whose size is the column's DISTINCT count, merged into
+    ONE final buffer: fine for bounded domains (``l_quantity``: 50
+    values), a non-starter over near-continuous columns at fact scale
+    (r10 finding: ``l_extendedprice`` at sf100 = 801 s;
+    ``o_totalprice`` is ~near-unique, a ~7 GB single buffer). This
+    tier ranks the column with the bucketed two-phase machinery above
+    (boundary aggregate → bucket-local ROW_NUMBER → literal-map
+    offsets), then fetches only the ≤ 2·|ps| bracketing rows. Ties on
+    the value are interchangeable for value-at-rank, so the arbitrary
+    within-bucket tie order cannot change the result. Cost: ~4 scans
+    of one column — parallel, spill-free, any sf.
+
+    Returns interpolated floats positionally matching ``ps`` (None for
+    an empty input)."""
+    import math
+
+    v = F.col(value) if isinstance(value, str) else value
+    src = (df.select(v.cast("double").alias("_ep_v"))
+           .filter(F.col("_ep_v").isNotNull()))
+    n = src.count()
+    if n == 0:
+        return [None] * len(ps)
+    need: set = set()
+    for p in ps:
+        pos = (n - 1) * p
+        need.add(int(math.floor(pos)) + 1)
+        need.add(int(math.ceil(pos)) + 1)
+    ranked = with_global_rank(src, [("_ep_v", "asc")], out_col="_ep_r",
+                              buckets=buckets)
+    got = {row._ep_r: row._ep_v for row in
+           ranked.filter(F.col("_ep_r").isin(*[int(k) for k in need]))
+           .collect()}  # bounded: <= 2*len(ps) rows
+    out = []
+    for p in ps:
+        pos = (n - 1) * p
+        kl = int(math.floor(pos))
+        ku = int(math.ceil(pos))
+        lo = got[kl + 1]
+        hi = got[ku + 1]
+        # Spark's Percentile interpolates with the WEIGHTED form
+        # (ceil-pos)·lo + (pos-floor)·hi, not lo + frac·(hi-lo) —
+        # they differ by 1 ulp on some inputs; match it bit-for-bit
+        out.append(lo if ku == kl else (ku - pos) * lo + (pos - kl) * hi)
+    return out

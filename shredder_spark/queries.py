@@ -1419,8 +1419,34 @@ SELECT o_orderpriority, ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS med
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
    engine_sql="""
-SELECT o_orderpriority, ROUND(PERCENTILE(o_totalprice, 0.5), 2) AS med
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+-- r10: grouped exact median via a PARTITIONED rank window instead of
+-- the exact PERCENTILE aggregate (whose value→count map over
+-- ~near-unique o_totalprice merges ~150 M entries in one reducer at
+-- sf100). Same interpolation semantics: pos=(n-1)/2, linear between
+-- the floor/ceil ranks; each task sorts one priority group only.
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       -- Spark PERCENTILE's weighted interpolation form, bit-for-bit:
+       -- (ceil-pos)·lo + (pos-floor)·hi (degenerate ceil==floor → lo)
+       ROUND(CASE WHEN FLOOR((MIN(n) - 1) * 0.5D)
+                       = CEIL((MIN(n) - 1) * 0.5D)
+                  THEN MIN(CASE WHEN rk = FLOOR((n - 1) * 0.5D)
+                                THEN o_totalprice END)
+                  ELSE (CEIL((MIN(n) - 1) * 0.5D)
+                        - (MIN(n) - 1) * 0.5D)
+                       * MIN(CASE WHEN rk = FLOOR((n - 1) * 0.5D)
+                                  THEN o_totalprice END)
+                       + ((MIN(n) - 1) * 0.5D
+                          - FLOOR((MIN(n) - 1) * 0.5D))
+                       * MIN(CASE WHEN rk = CEIL((n - 1) * 0.5D)
+                                  THEN o_totalprice END)
+             END, 2) AS med
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
 
 
@@ -2183,6 +2209,27 @@ ORDER BY o_orderkey
 
 # 0.4x IQR fence (the data is uniform, so the textbook 1.5x fence is
 # provably empty; 0.4x lands at the ~95th percentile).
+def _q151_builder(spark: SparkSession) -> DataFrame:
+    # r10: exact quartiles computed DISTRIBUTED. Spark's exact
+    # PERCENTILE buffers a value→count map sized by the column's
+    # DISTINCT count, merged in ONE final reducer — 801 s at sf100
+    # over near-continuous l_extendedprice (r10 profile finding).
+    # exact_percentiles (operators/scale_windows.py) ranks the column
+    # with the bucketed two-phase machinery and fetches only the
+    # bracketing rows; identical interpolation semantics (bit-equal to
+    # PERCENTILE in tests). Oracle text unchanged.
+    from shredder_spark.operators.scale_windows import exact_percentiles
+
+    li = spark.table("lineitem").select("l_extendedprice")
+    q1, q3 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75])
+    v = F.col("l_extendedprice")
+    return (li.filter((v > q3 + 0.4 * (q3 - q1))
+                      | (v < q1 - 0.4 * (q3 - q1)))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"),
+                 F.round(F.min(v), 2).alias("mn"),
+                 F.round(F.max(v), 2).alias("mx")))
+
+
 _q("q151_iqr_outliers",
    oracle="""
 WITH s AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
@@ -2193,15 +2240,7 @@ FROM lineitem CROSS JOIN s
 WHERE l_extendedprice > q3 + 0.4 * (q3 - q1)
    OR l_extendedprice < q1 - 0.4 * (q3 - q1)
 """,
-   engine_sql="""
-WITH s AS (SELECT PERCENTILE(l_extendedprice, 0.25) AS q1,
-                  PERCENTILE(l_extendedprice, 0.75) AS q3 FROM lineitem)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_outliers,
-       ROUND(MIN(l_extendedprice), 2) AS mn, ROUND(MAX(l_extendedprice), 2) AS mx
-FROM lineitem CROSS JOIN s
-WHERE l_extendedprice > q3 + 0.4 * (q3 - q1)
-   OR l_extendedprice < q1 - 0.4 * (q3 - q1)
-""")
+   builder=_q151_builder)
 
 _q("q152_share_of_total", """
 WITH t AS (SELECT n.n_name AS n_name, CAST(COUNT(*) AS DOUBLE) AS c
@@ -4202,6 +4241,26 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 # robust-statistics sibling of the z-score (q150) and IQR (q151)
 # fences. Fence 1.2·1.4826·MAD is tuned non-empty on the uniform
 # synthetic data at every SF.
+def _q250_builder(spark: SparkSession) -> DataFrame:
+    # r10: both exact medians (price, then MAD over deviations)
+    # via the distributed rank tier — o_totalprice is ~near-unique,
+    # so Spark's exact PERCENTILE would merge a ~150 M-entry
+    # value→count map in one reducer at sf100, twice. Same
+    # interpolation semantics; oracle text unchanged.
+    from shredder_spark.operators.scale_windows import exact_percentiles
+
+    o = spark.table("orders").select("o_orderkey", "o_totalprice")
+    (m,) = exact_percentiles(o, "o_totalprice", [0.5])
+    dev = o.select("o_orderkey", "o_totalprice",
+                   F.abs(F.col("o_totalprice") - F.lit(m)).alias("d"))
+    (mad,) = exact_percentiles(dev, "d", [0.5])
+    return (dev.filter(F.col("d") > 1.2 * 1.4826 * mad)
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.round(F.col("d") / F.lit(mad), 4).alias("mad_ratio"))
+            .orderBy("o_orderkey"))
+
+
 _q("q250_mad_outliers",
    oracle="""
 WITH med AS (SELECT QUANTILE_CONT(o_totalprice, 0.5) AS m FROM orders),
@@ -4215,18 +4274,7 @@ FROM dev CROSS JOIN mad
 WHERE dev.d > 1.2 * 1.4826 * mad.mad
 ORDER BY o_orderkey
 """,
-   engine_sql="""
-WITH med AS (SELECT PERCENTILE(o_totalprice, 0.5) AS m FROM orders),
-dev AS (SELECT o.o_orderkey, o.o_totalprice,
-               ABS(o.o_totalprice - med.m) AS d
-        FROM orders o CROSS JOIN med),
-mad AS (SELECT PERCENTILE(d, 0.5) AS mad FROM dev)
-SELECT dev.o_orderkey, ROUND(dev.o_totalprice, 2) AS price,
-       ROUND(dev.d / mad.mad, 4) AS mad_ratio
-FROM dev CROSS JOIN mad
-WHERE dev.d > 1.2 * 1.4826 * mad.mad
-ORDER BY o_orderkey
-""")
+   builder=_q250_builder)
 
 
 def _q251_builder(spark: SparkSession) -> DataFrame:
@@ -10192,6 +10240,35 @@ FROM norm GROUP BY event_type ORDER BY event_type
 # Quantile-quantile shift report between two periods: the 1995 vs 1996
 # order-value deciles side by side with their deltas — the
 # distribution-drift view a migration/repricing review reads.
+def _q450_builder(spark: SparkSession) -> DataFrame:
+    # r10: the two 9-decile vectors via the distributed exact-rank
+    # tier (one pass per year-slice; ~23 M near-unique values each at
+    # sf100 would otherwise sit in single-reducer value→count maps).
+    # FLOOR quantization arithmetic preserved exactly (Python doubles
+    # == SQL doubles); result assembled as a 9-row literal frame —
+    # bounded by construction. Oracle text unchanged.
+    import math
+
+    from shredder_spark.operators.scale_windows import exact_percentiles
+
+    o = spark.table("orders")
+    ps = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    qa = exact_percentiles(
+        o.filter(F.expr("EXTRACT(YEAR FROM o_orderdate) = 1995")),
+        F.col("o_totalprice").cast("double"), ps)
+    qb = exact_percentiles(
+        o.filter(F.expr("EXTRACT(YEAR FROM o_orderdate) = 1996")),
+        F.col("o_totalprice").cast("double"), ps)
+    rows = [(i + 1,
+             math.floor(qa[i] * 100 + 1e-4) / 100.0,
+             math.floor(qb[i] * 100 + 1e-4) / 100.0,
+             math.floor((qb[i] - qa[i]) * 100 + 1e-4) / 100.0)
+            for i in range(9)]
+    return spark.createDataFrame(
+        rows, "decile bigint, q_1995 double, q_1996 double, shift double"
+    ).orderBy("decile")
+
+
 _q("q450_qq_shift",
    oracle="""
 WITH a AS (SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE),
@@ -10212,27 +10289,7 @@ SELECT CAST(i AS BIGINT) AS decile,
        FLOOR((qb - qa) * 100 + 1e-4) / 100.0 AS shift
 FROM u ORDER BY decile
 """,
-   engine_sql="""
-WITH a AS (SELECT PERCENTILE(CAST(o_totalprice AS DOUBLE),
-             ARRAY(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)) AS q
-           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
-     b AS (SELECT PERCENTILE(CAST(o_totalprice AS DOUBLE),
-             ARRAY(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)) AS q
-           FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
-     u AS (SELECT pos + 1 AS i, ELEMENT_AT(a.q, pos + 1) AS qa,
-                  ELEMENT_AT(b.q, pos + 1) AS qb
-           FROM a CROSS JOIN b
-           LATERAL VIEW POSEXPLODE(SEQUENCE(1, 9)) t AS pos, _x)
-SELECT CAST(i AS BIGINT) AS decile,
-       -- +1e-4 boundary nudge: at sf1 the decile lands ON a
-       -- replicated cent value, qa*100 is integer +- 1ulp of
-       -- cross-engine interpolation jitter, and bare FLOOR flips
-       -- (1e-4 is far above the jitter, far below the cent grid)
-       FLOOR(qa * 100 + 1e-4) / 100.0 AS q_1995,
-       FLOOR(qb * 100 + 1e-4) / 100.0 AS q_1996,
-       FLOOR((qb - qa) * 100 + 1e-4) / 100.0 AS shift
-FROM u ORDER BY decile
-""")
+   builder=_q450_builder)
 
 # ---------------------------------------------------------------- B492
 # Nelson–Aalen cumulative hazard (companion to q337's Kaplan–Meier,

@@ -201,3 +201,30 @@ def test_global_rank_and_running_sum_combined(spark):
     assert ({(r.id, r.rk, round(r.s, 6)) for r in got.collect()}
             == {(r.id, r.rk, round(r.s, 6)) for r in want.collect()})
     sw.assert_no_unpartitioned_window(got)
+
+
+def test_exact_percentiles_matches_spark_percentile(spark):
+    """exact_percentiles == Spark's exact PERCENTILE bit-for-bit
+    (same (n-1)p interpolation), without the single-reduce
+    value→count map (r10: PERCENTILE over near-continuous fact
+    columns was 801 s at sf100 — q151/q250/q450/q107 now route
+    through this tier / a partitioned rank window)."""
+    import pyspark.sql.functions as F
+
+    from shredder_spark.operators.scale_windows import exact_percentiles
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    mine = exact_percentiles(df, "l_extendedprice", ps, buckets=8)
+    arr = ",".join(f"{p}D" for p in ps)
+    ref = df.agg(F.expr(
+        f"percentile(l_extendedprice, array({arr}))")).collect()[0][0]
+    assert mine == list(ref)
+    # duplicate-heavy column: ties at the bracketing ranks
+    mine_q = exact_percentiles(df, "l_quantity", [0.5, 0.77], buckets=8)
+    ref_q = df.agg(F.expr(
+        "percentile(l_quantity, array(0.5D, 0.77D))")).collect()[0][0]
+    assert mine_q == list(ref_q)
+    # empty input
+    assert exact_percentiles(df.filter("l_quantity > 1e9"),
+                             "l_quantity", [0.5]) == [None]
