@@ -445,8 +445,15 @@ def semdedup(
         mat = np.vstack(pdf["nv"].to_numpy())[order].astype(np.float64)
         col = np.arange(n)
         removed: list[np.ndarray] = []
-        for s in range(0, n, 2048):
-            e = min(s + 2048, n)
+        # chunk by a BYTE budget, not a fixed row count: each chunk's
+        # sims block is chunk × n doubles, so at sf100 cluster sizes
+        # (~600 k rows) a fixed 2048-row chunk materialized ~10 GB per
+        # worker and the kernel OOM-killed the box (r10 finding).
+        # 256 MB budget → chunk shrinks as clusters grow; Σ|c|² work
+        # unchanged.
+        chunk = max(1, min(2048, (256 << 20) // max(n * 8, 1)))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
             sims = mat[s:e] @ mat.T
             # j is removed when a LOWER-id i scores >= threshold
             mask = (sims >= thr) & (col[None, :] > np.arange(s, e)[:, None])

@@ -87,6 +87,14 @@ def main() -> None:
     if shard:
         i, k = (int(x) for x in shard.split("/"))
         names = [n for j, n in enumerate(names) if j % k == i]
+    skip_path = os.environ.get("SWEEP_SKIP")
+    if skip_path:
+        # resume support: names already timed by a prior (crashed)
+        # attempt, one per line — the relaunch runs only the rest and
+        # the two partial artifacts are unioned before the shard merge
+        with open(skip_path) as fh:
+            done = {ln.strip() for ln in fh if ln.strip()}
+        names = [n for n in names if n not in done]
     times: dict[str, float] = {}
     gidx: dict[str, int] = {}
     errors: dict[str, str] = {}
