@@ -109,7 +109,8 @@ def main() -> None:
             times[name] = round(time.time() - t, 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e)[:150]
-        print(f"{name} {times.get(name, 'ERR')}", file=sys.stderr)
+        msg = "" if name not in errors else f" :: {errors[name][:110]}"
+        print(f"{name} {times.get(name, 'ERR')}{msg}", file=sys.stderr)
     ctl.gap()
     ranked = sorted(times.items(), key=lambda kv: -kv[1])
 
