@@ -3854,9 +3854,17 @@ _q("q233_histogram_numeric", oracle=None, builder=_q233_builder)
 def _q234_builder(spark: SparkSession) -> DataFrame:
     # SemDeDup survivors (approximate/cluster-local — rows-only;
     # greedy-equivalence invariants pinned in tests/test_llm_ops.py).
+    # r10: the cluster COUNT scales with the corpus, as in the paper
+    # (Abbas et al. use 50k clusters for LAION). A fixed k makes the
+    # within-cluster pairwise work Σ|c|² ≈ n²/k — ~2e14 FLOPs at
+    # sf100 with k=8 (measured: the profile shard ground for an hour).
+    # Bounding E[|c|] at ~4096 keeps the quadratic term linear in n;
+    # k is unchanged (8) at the driver/test sfs.
     from shredder_spark.operators.similarity import semdedup
 
-    return (semdedup(spark.table("embeddings"), threshold=0.4)
+    emb = spark.table("embeddings")
+    k = max(8, min(4096, emb.count() // 4096 + 1))
+    return (semdedup(emb, threshold=0.4, n_clusters=k)
             .orderBy("vec_id"))
 
 
