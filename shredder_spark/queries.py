@@ -14626,9 +14626,17 @@ WITH f AS (SELECT o.o_orderkey,
            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
            GROUP BY o.o_orderkey, o.o_totalprice),
      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                  SUM(f1) AS s1, SUM(f1 * f1) AS q1,
-                  SUM(f2) AS s2, SUM(f2 * f2) AS q2,
-                  SUM(f3) AS s3, SUM(f3 * f3) AS q3
+                  -- squares accumulate in DECIMAL(38,0): Σ f1² is
+                  -- ~5.4e19 at sf100 (> 2^63; ANSI Spark threw in the
+                  -- r10 sf100 profile, DuckDB silently widens to
+                  -- HUGEINT) — exact in both engines, headroom
+                  -- through sf1000
+                  SUM(f1) AS s1,
+                  SUM(CAST(f1 AS DECIMAL(38,0)) * f1) AS q1,
+                  SUM(f2) AS s2,
+                  SUM(CAST(f2 AS DECIMAL(38,0)) * f2) AS q2,
+                  SUM(f3) AS s3,
+                  SUM(CAST(f3 AS DECIMAL(38,0)) * f3) AS q3
            FROM f),
      z AS (SELECT f.o_orderkey,
                   ABS(f.f1 - CAST(m.s1 AS DOUBLE) / m.n)
