@@ -12794,8 +12794,12 @@ WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
               FROM (SELECT UNNEST(GENERATE_SERIES(2, 14)) AS l) g
               JOIN s a ON TRUE
               JOIN s b ON b.rn = a.rn - g.l),
-     s0 AS (SELECT SUM(xc * xc) AS v FROM s),
-     r AS (SELECT lag, SUM(xa * xb) AS num FROM lagd GROUP BY lag),
+     -- DECIMAL(38,0) products: xc ~ n_days*k grows with revenue,
+     -- so SUM(xc*xc) passes 2^63 at sf100 (ANSI Spark threw in the
+     -- r10 profile; DuckDB widens to HUGEINT) — exact in both engines
+     s0 AS (SELECT SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS v FROM s),
+     r AS (SELECT lag, SUM(CAST(xa AS DECIMAL(38,0)) * xb) AS num
+           FROM lagd GROUP BY lag),
      best AS (SELECT r.lag, CAST(r.num AS DOUBLE) / s0.v AS acf,
                      ROW_NUMBER() OVER (
                        ORDER BY CAST(r.num AS DOUBLE) / s0.v DESC, r.lag)
@@ -12818,8 +12822,12 @@ WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
               FROM (SELECT EXPLODE(SEQUENCE(2, 14)) AS l) g
               JOIN s a ON TRUE
               JOIN s b ON b.rn = a.rn - g.l),
-     s0 AS (SELECT SUM(xc * xc) AS v FROM s),
-     r AS (SELECT lag, SUM(xa * xb) AS num FROM lagd GROUP BY lag),
+     -- DECIMAL(38,0) products: xc ~ n_days*k grows with revenue,
+     -- so SUM(xc*xc) passes 2^63 at sf100 (ANSI Spark threw in the
+     -- r10 profile; DuckDB widens to HUGEINT) — exact in both engines
+     s0 AS (SELECT SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS v FROM s),
+     r AS (SELECT lag, SUM(CAST(xa AS DECIMAL(38,0)) * xb) AS num
+           FROM lagd GROUP BY lag),
      best AS (SELECT r.lag, CAST(r.num AS DOUBLE) / s0.v AS acf,
                      ROW_NUMBER() OVER (
                        ORDER BY CAST(r.num AS DOUBLE) / s0.v DESC, r.lag)
