@@ -76,7 +76,23 @@ HEADLINE = [
 CYCLES = 3          # timed reps per headline query (median reported)
 CTRL_PER_GAP = 2    # control reps at every query boundary (~62 total)
 TRIM_FRAC = 0.2     # trimmed-core fraction for the control stamp
-ROUND_TAG = "r09"   # versioned full-artifact name (bump per round)
+# Versioned full-artifact name. Derived, not hardcoded (the r9/r10
+# stale-tag bug overwrote committed BENCH_r09_full.json twice): the
+# driver commits CORRECTNESS_r{N}.json at each round's END, so the
+# highest N present means we are RUNNING round N+1. BENCH_ROUND env
+# still overrides.
+def _round_tag() -> str:
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [int(m.group(1)) for p in _glob.glob(
+        os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return f"r{(max(ns) + 1) if ns else 1:02d}"
+
+
+ROUND_TAG = _round_tag()
 
 # Control workload + pinned reference shared with the sweep tools so
 # every committed artifact carries the same session-speed stamp

@@ -1424,11 +1424,20 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 -- ~near-unique o_totalprice merges ~150 M entries in one reducer at
 -- sf100). Same interpolation semantics: pos=(n-1)/2, linear between
 -- the floor/ceil ranks; each task sorts one priority group only.
+-- r11 fix: NULL o_totalprice must be EXCLUDED from both the rank and
+-- the count (Spark PERCENTILE and DuckDB QUANTILE_CONT both ignore
+-- NULLs; the r10 text ranked/counted them, shifting every rank —
+-- caught by the degenerate-rows suite). NULLS LAST pushes NULL rows
+-- past the valid 0..n-1 rank range and CASE nulls their rk; n counts
+-- non-NULL only, so an all-NULL group yields med NULL, not a dropped
+-- row — exactly QUANTILE_CONT. Mirrors operators/scale_windows.py:586.
 WITH r AS (
   SELECT o_orderpriority, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice) - 1 AS rk,
-         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         CASE WHEN o_totalprice IS NULL THEN NULL
+              ELSE ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice NULLS LAST) - 1
+         END AS rk,
+         COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority) AS n
   FROM orders)
 SELECT o_orderpriority,
        -- Spark PERCENTILE's weighted interpolation form, bit-for-bit:
@@ -10267,6 +10276,11 @@ def _q450_builder(spark: SparkSession) -> DataFrame:
     qb = exact_percentiles(
         o.filter(F.expr("EXTRACT(YEAR FROM o_orderdate) = 1996")),
         F.col("o_totalprice").cast("double"), ps)
+    for label, qs in (("1995", qa), ("1996", qb)):
+        if qs[0] is None:
+            raise ValueError(
+                f"q450: year slice {label} is empty (no non-NULL "
+                "o_totalprice rows) — QQ shift undefined")
     rows = [(i + 1,
              math.floor(qa[i] * 100 + 1e-4) / 100.0,
              math.floor(qb[i] * 100 + 1e-4) / 100.0,

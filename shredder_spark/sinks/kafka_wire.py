@@ -459,6 +459,12 @@ def parse_list_offsets_response_multi(resp: bytes) -> dict[int,
     for _ in range(n_parts):
         part, err, _ts, offset = struct.unpack_from(">ihqq", resp, pos)
         pos += 22
+        if part in out:
+            # Without this, dict collapse would let a malformed
+            # 2-entries-same-partition response slip past the single-
+            # partition wrapper's len==1 check (r10 advice).
+            raise ValueError(
+                f"list_offsets response repeats partition {part}")
         out[part] = (err, offset)
     return out
 

@@ -172,6 +172,9 @@ class KafkaWirePartitionStreamReader(DataSourceStreamReader):
                 sock, list_offsets_request_multi(self.topic, self.parts,
                                                  correlation_id=1)))
             for p in self.parts:
+                if p not in got:
+                    raise RuntimeError(
+                        f"list_offsets response missing partition {p}")
                 err, hwm = got[p]
                 if err:
                     raise RuntimeError(f"list_offsets error {err}")

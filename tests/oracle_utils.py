@@ -258,6 +258,16 @@ def _sql_mask(sql: str) -> str:
             for p in range(i, j):
                 out[p] = " "
             i = j
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            # /* */ block comment (r10 advice): mask like '--' so a
+            # paren or ORDER BY inside it can't corrupt the scan.
+            # Unterminated comment masks to end-of-string (the SQL is
+            # broken anyway; a silent partial mask would be worse).
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for p in range(i, j):
+                out[p] = " " if sql[p] != "\n" else "\n"
+            i = j
         elif ch in ("'", '"'):
             q = ch
             j = i + 1

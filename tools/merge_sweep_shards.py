@@ -36,6 +36,15 @@ def main() -> None:
         i = argv.index("--quiet")
         quiet_paths = argv[i + 1:]
         argv = argv[:i]
+    # --quiet is greedy — validate each file IS a control stamp so a
+    # misplaced shard path fails loudly instead of vanishing from the
+    # merge (r10 advice; same guard as merge_profile_shards.py).
+    for p in quiet_paths:
+        rec = json.load(open(p))
+        assert "vs_ref" in rec and "shard" not in rec, (
+            f"--quiet file {p} does not look like a quiet_control.py "
+            "control stamp (want a control_stats record with 'vs_ref'; "
+            "did a shard path land after --quiet?)")
     out_path, shard_paths = argv[0], argv[1:]
     shards = [json.load(open(p)) for p in shard_paths]
     assert shards, "no shard files given"
