@@ -28,6 +28,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET memory_limit='%s'"
                 % _os.environ.get("ORACLE_DUCKDB_MEM", "24GB"))
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # r11: bound the spill itself too — a q624-class oracle at sf100
+    # spills >61 GB, which would fill the box's disk before failing.
+    # With a cap the query raises a clean out-of-temp error instead,
+    # which sweeps catch and record (and we disposition).
+    con.execute("SET max_temp_directory_size='%s'"
+                % _os.environ.get("ORACLE_DUCKDB_TMP_CAP", "40GB"))
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

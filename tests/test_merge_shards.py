@@ -100,3 +100,73 @@ def test_profile_merge_unions_times(tmp_path):
                                   _profile_shard(1, 2)])
     assert set(merged["times"]) == {"q0a", "q0b", "q1a", "q1b"}
     assert merged["n"] == 4
+
+
+def test_quiet_files_must_be_control_stamps(tmp_path):
+    # r10 advice: --quiet is greedy; a shard path placed after it must
+    # fail loudly instead of silently vanishing from the merge.
+    mod = _load("merge_profile_shards")
+    shard_paths = _write(tmp_path, [_profile_shard(0, 1)])
+    ctl = str(tmp_path / "ctl.json")
+    with open(ctl, "w") as fh:
+        json.dump({"reps": [1.0], "median": 1.0, "cv": 0.0,
+                   "ref_s": 1.0, "vs_ref": 1.0}, fh)
+    out_path = str(tmp_path / "q.json")
+    old = sys.argv
+    try:
+        # valid control stamp accepted
+        sys.argv = ["merge", out_path] + shard_paths + ["--quiet", ctl]
+        mod.main()
+        merged = json.load(open(out_path))
+        assert merged["n"] == 2
+        # a shard artifact after --quiet is refused
+        sys.argv = ["merge", out_path, shard_paths[0],
+                    "--quiet", shard_paths[0]]
+        with pytest.raises(AssertionError, match="quiet"):
+            mod.main()
+    finally:
+        sys.argv = old
+
+
+def test_patch_profile_rows_replaces_and_resolves(tmp_path):
+    # r11: targeted re-profile rows replace pre-fix timings and retire
+    # matching cold/warm error rows; derived fields recomputed.
+    mod = _load("patch_profile_rows")
+    base = {"metric": "query_profile", "sf_dir": "/x",
+            "times": {"qa": 5.0, "qb": 801.0},
+            "times_norm": {"qa": 4.9, "qb": 800.0},
+            "topN_warm": {"qb": 916.0},
+            "errors": {"qc": "boom", "warm:qd": "warmboom"},
+            "n": 2, "total_sec": 806.0,
+            "elapsed_sec": 100.0, "elapsed_cpu_sec": 400.0}
+    patch = {"metric": "query_profile", "sf_dir": "/x",
+             "times": {"qb": 100.0, "qc": 50.0, "qd": 7.0},
+             "times_norm": {"qb": 99.0, "qc": 49.0, "qd": 7.1},
+             "topN_warm": {"qb": 95.0, "qc": 48.0}, "errors": {},
+             "elapsed_sec": 200.0, "control": {"vs_ref": 1.0}}
+    bp, pp = str(tmp_path / "b.json"), str(tmp_path / "p.json")
+    json.dump(base, open(bp, "w"))
+    json.dump(patch, open(pp, "w"))
+    out_path = str(tmp_path / "o.json")
+    old = sys.argv
+    sys.argv = ["patch", out_path, bp, pp, "--note", "single-process"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    o = json.load(open(out_path))
+    assert o["times"] == {"qa": 5.0, "qb": 100.0, "qc": 50.0, "qd": 7.0}
+    assert o["errors"] == {}
+    assert o["topN_warm"]["qb"] == 95.0
+    assert o["n"] == 4 and o["total_sec"] == 162.0
+    assert o["patched_rows"]["resolved_errors"] == ["qc", "warm:qd"]
+    assert o["patched_rows"]["replaced"] == ["qb"]
+    # sf mismatch refused
+    patch2 = dict(patch, sf_dir="/y")
+    json.dump(patch2, open(pp, "w"))
+    sys.argv = ["patch", out_path, bp, pp]
+    try:
+        with pytest.raises(AssertionError, match="sf mismatch"):
+            mod.main()
+    finally:
+        sys.argv = old

@@ -87,6 +87,14 @@ def main() -> None:
     if shard:
         i, k = (int(x) for x in shard.split("/"))
         names = [n for j, n in enumerate(names) if j % k == i]
+    only = os.environ.get("SWEEP_ONLY")
+    if only:
+        # r11: targeted re-profile of named rows (error-row retirement
+        # / post-fix re-timing) — merged back with patch_profile_rows
+        want = [n for n in only.split(",") if n]
+        missing = [n for n in want if n not in reg]
+        assert not missing, f"SWEEP_ONLY names not in registry: {missing}"
+        names = [n for n in names if n in set(want)]
     skip_path = os.environ.get("SWEEP_SKIP")
     if skip_path:
         # resume support: names already timed by a prior (crashed)
