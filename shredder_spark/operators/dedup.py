@@ -497,12 +497,89 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     cold_cand = _cand(cold.alias("a"), cold.alias("b"), F.lit(True))
 
     hot = quads.join(F.broadcast(hot_keys), ["q", "qv"], "left_semi")
-    hot_a = hot.withColumn(
-        "_salt", F.pmod(F.xxhash64("_id"), F.lit(salts)).cast("int"))
-    hot_b = hot.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
-    hot_cand = _cand(hot_a.alias("a"), hot_b.alias("b"),
-                     F.col("a._salt") == F.col("b._salt"))
+
+    # Hot-bucket RE-BLOCKING (r11, from SIMHASH_DECOMP_r10: 790 hot
+    # buckets carried 83% of the 4.4e10 sf100 candidate volume — the
+    # slope is candidate count, so salting alone only spreads the
+    # work; this removes it). Pigeonhole again, one level down: a
+    # qualifying pair in a hot bucket agrees on the key blocks, so
+    # its ≤ max_distance flips all fall in the REMAINING
+    # 64 − key_blocks·bb bits; split those into max_distance+1
+    # sub-ranges and the pair shares ≥1 whole sub-range. Joining hot
+    # rows on (q, qv, sq, sub-value) subdivides a hot bucket ~2^bits
+    # ways for non-duplicate pairs while keeping recall exact; the
+    # lowest-equal-sub-range trick keeps emission exactly-once (same
+    # x&-x form as the combo mask). Sub-buckets that stay hot
+    # (near-identical remaining bits = genuinely duplicate-dense
+    # content) still get the salt spread.
+    n_sub = max_distance + 1
+    rem_width = (n_blocks - key_blocks) * bb
+    if rem_width >= n_sub and rem_width <= 63:
+        sub_bits = rem_width // n_sub
+        # remaining-bit value depends on WHICH combo the row's key
+        # used: one packed expression per combo, indexed by q
+        rem_exprs = []
+        for combo in combos:
+            others = [k for k in range(n_blocks) if k not in combo]
+            rv = _block("_sh", others[0])
+            for pos, k in enumerate(others[1:], start=1):
+                rv = rv + _block("_sh", k) * F.lit(1 << (bb * pos))
+            rem_exprs.append(rv.cast("long"))
+        hot = hot.withColumn(
+            "_rem", F.element_at(F.array(*rem_exprs), F.col("q") + 1))
+
+        def _sub(col: str, j: int):
+            width = sub_bits if j < n_sub - 1 else rem_width - sub_bits * (
+                n_sub - 1)
+            return (F.shiftrightunsigned(col, j * sub_bits)
+                    .bitwiseAND(F.lit((1 << width) - 1)))
+
+        hot = (hot.select(
+            "*", F.explode(F.array(*[
+                F.struct(F.lit(j).alias("sq"),
+                         _sub("_rem", j).alias("sqv"))
+                for j in range(n_sub)])).alias("_sb"))
+            .select(F.col("_id"), F.col("_sh"), F.col("q"), F.col("qv"),
+                    F.col("cm"), F.col("_rem"),
+                    F.col("_sb.sq").alias("sq"),
+                    F.col("_sb.sqv").alias("sqv")))
+
+        def _sub_first_match():
+            sm = None
+            for j in range(n_sub):
+                term = F.when(_sub("a._rem", j) == _sub("b._rem", j),
+                              F.lit(1 << j)).otherwise(F.lit(0))
+                sm = term if sm is None else sm + term
+            return F.expr("shiftleft(1, a.sq)") == sm.bitwiseAND(-sm)
+
+        sub_keys_eq = ((F.col("a.sq") == F.col("b.sq")) &
+                       (F.col("a.sqv") == F.col("b.sqv")) &
+                       _sub_first_match())
+        hot2_keys = (hot.groupBy("q", "qv", "sq", "sqv").count()
+                     .filter(F.col("count") > salt_threshold)
+                     .select("q", "qv", "sq", "sqv"))
+        cold2 = hot.join(F.broadcast(hot2_keys),
+                         ["q", "qv", "sq", "sqv"], "left_anti")
+        cold2_cand = _cand(cold2.alias("a"), cold2.alias("b"),
+                           sub_keys_eq)
+        hot2 = hot.join(F.broadcast(hot2_keys),
+                        ["q", "qv", "sq", "sqv"], "left_semi")
+        hot2_a = hot2.withColumn(
+            "_salt", F.pmod(F.xxhash64("_id"), F.lit(salts)).cast("int"))
+        hot2_b = hot2.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        hot_cand = cold2_cand.unionByName(_cand(
+            hot2_a.alias("a"), hot2_b.alias("b"),
+            sub_keys_eq & (F.col("a._salt") == F.col("b._salt"))))
+    else:
+        # no re-blockable remaining bits (whole-fingerprint keys):
+        # equal key already implies the pair qualifies — salt only
+        hot_a = hot.withColumn(
+            "_salt", F.pmod(F.xxhash64("_id"), F.lit(salts)).cast("int"))
+        hot_b = hot.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        hot_cand = _cand(hot_a.alias("a"), hot_b.alias("b"),
+                         F.col("a._salt") == F.col("b._salt"))
     if _stages is not None:
         # introspection hook for tools/simhash_decompose.py: the SAME
         # lazy frames the operator composes, so stage timings measure

@@ -89,6 +89,28 @@ def test_simhash_whole_fingerprint_key_no_ansi_overflow(spark, doc_block):
     assert folded == base and len(folded) >= 3
 
 
+def test_simhash_hot_bucket_reblocking_same_pairs(spark, documents):
+    """r11: hot buckets are re-blocked on the remaining bits
+    (max_distance+1 sub-ranges; pigeonhole one level down) before any
+    salting. Forcing EVERY bucket hot (salt_threshold=1) must yield
+    exactly the all-cold path's pair set — recall preserved AND
+    exactly-once emission preserved (set equality implies no dup rows
+    because simhash_pairs emits each pair at one combo+sub-range)."""
+    blk = documents.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    for md in (0, 3):
+        base = D.simhash_pairs(blk, "doc_id", "text",
+                               max_distance=md).collect()
+        hot = D.simhash_pairs(blk, "doc_id", "text", max_distance=md,
+                              salt_threshold=1, salts=4).collect()
+        base_pairs = {(r.i, r.j) for r in base}
+        hot_pairs = {(r.i, r.j) for r in hot}
+        assert len(base) == len(base_pairs)  # exactly-once, cold path
+        assert len(hot) == len(hot_pairs)    # exactly-once, hot path
+        assert hot_pairs == base_pairs, (
+            f"md={md}: {len(hot_pairs ^ base_pairs)} differing pairs")
+    assert base_pairs, "fixture must contain qualifying pairs at md=3"
+
+
 def test_ngram_jaccard(spark, doc_block):
     ng = _pairs(D.ngram_jaccard_pairs(doc_block, "doc_id", "text", n=3,
                                       threshold=0.5))
