@@ -16691,8 +16691,13 @@ WITH bc AS (SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS cust
             JOIN orders o ON o.o_orderkey = l.l_orderkey),
      n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS nc
            FROM bc GROUP BY brand),
+     -- cust IS NOT NULL: the self-join form this replaces can never
+     -- match a NULL customer (NULL = NULL is not true), but GROUP BY
+     -- would collapse all NULL custs into one group and emit
+     -- spurious pairs; brand NULLs need no guard (COLLECT_SET drops
+     -- them, as a.brand < b.brand drops them in the join form)
      cb AS (SELECT cust, SORT_ARRAY(COLLECT_SET(brand)) AS brands
-            FROM bc GROUP BY cust),
+            FROM bc WHERE cust IS NOT NULL GROUP BY cust),
      ov AS (SELECT pr.b1 AS b1, pr.b2 AS b2,
                    CAST(COUNT(*) AS BIGINT) AS shared
             FROM cb

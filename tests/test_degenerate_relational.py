@@ -109,6 +109,20 @@ def degenerate_sf_dir(tmp_path_factory):
              l_linenumber=1, l_quantity=12.0, l_extendedprice=300.0,
              l_discount=0.04, l_tax=0.01, l_returnflag="N",
              l_linestatus="O", l_shipdate=pre70),
+        # lines under the customer-less (NULL o_custkey) order below:
+        # lineitem→orders→customer paths must treat the NULL FK as
+        # join-dropping, and GROUP BY o_custkey rewrites must not
+        # collapse NULL custs into a real group (r11: q624's
+        # collect_set form would have); two lines with two brands so
+        # a NULL-cust "customer" would emit a spurious brand pair
+        dict(l_orderkey=omax + 3, l_partkey=pk1, l_suppkey=sk1,
+             l_linenumber=1, l_quantity=1.0, l_extendedprice=50.0,
+             l_discount=0.0, l_tax=0.0, l_returnflag="N",
+             l_linestatus="O", l_shipdate=_ts("1997-06-01T00:00:00")),
+        dict(l_orderkey=omax + 3, l_partkey=pmax + 1, l_suppkey=sk1,
+             l_linenumber=2, l_quantity=2.0, l_extendedprice=60.0,
+             l_discount=0.1, l_tax=0.01, l_returnflag="A",
+             l_linestatus="F", l_shipdate=_ts("1997-06-02T00:00:00")),
     ])
     _append(SF_BASE, d, "orders", [
         # zero totalprice, epoch orderdate, no lineitems, NULL-bal cust

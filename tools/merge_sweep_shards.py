@@ -61,8 +61,10 @@ def main() -> None:
         f"shards are not a complete disjoint partition: got {sorted(seen)}, "
         f"want 0..{k - 1} (duplicate or missing shard file?)")
     failures: dict = {}
+    dispositioned: dict = {}
     for s in shards:
         failures.update(s.get("failures", {}))
+        dispositioned.update(s.get("dispositioned") or {})
     quiet = [json.load(open(p)) for p in quiet_paths]
     merged = {
         "metric": "oracle_sweep_full",
@@ -73,6 +75,7 @@ def main() -> None:
         "paired": sum(s["paired"] for s in shards),
         "rows_only": sum(s["rows_only"] for s in shards),
         "failures": failures,
+        "dispositioned": dispositioned or None,
         "elapsed_sec": round(max(s["elapsed_sec"] for s in shards), 1),
         "elapsed_cpu_sec": round(sum(s["elapsed_sec"] for s in shards), 1),
         "control": {
