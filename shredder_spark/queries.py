@@ -16654,7 +16654,84 @@ FROM s
 # Brand-affinity matrix: customer-set Jaccard between brand pairs
 # (which brands share buyers) — the assortment/cannibalization view,
 # exact distinct-customer counts.
+def _q624_builder(spark: SparkSession) -> DataFrame:
+    # r11 second rewrite: the output is a |brands|x|brands| customer
+    # co-occurrence matrix — V^T V over the (customer x brand) 0/1
+    # membership matrix. Even pair-EXPLODING (first r11 form) still
+    # generated ~4.5e9 rows at sf100 (502 s); as a bounded GEMM the
+    # same 9.4e9 multiply-adds run in BLAS in seconds and NOTHING
+    # pair-shaped is ever materialized: one distinct shuffle builds
+    # (brand, cust), one groupBy builds per-customer brand id arrays,
+    # mapInPandas accumulates a dense 25x25 int partial per Arrow
+    # batch (<=625 rows emitted per partition), and a final tiny
+    # groupBy sums partials. NULL custs excluded from pair counting
+    # (the join form never matched them); the n() denominators keep
+    # oracle semantics (COUNT(*) per brand over bc, NULL custs
+    # included). 100 TB shape: cost = rows x |brands| flops, bounded
+    # output at every stage after the distinct.
+    import pandas as pd
+
+    bc = spark.sql("""
+        SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS cust
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey""").persist()
+    # brand domain from the dimension table (bounded collect: the
+    # p_brand domain is tiny at every sf; superset of bc's brands —
+    # zero-customer brands get empty matrix rows and emit nothing)
+    brands = sorted(r.p_brand for r in
+                    spark.table("part").select("p_brand").distinct()
+                    .collect() if r.p_brand is not None)
+    assert 0 < len(brands) <= 4096, "brand domain too wide for dense GEMM"
+    idx = {b: i for i, b in enumerate(brands)}
+    nb = len(brands)
+    bl = spark.createDataFrame(
+        [(i, b) for b, i in idx.items()], "bi int, brand string")
+
+    sets = (bc.filter(F.col("cust").isNotNull() &
+                      F.col("brand").isNotNull())
+            .join(F.broadcast(bl), "brand")
+            .groupBy("cust").agg(F.collect_list("bi").alias("bis")))
+
+    def _cooc(batches):
+        import numpy as np
+
+        m = np.zeros((nb, nb), dtype=np.int64)
+        for pdf in batches:
+            lists = pdf["bis"]
+            flat = np.fromiter((b for l in lists for b in l), dtype=np.int32)
+            rows = np.repeat(np.arange(len(lists), dtype=np.int32),
+                             [len(l) for l in lists])
+            x = np.zeros((len(lists), nb), dtype=np.float32)
+            x[rows, flat] = 1.0
+            m += (x.T @ x).astype(np.int64)
+        i, j = np.nonzero(np.triu(m, 1))
+        yield pd.DataFrame({"i": i.astype("int32"), "j": j.astype("int32"),
+                            "c": m[i, j]})
+
+    shared = (sets.mapInPandas(_cooc, "i int, j int, c long")
+              .groupBy("i", "j").agg(F.sum("c").alias("shared")))
+    n = bc.groupBy("brand").agg(F.count(F.lit(1)).alias("nc"))
+    out = (shared
+           .join(F.broadcast(bl).alias("b1"), F.col("i") == F.col("b1.bi"))
+           .join(F.broadcast(bl).alias("b2"), F.col("j") == F.col("b2.bi"))
+           .select(F.col("b1.brand").alias("b1"),
+                   F.col("b2.brand").alias("b2"), "shared")
+           .join(F.broadcast(n).alias("na"),
+                 F.col("b1") == F.col("na.brand"))
+           .join(F.broadcast(n).alias("nb"),
+                 F.col("b2") == F.col("nb.brand"))
+           .select("b1", "b2", F.col("shared").cast("long").alias("shared"),
+                   (F.floor(F.col("shared") * 1000000.0
+                            / (F.col("na.nc") + F.col("nb.nc")
+                               - F.col("shared"))) / 1000000.0)
+                   .alias("customer_jaccard"))
+           .orderBy(F.desc("customer_jaccard"), "b1", "b2").limit(15))
+    return out
+
+
 _q("q624_brand_affinity",
+   builder=_q624_builder,
    oracle="""
 WITH bc AS (SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS cust
             FROM lineitem l
