@@ -66,7 +66,7 @@ def main() -> None:
     art["top30_norm"] = {n: art["times_norm"][n] for n, _ in ranked[:30]
                          if n in art.get("times_norm", {})}
     art["p50"] = ranked[len(ranked) // 2][1] if ranked else None
-    art["patched_rows"] = {
+    rec = {
         "names": patched,
         "replaced": replaced,
         "added": [n for n in patched if n not in replaced],
@@ -74,6 +74,14 @@ def main() -> None:
         "patch_control": patch.get("control"),
         "note": note,
     }
+    # repeated patches append — each pass keeps its own provenance
+    prior = art.get("patched_rows")
+    if prior is None:
+        art["patched_rows"] = rec
+    elif isinstance(prior, list):
+        art["patched_rows"] = prior + [rec]
+    else:
+        art["patched_rows"] = [prior, rec]
     with open(out_path, "w") as fh:
         json.dump(art, fh)
     print(json.dumps({"n": art["n"], "patched": len(patched),
