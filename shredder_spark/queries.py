@@ -11122,7 +11122,11 @@ _q("q471_grubbs_statistic", """
 WITH g AS (SELECT c_mktsegment AS seg,
                   CAST(COUNT(*) AS BIGINT) AS n,
                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sx,
-                  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  -- DECIMAL(38,0): Σcents² ≈ 7.5e17 at sf100 — an
+                  -- order from 2^63; widened with its q430/q503/q659
+                  -- siblings rather than waiting for the decade that
+                  -- tips it (DuckDB widens to HUGEINT either way)
+                  SUM(CAST(ROUND(c_acctbal * 100) AS DECIMAL(38,0))
                       * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sxx,
                   MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mx,
                   MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS mn
@@ -18029,8 +18033,11 @@ WITH v AS (SELECT o_orderpriority AS grp,
            FROM orders),
      g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
            FROM v GROUP BY grp),
+     -- DECIMAL(38,0) product: Σx² ≈ 150M · (5e5)² ≈ 2e21 passes 2^63
+     -- at sf100 (ANSI throw; DuckDB HUGEINT just widens) — caught by
+     -- the r11 sf100 paired sample, same class as q430/q503/q522/q567
      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
-                    SUM(x * x) AS sxx
+                    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
              FROM v),
      ss AS (SELECT
               (SELECT SUM(CAST(g.sx AS DOUBLE) * g.sx / g.n) FROM g)
