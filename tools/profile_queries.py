@@ -24,6 +24,15 @@ Results are collected via count() on the final DataFrame (forces full
 execution of every operator without driver-side materialization of
 wide rows).
 
+CAVEAT (r11): count() is subject to Catalyst column pruning — window
+operators whose outputs feed nothing downstream are REMOVED under a
+bare count, so a pure-window-over-scan row (q21-class) times the
+scan+count, not the sort (q21 at sf100: 5.2 s here vs ~28 min for
+its value run). bench.py's noop-write drain does not prune; the
+window family's real scale behavior is carried by the value-compared
+sweeps and the grouped-rank tier timings. The profile keeps count()
+for cross-decade comparability with the r8–r10 artifacts.
+
 Round-10 upgrades (r9 verdict task 1 — the sf100 full profile):
 - ``SWEEP_SHARD=i/k`` runs the i-th of k deterministic name-sorted
   round-robin shards (same protocol as oracle_sweep_full.py) so the
