@@ -77,10 +77,14 @@ CYCLES = 3          # timed reps per headline query (median reported)
 CTRL_PER_GAP = 2    # control reps at every query boundary (~62 total)
 TRIM_FRAC = 0.2     # trimmed-core fraction for the control stamp
 # Versioned full-artifact name. Derived, not hardcoded (the r9/r10
-# stale-tag bug overwrote committed BENCH_r09_full.json twice): the
-# driver commits CORRECTNESS_r{N}.json at each round's END, so the
-# highest N present means we are RUNNING round N+1. BENCH_ROUND env
-# still overrides.
+# stale-tag bug overwrote committed BENCH_r09_full.json twice; the
+# r11 max+1 rule then labeled the driver's bench one round AHEAD —
+# the driver writes CORRECTNESS_r{N}.json BEFORE benching, so max+1
+# stamped round 11's bench "BENCH_r12_full.json"). Rule now: the tag
+# is the highest CORRECTNESS round whose full bench does not exist
+# yet (the driver just wrote that round's correctness and is benching
+# the same round); if every correctness round already has its bench,
+# we are in a new round → max+1. BENCH_ROUND env still overrides.
 def _round_tag() -> str:
     import glob as _glob
     import re as _re
@@ -89,7 +93,12 @@ def _round_tag() -> str:
     ns = [int(m.group(1)) for p in _glob.glob(
         os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
-    return f"r{(max(ns) + 1) if ns else 1:02d}"
+    if not ns:
+        return "r01"
+    n = max(ns)
+    if not os.path.exists(os.path.join(here, f"BENCH_r{n:02d}_full.json")):
+        return f"r{n:02d}"
+    return f"r{n + 1:02d}"
 
 
 ROUND_TAG = _round_tag()

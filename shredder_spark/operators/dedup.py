@@ -356,6 +356,28 @@ def hamming64(a: Column, b: Column) -> Column:
 _SIMHASH_QUADS_CACHE: DataFrame | None = None
 
 
+def _sub_first_match_pred(n_sub: int, sub_bits: int, rem_width: int):
+    """Exactly-once predicate for the hot-bucket sub-range re-block:
+    true iff ``a.sq`` is the LOWEST sub-range index where ``a._rem``
+    and ``b._rem`` agree. ``shiftleft`` needs a bigint base — with an
+    int literal the shift count wraps mod 32, so a pair whose lowest
+    equal sub-range is ≥ 31 (reachable at n_sub up to 63, e.g.
+    n_blocks=64 / key_blocks=1 / max_distance ≥ 30) would be silently
+    dropped (r12 advice guard; pinned in tests/test_llm_ops.py)."""
+    def sub(col, j):
+        width = sub_bits if j < n_sub - 1 else rem_width - sub_bits * (
+            n_sub - 1)
+        return (F.shiftrightunsigned(col, j * sub_bits)
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
+    sm = None
+    for j in range(n_sub):
+        term = F.when(sub("a._rem", j) == sub("b._rem", j),
+                      F.lit(1 << j)).otherwise(F.lit(0))
+        sm = term if sm is None else sm + term
+    return F.expr("shiftleft(1L, a.sq)") == sm.bitwiseAND(-sm)
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_distance: int = 3, n_blocks: int = 4,
                   key_blocks: int = 1, salt_threshold: int = 4096,
@@ -544,17 +566,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.col("_sb.sq").alias("sq"),
                     F.col("_sb.sqv").alias("sqv")))
 
-        def _sub_first_match():
-            sm = None
-            for j in range(n_sub):
-                term = F.when(_sub("a._rem", j) == _sub("b._rem", j),
-                              F.lit(1 << j)).otherwise(F.lit(0))
-                sm = term if sm is None else sm + term
-            return F.expr("shiftleft(1, a.sq)") == sm.bitwiseAND(-sm)
-
         sub_keys_eq = ((F.col("a.sq") == F.col("b.sq")) &
                        (F.col("a.sqv") == F.col("b.sqv")) &
-                       _sub_first_match())
+                       _sub_first_match_pred(n_sub, sub_bits, rem_width))
         hot2_keys = (hot.groupBy("q", "qv", "sq", "sqv").count()
                      .filter(F.col("count") > salt_threshold)
                      .select("q", "qv", "sq", "sqv"))

@@ -16658,6 +16658,9 @@ FROM s
 # Brand-affinity matrix: customer-set Jaccard between brand pairs
 # (which brands share buyers) — the assortment/cannibalization view,
 # exact distinct-customer counts.
+_Q624_BC_CACHE = None
+
+
 def _q624_builder(spark: SparkSession) -> DataFrame:
     # r11 second rewrite: the output is a |brands|x|brands| customer
     # co-occurrence matrix — V^T V over the (customer x brand) 0/1
@@ -16675,11 +16678,23 @@ def _q624_builder(spark: SparkSession) -> DataFrame:
     # output at every stage after the distinct.
     import pandas as pd
 
+    # cache lifecycle (r12 advice guard): bc must outlive the returned
+    # lazy DataFrame's first action, so it is not unpersisted here;
+    # instead each builder call unpersists the PREVIOUS invocation's
+    # cache (the simhash_pairs module-handle pattern), capping pinned
+    # storage at one copy across repeated harness/profiling calls.
+    global _Q624_BC_CACHE
+    if _Q624_BC_CACHE is not None:
+        try:
+            _Q624_BC_CACHE.unpersist()
+        except Exception:  # session may be gone
+            pass
     bc = spark.sql("""
         SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS cust
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey""").persist()
+    _Q624_BC_CACHE = bc
     # brand domain from the dimension table (bounded collect: the
     # p_brand domain is tiny at every sf; superset of bc's brands —
     # zero-customer brands get empty matrix rows and emit nothing)

@@ -111,6 +111,25 @@ def test_simhash_hot_bucket_reblocking_same_pairs(spark, documents):
     assert base_pairs, "fixture must contain qualifying pairs at md=3"
 
 
+def test_simhash_sub_first_match_high_subrange(spark):
+    """r12 advice guard: the exactly-once sub-range predicate shifts a
+    BIGINT base. With an int base, shiftleft wraps the count mod 32, so
+    a pair whose lowest equal sub-range index is ≥ 31 (reachable at
+    n_sub up to 63) would be silently dropped. Construct that exact
+    shape: n_sub=33 / sub_bits=1 / rem_width=63 (the n_blocks=64 /
+    key_blocks=1 / max_distance=32 geometry); a._rem=0 vs
+    b._rem=0xFFFFFFFF differ in single-bit sub-ranges 0..31 and agree
+    only at sub-range 32, so the pair must be emitted at sq=32 and
+    nowhere else."""
+    a = spark.createDataFrame([(0, sq) for sq in (0, 31, 32)],
+                              "_rem long, sq int").alias("a")
+    b = spark.createDataFrame([(0xFFFFFFFF,)], "_rem long").alias("b")
+    pred = D._sub_first_match_pred(n_sub=33, sub_bits=1, rem_width=63)
+    got = {r.sq for r in
+           a.crossJoin(b).filter(pred).select("a.sq").collect()}
+    assert got == {32}
+
+
 def test_ngram_jaccard(spark, doc_block):
     ng = _pairs(D.ngram_jaccard_pairs(doc_block, "doc_id", "text", n=3,
                                       threshold=0.5))

@@ -170,3 +170,37 @@ def test_patch_profile_rows_replaces_and_resolves(tmp_path):
             mod.main()
     finally:
         sys.argv = old
+
+
+def test_patch_profile_rows_drops_stale_derived_entries(tmp_path):
+    # r12 advice guard: a patch that re-times a query but carries no
+    # times_norm/topN_warm entry for it must DROP the base's pre-fix
+    # derived values, not let them survive beside the replaced raw
+    # timing (they'd feed the recomputed top30_norm with a pre-fix
+    # measurement).
+    mod = _load("patch_profile_rows")
+    base = {"metric": "query_profile", "sf_dir": "/x",
+            "times": {"qa": 5.0, "qb": 801.0},
+            "times_norm": {"qa": 4.9, "qb": 800.0},
+            "topN_warm": {"qb": 916.0},
+            "errors": {}, "n": 2, "total_sec": 806.0,
+            "elapsed_sec": 100.0, "elapsed_cpu_sec": 400.0}
+    patch = {"metric": "query_profile", "sf_dir": "/x",
+             "times": {"qb": 100.0},  # no times_norm / topN_warm
+             "errors": {}, "elapsed_sec": 50.0}
+    bp, pp = str(tmp_path / "b.json"), str(tmp_path / "p.json")
+    json.dump(base, open(bp, "w"))
+    json.dump(patch, open(pp, "w"))
+    out_path = str(tmp_path / "o.json")
+    old = sys.argv
+    sys.argv = ["patch", out_path, bp, pp]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    o = json.load(open(out_path))
+    assert o["times"]["qb"] == 100.0
+    assert "qb" not in o["times_norm"]
+    assert "qb" not in o["topN_warm"]
+    assert "qb" not in o["top30_norm"]
+    assert o["times_norm"] == {"qa": 4.9}

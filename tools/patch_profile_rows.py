@@ -44,6 +44,13 @@ def main() -> None:
     resolved_errors = []
     for n in patched:
         art["times"][n] = patch["times"][n]
+        # drop the BASE row's derived entries first (r12 advice guard):
+        # if the patch timed a query but lacks its times_norm/topN_warm
+        # entry, a surviving pre-fix value would sit beside the
+        # replaced raw timing and feed the recomputed top30_norm —
+        # mixing pre- and post-fix measurements in one row
+        art.get("times_norm", {}).pop(n, None)
+        art.get("topN_warm", {}).pop(n, None)
         if n in patch.get("times_norm", {}):
             art.setdefault("times_norm", {})[n] = patch["times_norm"][n]
         if n in patch.get("topN_warm", {}):
