@@ -3,16 +3,24 @@
 The per-row codec (``avro_codec.RecordCodec``) encodes field-by-field
 in Python — fine for Kafka framing (one record per message), but the
 OCF sink hot loop is O(rows × fields) interpreter work. This module
-encodes a whole Arrow batch with numpy:
+encodes a whole Arrow batch with numpy, padded-matrix style (r12 —
+the r8 form scattered every field's bytes into the output with fancy
+int64 indices, and those gather/scatters were ~90% of encode time):
 
 1. per field, compute the encoded byte LENGTH of every row (varint
    widths via threshold sums, string lengths straight from the Arrow
    offsets buffer);
-2. row lengths sum → exclusive cumsum = output offset of every row;
-3. per field, scatter the bytes into the output at
-   ``row_offset + Σ(previous field lengths)`` — ≤10 vectorized
-   stores for a varint column, ``width`` stores for a fixed column,
-   one gather/scatter pair for string payloads.
+2. allocate a padded (rows × Σ field-slot-widths) byte matrix plus a
+   same-shape validity mask, where each field owns a fixed column
+   block sized to its batch-max width (varint max ≤ 10, string block
+   = header max + longest value). Every write is then a STRIDED
+   column or block store — no fancy indexing; uniform-width string
+   payloads (the fixed-width-feed shape) land as one reshaped-view
+   block copy, and their constant-width varint headers collapse to
+   memsets;
+3. one boolean-mask compress of the raveled matrix emits the exact
+   row-major Avro byte stream (row lengths → cumsum gives per-row
+   offsets for the OCF/Kafka framings).
 
 Exactness: ``encode_batch(rc, batch)`` equals
 ``b"".join(rc.encode(row) for row in rows)`` byte-for-byte (pinned in
@@ -39,6 +47,7 @@ from shredder_spark.sinks.avro_codec import (
 
 _VARINT_MAX = 10
 _U64_ONE = np.uint64(1)
+_ENC_ROWS = 16384  # encode sub-slice: padded matrix + mask stay cache-resident
 
 _INT_TYPES = frozenset({
     "int", "long", "date", "timestamp-millis", "timestamp-micros",
@@ -51,70 +60,54 @@ def _zigzag(v: np.ndarray) -> np.ndarray:
 
 
 def _varint_len(z: np.ndarray) -> np.ndarray:
-    """Encoded byte count per value: 1 + (# of 7-bit thresholds ≤ z)."""
+    """Encoded byte count per value: 1 + (# of 7-bit thresholds ≤ z).
+    The threshold loop stops at the column's max — small-int columns
+    (the common shape) pay 2-3 compares instead of 9."""
     n = np.ones(len(z), dtype=np.int64)
+    if len(z) == 0:
+        return n
+    zm = int(z.max())
     for k in range(1, _VARINT_MAX):
-        n += (z >= (_U64_ONE << np.uint64(7 * k)))
+        t = 1 << (7 * k)
+        if zm < t:
+            break
+        n += (z >= np.uint64(t))
     return n
 
 
-def _scatter_varint(out: np.ndarray, pos: np.ndarray, z: np.ndarray,
-                    nb: np.ndarray, mask: np.ndarray | None) -> None:
-    for k in range(_VARINT_MAX):
-        m = nb > k
-        if mask is not None:
-            m = m & mask
-        if m.all():  # dense plane: skip the fancy-index compaction
-            byte = ((z >> np.uint64(7 * k)) & np.uint64(0x7F)) \
-                .astype(np.uint8)
-            cont = (nb > (k + 1)).astype(np.uint8) << np.uint8(7)
-            out[pos + k] = byte | cont
-            continue
-        if not m.any():
-            break  # nb is checked in increasing k: once empty, done
-        byte = ((z[m] >> np.uint64(7 * k)) & np.uint64(0x7F)) \
-            .astype(np.uint8)
-        cont = (nb[m] > (k + 1)).astype(np.uint8) << np.uint8(7)
-        out[pos[m] + k] = byte | cont
+_SHIFTS = np.arange(_VARINT_MAX, dtype=np.uint64) * np.uint64(7)
 
 
-def _scatter_fixed(out: np.ndarray, pos: np.ndarray, planes: np.ndarray,
-                   mask: np.ndarray | None) -> None:
-    if mask is not None:
-        pos = pos[mask]
-        planes = planes[mask]
-    for j in range(planes.shape[1]):
-        out[pos + j] = planes[:, j]
-
-
-def _scatter_payload(out: np.ndarray, dst: np.ndarray, data: np.ndarray,
-                     src: np.ndarray, lens: np.ndarray,
-                     valid: np.ndarray) -> None:
-    m = valid & (lens > 0)
-    if not m.any():
+def _fill_varint(pb: np.ndarray, pm: np.ndarray, off: int,
+                 z: np.ndarray, nb: np.ndarray, vmax: int,
+                 valid: np.ndarray | None) -> None:
+    """Varint planes into the padded matrix. Computed as one
+    contiguous (n, vmax) block and stored with a single block write —
+    per-plane column stores hit a different cache line per row (the
+    padded row stride) and were ~3× slower. Dead rows carry garbage
+    bytes, masked off."""
+    if vmax == 1:
+        # single-byte fast path (no continuation bit possible)
+        pb[:, off] = (z & np.uint64(0x7F)).astype(np.uint8)
+        pm[:, off] = True if valid is None else valid
         return
-    lm = lens[m]
-    dm = dst[m]
-    sm = src[m]
-    w = lm[0]
-    if (lm == w).all():  # uniform width (fixed-width feeds): 2-D gather
-        cols = np.arange(w, dtype=np.int64)
-        out[dm[:, None] + cols] = data[sm[:, None] + cols]
-        return
-    total = int(lm.sum())
-    cum = np.zeros(len(lm), dtype=np.int64)
-    np.cumsum(lm[:-1], out=cum[1:])
-    reps = np.repeat(np.arange(len(lm)), lm)
-    within = np.arange(total, dtype=np.int64) - cum[reps]
-    out[dm[reps] + within] = data[sm[reps] + within]
+    planes = ((z[:, None] >> _SHIFTS[:vmax]) & np.uint64(0x7F)) \
+        .astype(np.uint8)
+    live = nb[:, None] > np.arange(vmax, dtype=np.int64)
+    planes |= (nb[:, None] > np.arange(1, vmax + 1)).view(np.uint8) \
+        << np.uint8(7)
+    pb[:, off:off + vmax] = planes
+    pm[:, off:off + vmax] = live if valid is None \
+        else (live & valid[:, None])
 
 
 class _Prep:
-    __slots__ = ("length", "write")
+    __slots__ = ("length", "slots", "fill")
 
-    def __init__(self, length, write):
-        self.length = length
-        self.write = write
+    def __init__(self, length, slots, fill):
+        self.length = length   # exact encoded bytes per row (int64)
+        self.slots = slots     # padded columns owned by this field
+        self.fill = fill       # fill(pb, pm, off) -> None
 
 
 def _prep_field(fname: str, tname: str, null_index: int,
@@ -131,36 +124,44 @@ def _prep_field(fname: str, tname: str, null_index: int,
         valid = ~col.is_null().to_numpy(zero_copy_only=False)
 
     if tname == "boolean":
-        vals = pc.fill_null(col, False).to_numpy(zero_copy_only=False) \
-            .astype(np.uint8).reshape(n, 1)
+        fc = pc.fill_null(col, False) if has_nulls else col
+        vals = fc.to_numpy(zero_copy_only=False).astype(np.uint8)
         vlen = np.ones(n, dtype=np.int64)
+        vslots = 1
 
-        def write_val(out, pos, mask):
-            _scatter_fixed(out, pos, vals, mask)
+        def fill_val(pb, pm, off):
+            pb[:, off] = vals
+            pm[:, off] = True if valid is None else valid
 
     elif tname in _INT_TYPES:
-        iv = pc.fill_null(col, 0)
+        iv = pc.fill_null(col, 0) if has_nulls else col
         if not pa.types.is_integer(iv.type):
             iv = iv.cast(pa.int64())  # temporal logicals → epoch ints
         v = iv.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         z = _zigzag(v)
         vlen = _varint_len(z)
+        vslots = int(vlen.max()) if n else 1
 
-        def write_val(out, pos, mask):
-            _scatter_varint(out, pos, z, vlen, mask)
+        def fill_val(pb, pm, off):
+            _fill_varint(pb, pm, off, z, vlen, vslots, valid)
 
     elif tname in ("float", "double"):
         width = 4 if tname == "float" else 8
-        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False) \
+        fc = pc.fill_null(col, 0.0) if has_nulls else col
+        v = fc.to_numpy(zero_copy_only=False) \
             .astype(f"<f{width}", copy=False)
         planes = np.ascontiguousarray(v).view(np.uint8).reshape(n, width)
         vlen = np.full(n, width, dtype=np.int64)
+        vslots = width
 
-        def write_val(out, pos, mask):
-            _scatter_fixed(out, pos, planes, mask)
+        def fill_val(pb, pm, off):
+            pb[:, off:off + width] = planes
+            pm[:, off:off + width] = (True if valid is None
+                                      else valid[:, None])
 
     elif tname in ("string", "bytes"):
-        fc = pc.fill_null(col, "" if tname == "string" else b"")
+        fc = (pc.fill_null(col, "" if tname == "string" else b"")
+              if has_nulls else col)
         big = pa.types.is_large_string(fc.type) \
             or pa.types.is_large_binary(fc.type)
         odt, osz = (np.int64, 8) if big else (np.int32, 4)
@@ -174,18 +175,38 @@ def _prep_field(fname: str, tname: str, null_index: int,
         zl = _zigzag(lens)
         hlen = _varint_len(zl)
         vlen = hlen + lens
-        all_valid = np.ones(n, dtype=bool)
+        hmax = int(hlen.max()) if n else 1
+        wmax = int(lens.max()) if n else 0
+        # uniform width + no nulls (the fixed-width-feed shape): the
+        # Arrow payload buffer IS an (n, wmax) matrix — block copy it
+        uniform = (n > 0 and wmax > 0 and valid is None
+                   and bool((lens == wmax).all()))
+        vslots = hmax + wmax
 
-        def write_val(out, pos, mask):
-            _scatter_varint(out, pos, zl, hlen, mask)
-            _scatter_payload(out, pos + hlen, data, src, lens,
-                             all_valid if mask is None else mask)
+        def fill_val(pb, pm, off):
+            _fill_varint(pb, pm, off, zl, hlen, hmax, valid)
+            poff = off + hmax
+            if wmax == 0:
+                return
+            if uniform:
+                start = int(src[0])
+                pb[:, poff:poff + wmax] = \
+                    data[start:start + n * wmax].reshape(n, wmax)
+                pm[:, poff:poff + wmax] = True
+                return
+            cols = np.arange(wmax, dtype=np.int64)
+            live = lens[:, None] > cols
+            pm[:, poff:poff + wmax] = \
+                live if valid is None else (live & valid[:, None])
+            if len(data):
+                idx = np.minimum(src[:, None] + cols, len(data) - 1)
+                pb[:, poff:poff + wmax] = data[idx]
 
     else:  # pragma: no cover
         raise ValueError(f"unsupported avro type {tname!r}")
 
     if not nullable:
-        return _Prep(vlen, lambda out, cur: write_val(out, cur, None))
+        return _Prep(vlen, vslots, fill_val)
 
     # union branch indexes are 0/1 → their zigzag varints are the
     # single bytes 0x00/0x02
@@ -194,17 +215,20 @@ def _prep_field(fname: str, tname: str, null_index: int,
     if valid is None:
         length = 1 + vlen
 
-        def write(out, cur):
-            out[cur] = val_byte
-            write_val(out, cur + 1, None)
+        def fill(pb, pm, off):
+            pb[:, off] = val_byte
+            pm[:, off] = True
+            fill_val(pb, pm, off + 1)
     else:
         length = 1 + np.where(valid, vlen, 0)
+        union_bytes = np.where(valid, val_byte, null_byte)
 
-        def write(out, cur):
-            out[cur] = np.where(valid, val_byte, null_byte)
-            write_val(out, cur + 1, valid)
+        def fill(pb, pm, off):
+            pb[:, off] = union_bytes
+            pm[:, off] = True
+            fill_val(pb, pm, off + 1)
 
-    return _Prep(length, write)
+    return _Prep(length, vslots + 1, fill)
 
 
 def _encode_core(rc: RecordCodec, batch: pa.RecordBatch):
@@ -218,17 +242,24 @@ def _encode_core(rc: RecordCodec, batch: pa.RecordBatch):
             f"{len(rc.fields)} fields")
     preps = []
     total = np.zeros(n, dtype=np.int64)
+    width = 0
     for (fname, tname, null_index), col in zip(rc.fields, batch.columns):
         p = _prep_field(fname, tname, null_index, col)
         preps.append(p)
         total = total + p.length
+        width += p.slots
+    # padded layout: every fill below is a strided column/block store;
+    # both matrices are fully written (each field covers all its slot
+    # columns, live or masked), so np.empty is safe
+    pb = np.empty((n, width), dtype=np.uint8)
+    pm = np.empty((n, width), dtype=bool)
+    off = 0
+    for p in preps:
+        p.fill(pb, pm, off)
+        off += p.slots
+    out = pb.reshape(-1)[pm.reshape(-1)]
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(total[:-1], out=starts[1:])
-    out = np.zeros(int(total.sum()), dtype=np.uint8)
-    cur = starts
-    for p in preps:
-        p.write(out, cur)
-        cur = cur + p.length
     return out, starts, total
 
 
@@ -283,7 +314,17 @@ def write_ocf_arrow(
             chunk = batch.slice(s, min(block_rows, batch.num_rows - s))
             if chunk.num_rows == 0:
                 continue
-            payload = encode_batch(rc, chunk)
+            if chunk.num_rows > _ENC_ROWS:
+                # encode in cache-sized sub-slices (the padded matrix
+                # of a 64 Ki-row chunk spills L2; ~25% faster at 16 Ki
+                # — r12 ingest-bar sweep) and concatenate: the block
+                # payload is a plain record concatenation, so the
+                # bytes are identical to one-shot encoding
+                payload = b"".join(
+                    encode_batch(rc, chunk.slice(t, _ENC_ROWS))
+                    for t in range(0, chunk.num_rows, _ENC_ROWS))
+            else:
+                payload = encode_batch(rc, chunk)
             comp = compress_block(codec, payload)
             head = io.BytesIO()
             write_long(head, chunk.num_rows)
@@ -373,7 +414,14 @@ def fixed_width_to_avro_fused(
                 os.remove(out_path)
             yield (i, n)
 
+    # Pack ranges into exactly ``tasks`` partitions (r12: the planner
+    # emits one range per FILE when total/cores exceeds a file's size,
+    # so parallelize(ranges, len(ranges)) ran one task per file — 32
+    # concurrent tasks on the 32-file bench fixture regardless of the
+    # requested shape, which is what inflated every "per-core at the
+    # 4-task shape" figure carried since r8). mapPartitions iterates
+    # the slice's ranges sequentially inside one task.
     counts = (spark.sparkContext
-              .parallelize(ranges, max(len(ranges), 1))
+              .parallelize(ranges, max(min(tasks, len(ranges)), 1))
               .mapPartitions(run).collect())
     return int(sum(n for _, n in counts))
