@@ -148,6 +148,12 @@ class KafkaWirePartitionStreamReader(DataSourceStreamReader):
         # planner-side last-known end offsets: latestOffset() never
         # regresses below a position it already planned
         self._last: dict[str, int] = {}
+        # r12: maxOffsetsPerTrigger analog — cap each microbatch's
+        # admission so a deep backlog replays as steady bounded
+        # batches instead of one giant batch (the knob the r12 soak
+        # leg measures sustained rate with). 0 = unlimited. The cap
+        # splits evenly across partitions (min 1/partition/trigger).
+        self.max_per_trigger = int(options.get("max_per_trigger", "0"))
 
     def initialOffset(self) -> dict:
         return {str(p): self.starting.get(p, 0) for p in self.parts}
@@ -171,6 +177,8 @@ class KafkaWirePartitionStreamReader(DataSourceStreamReader):
             got = parse_list_offsets_response_multi(_send_request(
                 sock, list_offsets_request_multi(self.topic, self.parts,
                                                  correlation_id=1)))
+            cap = (max(1, self.max_per_trigger // len(self.parts))
+                   if self.max_per_trigger > 0 else None)
             for p in self.parts:
                 if p not in got:
                     raise RuntimeError(
@@ -179,8 +187,11 @@ class KafkaWirePartitionStreamReader(DataSourceStreamReader):
                 if err:
                     raise RuntimeError(f"list_offsets error {err}")
                 frm = self._last.get(str(p), self.starting.get(p, 0))
-                out[str(p)] = max(hwm, frm)
-                self._last[str(p)] = out[str(p)]
+                end = max(hwm, frm)
+                if cap is not None:
+                    end = min(end, frm + cap)
+                out[str(p)] = end
+                self._last[str(p)] = end
         return out
 
     def partitions(self, start: dict, end: dict

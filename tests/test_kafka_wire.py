@@ -378,6 +378,35 @@ def test_partition_stream_reader_planner_contract():
             (0, 0), (0, 1), (1, 0)]
 
 
+def test_partition_stream_reader_max_per_trigger():
+    """r12: the maxOffsetsPerTrigger analog — latestOffset admits at
+    most max_per_trigger records per microbatch, split evenly across
+    partitions, and successive calls walk the backlog in bounded
+    steps until the high watermarks are reached (the soak-leg knob:
+    a deep backlog replays as steady bounded batches)."""
+    from shredder_spark.sources.kafka_wire_datasource import (
+        KafkaWirePartitionStreamReader)
+
+    with ToyKafkaBroker() as broker:
+        p = kw.KafkaWireProducer(broker.bootstrap)
+        for part, n in ((0, 25), (1, 7)):
+            for i in range(n):
+                p.send("capped", part, None, b"x")
+        p.flush()
+        rdr = KafkaWirePartitionStreamReader({
+            "bootstrap": broker.bootstrap, "topic": "capped",
+            "partitions": "0,1", "max_per_trigger": "20"})  # 10/part
+        assert rdr.latestOffset() == {"0": 10, "1": 7}
+        assert rdr.latestOffset() == {"0": 20, "1": 7}
+        assert rdr.latestOffset() == {"0": 25, "1": 7}  # caught up
+        assert rdr.latestOffset() == {"0": 25, "1": 7}  # stable
+        # unlimited (default) still jumps straight to the watermark
+        rdr2 = KafkaWirePartitionStreamReader({
+            "bootstrap": broker.bootstrap, "topic": "capped",
+            "partitions": "0,1"})
+        assert rdr2.latestOffset() == {"0": 25, "1": 7}
+
+
 def test_list_offsets_multi_partition_round_trip():
     """One batched ListOffsets v1 RPC covers many partitions (the
     planner's per-microbatch probe shape — r10): watermarks for every

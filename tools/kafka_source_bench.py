@@ -32,6 +32,19 @@ Stamped with the frozen session-speed control like every artifact.
 
 Usage: python tools/kafka_source_bench.py [reps] [out.json]
 (defaults: 3 reps, KAFKA_BENCH_r10.json)
+
+Round 12 adds a SOAK mode (r11 verdict stretch 7):
+
+    python tools/kafka_source_bench.py --soak [seconds] [out.json]
+
+One long-lived 32-partition streaming query under a continuous
+trigger walking a deep pre-produced backlog in bounded microbatches
+(``max_per_trigger`` — the maxOffsetsPerTrigger analog added this
+round), ≥ the requested wall seconds. The artifact records the
+per-microbatch StreamingQueryProgress durations (latestOffset probe,
+addBatch, offset-WAL + commit log writes) — i.e. sustained marginal
+rate AND the checkpoint overhead split the availableNow replay legs
+can't see.
 """
 
 from __future__ import annotations
@@ -50,7 +63,118 @@ PAYLOAD = bytes(256)
 N_MSGS = 100_000
 
 
+def soak(seconds: int, out_path: str) -> int:
+    """32-partition continuous-trigger soak: sustained rate + per-
+    microbatch checkpoint-overhead attribution over a deep backlog."""
+    import tempfile
+
+    from kafka_toy_broker import ToyKafkaBroker
+
+    from shredder_spark.benchcontrol import control_stats
+    from shredder_spark.session import get_spark
+    from shredder_spark.sinks.kafka_wire import KafkaWireProducer
+    from shredder_spark.sources.kafka_wire_datasource import (
+        register_kafkawire_source)
+
+    n_parts = 32
+    cap = 100_000          # records admitted per microbatch
+    backlog = 4_000_000    # deep enough that the query never runs dry
+
+    spark = get_spark("kafka-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_kafkawire_source(spark)
+
+    with ToyKafkaBroker() as broker:
+        p = KafkaWireProducer(broker.bootstrap)
+        t0 = time.perf_counter()
+        for i in range(backlog):
+            p.send("soak32", i % n_parts, None, PAYLOAD)
+            if (i + 1) % 50_000 == 0:
+                p.flush()
+        p.flush()
+        produce_s = time.perf_counter() - t0
+
+        ckpt = tempfile.mkdtemp()
+        q = (spark.readStream.format("kafkawire")
+             .option("bootstrap", broker.bootstrap)
+             .option("topic", "soak32")
+             .option("partitions",
+                     ",".join(str(i) for i in range(n_parts)))
+             .option("max_per_trigger", str(cap))
+             .load()
+             .writeStream.format("noop")
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds and q.isActive:
+            time.sleep(1.0)
+        progress = [json.loads(j) for j in q.recentProgress]
+        q.stop()
+        q.awaitTermination(60)
+
+    # steady window: drop the first two batches (stream start, plan
+    # warm-up) and any zero-row tail
+    rows = [pr for pr in progress
+            if pr.get("numInputRows", 0) > 0][2:]
+    assert rows, "soak produced no steady microbatches"
+    total_rows = sum(pr["numInputRows"] for pr in rows)
+    total_trigger_ms = sum(pr["durationMs"]["triggerExecution"]
+                           for pr in rows)
+
+    def mean_ms(key: str) -> float:
+        vals = [pr["durationMs"].get(key, 0) for pr in rows]
+        return round(sum(vals) / len(vals), 1)
+
+    out = {
+        "metric": "kafka_source_soak32",
+        "payload_bytes": len(PAYLOAD),
+        "partitions": n_parts,
+        "max_per_trigger": cap,
+        "backlog_messages": backlog,
+        "produce_rate_msgs_per_s": round(backlog / produce_s),
+        "soak_wall_s": seconds,
+        "microbatches_steady": len(rows),
+        "sustained_msgs_per_s": round(total_rows
+                                      / (total_trigger_ms / 1000.0)),
+        "sustained_mb_per_s": round(
+            total_rows * len(PAYLOAD) / 1e6 / (total_trigger_ms / 1000.0),
+            2),
+        "mean_batch_ms": {
+            "triggerExecution": mean_ms("triggerExecution"),
+            "latestOffset": mean_ms("latestOffset"),
+            "addBatch": mean_ms("addBatch"),
+            "walCommit": mean_ms("walCommit"),
+            "commitOffsets": mean_ms("commitOffsets"),
+            "queryPlanning": mean_ms("queryPlanning"),
+        },
+        "method": ("continuous trigger (processingTime=0) over a "
+                   f"pre-produced {backlog}-message 32-partition "
+                   f"backlog, max_per_trigger={cap}; steady window = "
+                   "non-empty microbatches after the first two; "
+                   "sustained rate = rows / triggerExecution time; "
+                   "checkpoint overhead = walCommit + commitOffsets "
+                   "per batch"),
+        "per_batch_rows": [pr["numInputRows"] for pr in rows],
+        "per_batch_trigger_ms": [pr["durationMs"]["triggerExecution"]
+                                 for pr in rows],
+    }
+    out["control"] = control_stats(spark)
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("microbatches_steady", "sustained_msgs_per_s",
+                       "sustained_mb_per_s", "mean_batch_ms",
+                       "control")}, default=str))
+    print("written:", out_path)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 75
+        out_path = sys.argv[3] if len(sys.argv) > 3 \
+            else "KAFKA_BENCH_r12_soak.json"
+        return soak(seconds, out_path)
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_path = sys.argv[2] if len(sys.argv) > 2 else "KAFKA_BENCH_r10.json"
 

@@ -47,6 +47,10 @@ SF_DIRS = {
     "1": os.environ.get("SHREDDER_SF1_DIR", "/tmp/shredder_sf1"),
     "10": os.environ.get("SHREDDER_SF10_DIR", "/tmp/shredder_sf10"),
     "100": os.environ.get("SHREDDER_SF100_DIR", "/tmp/shredder_sf100"),
+    # r12 fourth-decade probe: docs-only derivation (documents scale
+    # independently of the relational tables; this tool reads nothing
+    # else) — tools/make_sf1.py documents() at SHREDDER_SF_REPLICAS=3000
+    "300": os.environ.get("SHREDDER_SF300_DIR", "/tmp/shredder_sf300docs"),
 }
 _only = os.environ.get("SWEEP_SFS", "10,100")
 SF_DIRS = {k: v for k, v in SF_DIRS.items()
