@@ -61,6 +61,7 @@ class ToyKafkaBroker:
         self.bootstrap = f"{self.host}:{self.port}"
         # {(topic, partition): [(base_offset, n_records, batch_bytes)]}
         self._log: dict[tuple[str, int], list] = {}
+        self._bases: dict[tuple[str, int], list] = {}  # sorted base offsets
         self._hwm: dict[tuple[str, int], int] = {}
         self._lock = threading.Lock()
         self._stop = False
@@ -214,6 +215,7 @@ class ToyKafkaBroker:
             # CRC'd region — the v2 design allows exactly this)
             patched = struct.pack(">q", base) + batch[8:]
             self._log.setdefault(key, []).append((base, count, patched))
+            self._bases.setdefault(key, []).append(base)
             self._hwm[key] = base + count
         return 0, base
 
@@ -226,12 +228,29 @@ class ToyKafkaBroker:
         (n_parts,) = struct.unpack_from(">i", req, pos)
         pos += 4
         assert n_parts == 1
-        part, offset, _maxb = struct.unpack_from(">iqi", req, pos)
+        part, offset, maxb = struct.unpack_from(">iqi", req, pos)
+        # Honor the partition max_bytes like a real broker (r12: the
+        # old ship-the-whole-tail behavior made every bounded
+        # microbatch over a deep backlog transfer the entire log —
+        # the soak leg measured the fixture, not the engine), always
+        # returning at least one batch past `offset`; bisect on base
+        # offsets replaces the O(log-length) scan per fetch.
+        import bisect
+
         with self._lock:
             key = (topic, part)
             hwm = self._hwm.get(key, 0)
-            batches = [b for base, n, b in self._log.get(key, [])
-                       if base + n > offset]
+            log = self._log.get(key, [])
+            bases = self._bases.get(key, [])
+            i = max(bisect.bisect_right(bases, offset) - 1, 0)
+            batches, size = [], 0
+            for base, n, b in log[i:]:
+                if base + n <= offset:
+                    continue
+                if batches and size + len(b) > maxb:
+                    break
+                batches.append(b)
+                size += len(b)
         record_set = b"".join(batches)
         out = bytearray(struct.pack(">i", corr))
         out += struct.pack(">i", 0)                       # throttle

@@ -77,12 +77,28 @@ def soak(seconds: int, out_path: str) -> int:
         register_kafkawire_source)
 
     n_parts = 32
-    cap = 100_000          # records admitted per microbatch
-    backlog = 4_000_000    # deep enough that the query never runs dry
+    caps = (100_000, 400_000)  # records admitted per microbatch
+    backlog = 8_000_000        # deep enough that no leg runs dry
 
     spark = get_spark("kafka-soak")
     spark.sparkContext.setLogLevel("ERROR")
     register_kafkawire_source(spark)
+
+    out = {
+        "metric": "kafka_source_soak32",
+        "payload_bytes": len(PAYLOAD),
+        "partitions": n_parts,
+        "backlog_messages": backlog,
+        "soak_wall_s": seconds,
+        "method": ("continuous trigger (processingTime=0) over a "
+                   f"pre-produced {backlog}-message 32-partition "
+                   "backlog, one leg per max_per_trigger cap, fresh "
+                   "checkpoint each; steady window = non-empty "
+                   "microbatches after the first two; sustained rate "
+                   "= rows / triggerExecution time; checkpoint "
+                   "overhead = walCommit + commitOffsets per batch"),
+        "legs": {},
+    }
 
     with ToyKafkaBroker() as broker:
         p = KafkaWireProducer(broker.bootstrap)
@@ -92,79 +108,74 @@ def soak(seconds: int, out_path: str) -> int:
             if (i + 1) % 50_000 == 0:
                 p.flush()
         p.flush()
-        produce_s = time.perf_counter() - t0
+        out["produce_rate_msgs_per_s"] = round(
+            backlog / (time.perf_counter() - t0))
 
-        ckpt = tempfile.mkdtemp()
-        q = (spark.readStream.format("kafkawire")
-             .option("bootstrap", broker.bootstrap)
-             .option("topic", "soak32")
-             .option("partitions",
-                     ",".join(str(i) for i in range(n_parts)))
-             .option("max_per_trigger", str(cap))
-             .load()
-             .writeStream.format("noop")
-             .option("checkpointLocation", ckpt)
-             .trigger(processingTime="0 seconds").start())
-        t0 = time.perf_counter()
-        while time.perf_counter() - t0 < seconds and q.isActive:
-            time.sleep(1.0)
-        progress = [json.loads(j) for j in q.recentProgress]
-        q.stop()
-        q.awaitTermination(60)
+        for cap in caps:
+            ckpt = tempfile.mkdtemp()
+            q = (spark.readStream.format("kafkawire")
+                 .option("bootstrap", broker.bootstrap)
+                 .option("topic", "soak32")
+                 .option("partitions",
+                         ",".join(str(i) for i in range(n_parts)))
+                 .option("max_per_trigger", str(cap))
+                 .load()
+                 .writeStream.format("noop")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="0 seconds").start())
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds and q.isActive:
+                time.sleep(1.0)
+            # PySpark 4: recentProgress yields StreamingQueryProgress
+            # objects (.json is the serialized form); older APIs
+            # returned plain JSON strings
+            progress = [
+                json.loads(pr if isinstance(pr, str) else pr.json)
+                for pr in q.recentProgress]
+            q.stop()
+            q.awaitTermination(60)
 
-    # steady window: drop the first two batches (stream start, plan
-    # warm-up) and any zero-row tail
-    rows = [pr for pr in progress
-            if pr.get("numInputRows", 0) > 0][2:]
-    assert rows, "soak produced no steady microbatches"
-    total_rows = sum(pr["numInputRows"] for pr in rows)
-    total_trigger_ms = sum(pr["durationMs"]["triggerExecution"]
-                           for pr in rows)
+            # steady window: drop the first two batches (stream
+            # start, plan warm-up) and any zero-row tail
+            rows = [pr for pr in progress
+                    if pr.get("numInputRows", 0) > 0][2:]
+            assert rows, f"cap={cap}: no steady microbatches"
+            total_rows = sum(pr["numInputRows"] for pr in rows)
+            total_trigger_ms = sum(pr["durationMs"]["triggerExecution"]
+                                   for pr in rows)
 
-    def mean_ms(key: str) -> float:
-        vals = [pr["durationMs"].get(key, 0) for pr in rows]
-        return round(sum(vals) / len(vals), 1)
+            def mean_ms(key: str) -> float:
+                vals = [pr["durationMs"].get(key, 0) for pr in rows]
+                return round(sum(vals) / len(vals), 1)
 
-    out = {
-        "metric": "kafka_source_soak32",
-        "payload_bytes": len(PAYLOAD),
-        "partitions": n_parts,
-        "max_per_trigger": cap,
-        "backlog_messages": backlog,
-        "produce_rate_msgs_per_s": round(backlog / produce_s),
-        "soak_wall_s": seconds,
-        "microbatches_steady": len(rows),
-        "sustained_msgs_per_s": round(total_rows
-                                      / (total_trigger_ms / 1000.0)),
-        "sustained_mb_per_s": round(
-            total_rows * len(PAYLOAD) / 1e6 / (total_trigger_ms / 1000.0),
-            2),
-        "mean_batch_ms": {
-            "triggerExecution": mean_ms("triggerExecution"),
-            "latestOffset": mean_ms("latestOffset"),
-            "addBatch": mean_ms("addBatch"),
-            "walCommit": mean_ms("walCommit"),
-            "commitOffsets": mean_ms("commitOffsets"),
-            "queryPlanning": mean_ms("queryPlanning"),
-        },
-        "method": ("continuous trigger (processingTime=0) over a "
-                   f"pre-produced {backlog}-message 32-partition "
-                   f"backlog, max_per_trigger={cap}; steady window = "
-                   "non-empty microbatches after the first two; "
-                   "sustained rate = rows / triggerExecution time; "
-                   "checkpoint overhead = walCommit + commitOffsets "
-                   "per batch"),
-        "per_batch_rows": [pr["numInputRows"] for pr in rows],
-        "per_batch_trigger_ms": [pr["durationMs"]["triggerExecution"]
-                                 for pr in rows],
-    }
+            out["legs"][str(cap)] = {
+                "max_per_trigger": cap,
+                "microbatches_steady": len(rows),
+                "sustained_msgs_per_s": round(
+                    total_rows / (total_trigger_ms / 1000.0)),
+                "sustained_mb_per_s": round(
+                    total_rows * len(PAYLOAD) / 1e6
+                    / (total_trigger_ms / 1000.0), 2),
+                "mean_batch_ms": {
+                    "triggerExecution": mean_ms("triggerExecution"),
+                    "latestOffset": mean_ms("latestOffset"),
+                    "addBatch": mean_ms("addBatch"),
+                    "walCommit": mean_ms("walCommit"),
+                    "commitOffsets": mean_ms("commitOffsets"),
+                    "queryPlanning": mean_ms("queryPlanning"),
+                },
+                "per_batch_rows": [pr["numInputRows"] for pr in rows],
+                "per_batch_trigger_ms": [
+                    pr["durationMs"]["triggerExecution"] for pr in rows],
+            }
     out["control"] = control_stats(spark)
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({k: out[k] for k in
-                      ("microbatches_steady", "sustained_msgs_per_s",
-                       "sustained_mb_per_s", "mean_batch_ms",
-                       "control")}, default=str))
+    print(json.dumps({
+        "legs": {c: {k: v for k, v in leg.items()
+                     if not k.startswith("per_batch")}
+                 for c, leg in out["legs"].items()},
+        "control": out["control"]}, default=str))
     print("written:", out_path)
     return 0
 
