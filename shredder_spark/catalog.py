@@ -46,6 +46,16 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# Spark-inferred schema per parquet path (r12 optimization, guide §1/
+# §6: schema inference on every ``spark.read.parquet`` dispatches a
+# footer-reading job — ~140 ms of driver latency per table per call,
+# and ``Query.run`` loads all 10 tables. The schema of a fixture path
+# never changes within a process, so the FIRST load infers and every
+# later load passes the cached schema explicitly, which keeps the read
+# fully lazy). Keyed by path only — schemas are session-independent.
+_SPARK_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
@@ -54,7 +64,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamps. Integer DIV keeps the math exact (nanos ~1e18
         # exceed double's 2^53 mantissa) and entirely JVM-side.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    cached = _SPARK_SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SPARK_SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
     return df
@@ -66,9 +81,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 CURRENT_SF_DIR = DEFAULT_SF_DIR
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view named after itself."""
+# Which sf_dir each live session's canonical views currently point at
+# (r12 optimization): ``Query.run`` calls ``register_views`` on every
+# invocation, so a bench/sweep/correctness pass re-registered all 10
+# views per query — pure driver-side metadata latency (~1.5 s/call
+# measured, >half the sf0.1 headline bench). Registration is only
+# needed when the TARGET CHANGES: temp views are name-keyed session
+# state, so as long as this session's views were last registered for
+# the same sf_dir they already resolve to the right files. Keyed by
+# the session object (getOrCreate returns the same object; a stopped/
+# recreated session is a new key and re-registers). No data or result
+# is cached — views stay lazy parquet scans.
+_REGISTERED_FOR: dict[SparkSession, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   force: bool = False) -> None:
+    """Register every test table as a temp view named after itself.
+
+    No-op when this session's views already point at ``sf_dir``
+    (pass ``force=True`` after replacing fixture files in place)."""
     global CURRENT_SF_DIR
+    if not force and _REGISTERED_FOR.get(spark) == sf_dir:
+        CURRENT_SF_DIR = sf_dir
+        return
     CURRENT_SF_DIR = sf_dir
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED_FOR[spark] = sf_dir
