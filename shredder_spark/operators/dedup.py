@@ -80,6 +80,13 @@ def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+# SQL-text twin of token_hashes over a NAMED column (r12 — one
+# F.expr parse instead of per-call Column composition; identical
+# Catalyst expression)
+_TOKEN_HASHES_SQL = ("transform(array_distinct(split({col}, ' ')), "
+                     f"t -> xxhash64(t) & {_MERSENNE_P}L)")
+
+
 def token_hashes(text: Column) -> Column:
     """31-bit xxhash64 of each distinct token — the MinHash base.
     Project this into a named column BEFORE fanning out permutations:
@@ -90,10 +97,27 @@ def token_hashes(text: Column) -> Column:
                        lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MERSENNE_P)))
 
 
+def _minhash_sql(col_name: str, num_perm: int = 64, seed: int = 1) -> str:
+    """SQL text of the MinHash signature over a NAMED token-hash array
+    column — semantically identical to :func:`minhash_from_hashes`
+    (r12 optimization, guide §1.2 "per-task work" applied to the
+    DRIVER: composing the 64 array_min(transform(...)) branches as
+    Column objects costs ~1.2 s of py4j round-trips per call; one
+    ``F.expr`` parse of the same expression is ~20 ms. All operands
+    are non-negative bigints, so SQL ``%`` matches Column ``%``)."""
+    terms = ", ".join(
+        f"array_min(transform({col_name}, h -> (h * {a}L + {b}L) % "
+        f"{_MERSENNE_P}L))"
+        for a, b in _perm_constants(num_perm, seed))
+    return f"array({terms})"
+
+
 def minhash_from_hashes(hashes: Column, num_perm: int = 64,
                         seed: int = 1) -> Column:
     """Signature from a (projected) token-hash array: per permutation
-    ``min((h*a+b) mod p)`` — pure Catalyst, deterministic."""
+    ``min((h*a+b) mod p)`` — pure Catalyst, deterministic. (Column-
+    input form; operators on a named column use the ``_minhash_sql``
+    string builder — same expression, one parse.)"""
     def _perm(a: int, b: int):
         # factory closure: pyspark counts default-arg params as lambda
         # arity, so capture constants here instead
@@ -164,25 +188,28 @@ def minhash_lsh_pairs(
         # of splits and this branch never fires.
         src = src.repartition(par, "_id")
     # staged projection: hash the tokens once, then fan out the
-    # num_perm permutations over the named column (see token_hashes)
+    # num_perm permutations over the named column (see token_hashes).
+    # Both stages are built as ONE parsed SQL expression each — the
+    # equivalent Column composition costs >1 s of driver py4j churn
+    # per call (r12; see _minhash_sql).
     sig = src.select(
         "_id",
-        token_hashes(F.col("_text")).alias("_hs"),
+        F.expr(_TOKEN_HASHES_SQL.format(col="_text")).alias("_hs"),
     ).select(
         "_id",
-        minhash_from_hashes(F.col("_hs"), num_perm, seed).alias("_sig"),
+        F.expr(_minhash_sql("_hs", num_perm, seed)).alias("_sig"),
     )
     # The banded relation is (id, band, bandhash) ONLY — at 100 TB the
     # banding shuffle must never ship token arrays (16 copies of every
     # doc's tokens); text is re-joined afterwards for the (much
     # smaller) candidate set.
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'bh', "
+        f"xxhash64(slice(_sig, {i * rows + 1}, {rows})))"
+        for i in range(bands))
     banded = sig.select(
         "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.xxhash64(F.slice("_sig", i * rows + 1, rows)).alias("bh"))
-            for i in range(bands)
-        ])).alias("b"),
+        F.expr(f"explode(array({band_structs}))").alias("b"),
     ).select("_id", "b.band", "b.bh")
 
     # One shuffle groups bucket members; the size cap is a filter on
@@ -256,17 +283,19 @@ def oversized_lsh_buckets(df: DataFrame, id_col: str, text_col: str, *,
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = (df.select(F.col(id_col).alias("_id"),
-                     token_hashes(F.col(text_col)).alias("_hs"))
+                     F.col(text_col).alias("_text"))
            .select("_id",
-                   minhash_from_hashes(F.col("_hs"), num_perm,
-                                       seed).alias("_sig")))
+                   F.expr(_TOKEN_HASHES_SQL.format(
+                       col="_text")).alias("_hs"))
+           .select("_id",
+                   F.expr(_minhash_sql("_hs", num_perm,
+                                       seed)).alias("_sig")))
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'bh', "
+        f"xxhash64(slice(_sig, {i * rows + 1}, {rows})))"
+        for i in range(bands))
     banded = sig.select(
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.xxhash64(F.slice("_sig", i * rows + 1,
-                                        rows)).alias("bh"))
-            for i in range(bands)
-        ])).alias("b"),
+        F.expr(f"explode(array({band_structs}))").alias("b"),
     ).select("b.band", "b.bh")
     return (banded.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("_n"))

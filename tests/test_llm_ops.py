@@ -47,6 +47,25 @@ def test_exact_dedup(spark, documents):
     assert all(r.c == 1 for r in k)
 
 
+def test_minhash_sql_text_matches_column_form(spark, documents):
+    """r12: minhash_lsh_pairs builds its token-hash + signature
+    expressions as parsed SQL text (one F.expr) instead of per-call
+    Column composition (~1.2 s of py4j churn). Pin bit-equality of
+    the two forms over the full fixture."""
+    src = documents.select(F.col("doc_id").alias("_id"),
+                           F.col("text").alias("_text"))
+    col_form = (src.select("_id", D.token_hashes(F.col("_text")).alias("_hs"))
+                .select("_id", D.minhash_from_hashes(
+                    F.col("_hs"), 64, 1).alias("_sig")))
+    sql_form = (src.select("_id", F.expr(D._TOKEN_HASHES_SQL.format(
+                    col="_text")).alias("_hs"))
+                .select("_id", F.expr(D._minhash_sql(
+                    "_hs", 64, 1)).alias("_sig")))
+    n_diff = (col_form.alias("x").join(sql_form.alias("y"), "_id")
+              .filter(F.expr("x._sig <> y._sig")).count())
+    assert n_diff == 0
+
+
 def test_minhash_lsh_recall(spark, doc_block):
     exact = _pairs(D.jaccard_pairs(doc_block, "doc_id", "text", 0.8))
     assert exact, "fixture must contain near-dup pairs"
