@@ -10,8 +10,11 @@ reference's own stage report (`README.md:32-33`):
 
 - ``parse``: fixed-width scan → 30 typed columns → noop sink. Pure
   JVM (substring + try_cast inside whole-stage codegen).
-- ``avro``: same scan written as snappy Avro (spark-avro JVM path
-  when present, else the pure-Python OCF codec fallback).
+- ``avro``: the full fixed-width → snappy Avro OCF ingest through the
+  engine's fused tier (byte-range read → numpy parse → vectorized
+  Avro encode per task, output byte-identical to ``write_avro_ocf``);
+  falls back to the spark-avro JVM path / pure-Python OCF codec when
+  the fused tier is unavailable.
 
 Rates are reported as MB/s and MB/s/core so the judge can compare
 against BASELINE.md's per-core target directly.
@@ -204,6 +207,24 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
              .option("compression", "snappy")
              .mode("overwrite").save(avro_out))
 
+    # r12 (guide §1.2 "the distributed algorithm" + §4 "eliminate the
+    # JVM↔Python boundary"): the timed avro leg now runs the engine's
+    # FUSED tier — byte-range read → numpy parse → vectorized Avro
+    # encode → snappy OCF in one Python pass per task, output
+    # byte-identical to write_avro_ocf (pinned) — instead of the
+    # expr-parse → Arrow crossing → Python OCF chain, which this
+    # round's A/B measured at 1/3 the throughput at the 32-core shape
+    # (155 vs 302-463 MB/s total; OPTIMIZATION_r12.md). tasks=cores
+    # keeps the leg scale-adaptive for the driver's low-core reps.
+    avro_tier = "fused"
+    try:
+        from shredder_spark.sinks.avro_vec import fixed_width_to_avro_fused
+        # untimed warm rep at the timed shape (worker spawn + imports)
+        fixed_width_to_avro_fused(
+            spark, path, BENCH_SCHEMA, avro_out, tasks=cores)
+    except Exception:  # fused tier must never sink the bench
+        avro_tier = "jvm" if jvm_avro else "python_ocf"
+
     # min-of-2 timed runs per stage (transient VM noise protection)
     parse_s = avro_s = float("inf")
     for _ in range(2):
@@ -213,12 +234,16 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
         parse_s = min(parse_s, time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        df = read_fixed_width(spark, path, BENCH_SCHEMA)
-        if jvm_avro:
-            (df.write.format(AVRO_FORMAT).option("compression", "snappy")
-               .mode("overwrite").save(avro_out))
+        if avro_tier == "fused":
+            fixed_width_to_avro_fused(
+                spark, path, BENCH_SCHEMA, avro_out, tasks=cores)
         else:
-            write_avro_ocf(df, avro_out, codec="snappy")
+            df = read_fixed_width(spark, path, BENCH_SCHEMA)
+            if jvm_avro:
+                (df.write.format(AVRO_FORMAT).option("compression", "snappy")
+                   .mode("overwrite").save(avro_out))
+            else:
+                write_avro_ocf(df, avro_out, codec="snappy")
         avro_s = min(avro_s, time.perf_counter() - t0)
 
     # 4-task block: BASELINE.md's 220 MB/s/core headline was measured
@@ -350,6 +375,7 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
             "parse_arrow_mb_per_s_per_core_at4": _per_core4(arrow_parse4_s),
             "avro_arrow_mb_per_s_per_core_at4": _per_core4(arrow4_s),
             "avro_fused_mb_per_s_per_core_at4": _per_core4(fused4_s),
+            "avro_tier": avro_tier,
             "avro_jvm_path": have_spark_avro(spark),
         },
     }
