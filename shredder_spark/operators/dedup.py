@@ -26,6 +26,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from shredder_spark.partitioning import spread_small_input
+
 # Mersenne prime 2^31-1 as the universal-hash modulus: products of
 # 31-bit values fit in a 62-bit long, so the affine permutations stay
 # inside ANSI long arithmetic (2^61-1 would need 128-bit products).
@@ -179,14 +181,11 @@ def minhash_lsh_pairs(
     # sides) and quadrupled the codegen surface. Bucket membership is
     # therefore collected per (band, bandhash) and pairs are generated
     # in-array; everything downstream hangs off that single groupBy.
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    if src.rdd.getNumPartitions() < par:
-        # local/small inputs arrive as one split; spread the signature
-        # computation. On a real cluster the scan already has thousands
-        # of splits and this branch never fires.
-        src = src.repartition(par, "_id")
+    # local/small inputs arrive as one split; spread the signature
+    # computation. On a real cluster the scan already has thousands
+    # of splits and this is a no-op (r12: file-size probe, no .rdd).
+    src = spread_small_input(src, "_id")
     # staged projection: hash the tokens once, then fan out the
     # num_perm permutations over the named column (see token_hashes).
     # Both stages are built as ONE parsed SQL expression each — the
@@ -248,9 +247,16 @@ def minhash_lsh_pairs(
     #    no array_union materialization.
     # The candidate side stays small (bucket-capped), so AQE broadcasts
     # it — the corpus is scanned, never shuffled.
-    txt = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(tokens_col(F.col(text_col)),
+    # r12 (guide §2.5): the verify tokenize pass gets the same
+    # local-parallelism spread as the signature pass — a single-split
+    # local fixture otherwise tokenizes the whole corpus in ONE task
+    # (twice: i-side probe and j-side build); no-op on a real cluster.
+    tsrc = spread_small_input(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")), "_id")
+    txt = tsrc.select(
+        "_id",
+        F.transform(tokens_col(F.col("_text")),
                     lambda x: F.xxhash64(x)).alias("_tok"),
     ).select("_id", "_tok", F.size("_tok").alias("_n"))
     cand = (cand
@@ -260,9 +266,17 @@ def minhash_lsh_pairs(
                              F.col("_n").alias("nj")), "j"))
     inter = F.size(F.array_intersect("ti", "tj"))
     union = (F.col("ni") + F.col("nj") - inter).cast("double")
+    # r12: the threshold filter is written NULL-TOLERANT (coalesce to a
+    # below-threshold sentinel — identical surviving rows: a NULL
+    # jaccard never passed ``>=``). A null-intolerant filter makes
+    # InferFiltersFromConstraints push ``isnotnull(<tokenize expr>)``
+    # into the scan-side Filter nodes, where it evaluates the full
+    # split+xxhash64 transform a SECOND time per row (Filter and
+    # Project don't share subexpressions across operators) — the
+    # measured plans showed every corpus row tokenized twice per side.
     return (
         cand.select("i", "j", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.coalesce(F.col("jaccard"), F.lit(-1.0)) >= threshold)
     )
 
 
@@ -469,11 +483,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     # splits and the Arrow vote is the dominant per-row cost (same
     # pattern as minhash_lsh_pairs; a real cluster scan has thousands
     # of splits and this branch never fires)
-    src = df.select(F.col(id_col).alias("_id"),
-                    F.col(text_col).alias("_text"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, "_id")
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")), "_id")
     # staged projection (see token_hashes): hash the tokens JVM-side
     # once, then compute the 64 bit votes in the Arrow tier — one numpy
     # bit matrix per batch instead of 64 interpreted fold branches per

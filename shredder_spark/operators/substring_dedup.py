@@ -101,11 +101,10 @@ def duplicate_substring_spans(
     assert min_len >= k, "min_len must be >= the k-gram size"
     w = min_len - k + 1
 
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, "_id")
+    from shredder_spark.partitioning import spread_small_input
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")), "_id")
 
     # (id, pos, h) only — the anchor shuffle never ships text
     anch = (src.select("_id", F.explode(
