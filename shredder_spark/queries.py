@@ -1969,27 +1969,42 @@ FROM q CROSS JOIN c
 GROUP BY q.doc_id ORDER BY bm25 DESC, q.doc_id LIMIT 10
 """,
    engine_sql="""
--- Linear single-pass shape (see q139): explode once, aggregate to
--- (doc,tok); doc length and document frequency are window functions
--- over that relation, and corpus stats (N, avgdl) come from a
--- column-pruned scalar scan with no explode.
-WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-            FROM documents LATERAL VIEW EXPLODE(SPLIT(text, ' ')) t AS tok
-            GROUP BY doc_id, tok),
-d AS (SELECT doc_id, tok, tf, SUM(tf) OVER (PARTITION BY doc_id) AS dl
-      FROM tf),
-q AS (SELECT doc_id, tok, tf, dl,
-             CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE) AS df
-      FROM d WHERE tok IN ('table','spark')),
+-- r12 rewrite (guide §2.3/§2.4 "shuffle fewer bytes / remove shuffles
+-- outright"): the previous shape exploded EVERY token of EVERY doc and
+-- pushed the full (doc, tok) relation through two aggregation
+-- exchanges and two window exchanges before filtering to the two query
+-- terms. For a fixed query-term list every per-doc quantity is
+-- computable scan-side: tf(term) counts matches inside the split
+-- array, dl is the array size (== SUM of all per-token counts), and
+-- the corpus stats (N, avgdl, per-term document frequency) are ONE
+-- scalar aggregate broadcast back. No explode, no windows, no
+-- full-token-relation shuffle at any scale. Value-equality vs the
+-- explode+window form and the DuckDB oracle: tools/oracle_recheck.py
+-- (OPTIMIZATION_r12.md).
+WITH m AS (SELECT doc_id,
+                  CAST(SIZE(FILTER(SPLIT(text, ' '), x -> x = 'table')) AS DOUBLE) AS tf_table,
+                  CAST(SIZE(FILTER(SPLIT(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+                  CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE) AS dl
+           FROM documents),
 c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             AVG(CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE)) AS avgdl
-      FROM documents)
-SELECT q.doc_id,
-       ROUND(SUM(LN((c.n - q.df + 0.5) / (q.df + 0.5) + 1)
-             * q.tf * 2.2 / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / c.avgdl))),
-             4) AS bm25
-FROM q CROSS JOIN c
-GROUP BY q.doc_id ORDER BY bm25 DESC, q.doc_id LIMIT 10
+             AVG(dl) AS avgdl,
+             CAST(COUNT_IF(tf_table > 0) AS DOUBLE) AS df_table,
+             CAST(COUNT_IF(tf_spark > 0) AS DOUBLE) AS df_spark
+      FROM m)
+SELECT m.doc_id,
+       ROUND(CASE WHEN m.tf_table > 0
+                  THEN LN((c.n - c.df_table + 0.5) / (c.df_table + 0.5) + 1)
+                       * m.tf_table * 2.2
+                       / (m.tf_table + 1.2 * (0.25 + 0.75 * m.dl / c.avgdl))
+                  ELSE 0.0 END
+           + CASE WHEN m.tf_spark > 0
+                  THEN LN((c.n - c.df_spark + 0.5) / (c.df_spark + 0.5) + 1)
+                       * m.tf_spark * 2.2
+                       / (m.tf_spark + 1.2 * (0.25 + 0.75 * m.dl / c.avgdl))
+                  ELSE 0.0 END, 4) AS bm25
+FROM m CROSS JOIN c
+WHERE m.tf_table > 0 OR m.tf_spark > 0
+ORDER BY bm25 DESC, doc_id LIMIT 10
 """)
 
 # Overlapping token-window chunking (size 8, stride 4) — the standard
