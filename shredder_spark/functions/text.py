@@ -91,6 +91,53 @@ def quality_score(text: Column) -> Column:
     return len_ok + mwl_ok + punct_ok + stop_ok
 
 
+def _spread(df):
+    """Local-parallelism guard (guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read"): the
+    local parquet fixtures are single-row-group files, so the scan is
+    ONE split and every per-doc metric projection would run in a
+    single task. Spread the rows across the session's cores before the
+    heavy projection; on a real cluster the scan already has thousands
+    of splits and this is a no-op (same pattern as
+    ``operators.dedup.minhash_lsh_pairs``)."""
+    from shredder_spark.partitioning import spread_small_input
+    return spread_small_input(df)
+
+
+def _qs_stage_sql(c: str) -> list[str]:
+    """SQL-text twins of the four staged quality metrics (r12, guide
+    §1.2 "per-task work" applied to the DRIVER, same pattern as
+    ``dedup._minhash_sql``: composing these expression trees as Column
+    objects costs ~0.35 s of py4j round-trips per call; one parse of
+    the identical expressions is ~20 ms). Bit-equality vs the scalar
+    :func:`quality_score` is pinned in
+    tests/test_llm_ops.py::test_with_quality_score_matches_scalar."""
+    toks_w = f"split(trim({c}), '\\\\s+')"
+    toks_l = f"split(lower({c}), '\\\\s+')"
+    stop = "array(" + ", ".join(
+        f"'{w}'" for w in sorted({w for ws in LANG_STOPWORDS.values()
+                                  for w in ws})) + ")"
+    return [
+        f"cast(length({c}) as double) AS _qs_n",
+        f"CASE WHEN size({toks_w}) > 0 THEN "
+        f"aggregate({toks_w}, cast(0 as bigint), (acc, t) -> acc + length(t))"
+        f" / cast(size({toks_w}) as double) ELSE 0.0D END AS _qs_mwl",
+        f"CASE WHEN cast(length({c}) as double) > 0 THEN "
+        f"cast(length({c}) - length(regexp_replace({c}, '[^\\\\w\\\\s]', ''))"
+        f" as double) / cast(length({c}) as double) ELSE 0.0D END AS _qs_pr",
+        f"CASE WHEN size({toks_l}) > 0 THEN "
+        f"cast(size(filter({toks_l}, t -> array_contains({stop}, t))) as "
+        f"double) / cast(size({toks_l}) as double) ELSE 0.0D END AS _qs_sr",
+    ]
+
+
+_QS_SCORE_SQL = (
+    "CASE WHEN _qs_n >= 50 AND _qs_n <= 20000 THEN 0.25D ELSE 0.0D END"
+    " + CASE WHEN _qs_mwl >= 3 AND _qs_mwl <= 12 THEN 0.25D ELSE 0.0D END"
+    " + CASE WHEN _qs_pr <= 0.2D THEN 0.25D ELSE 0.0D END"
+    " + CASE WHEN _qs_sr >= 0.05D THEN 0.25D ELSE 0.0D END")
+
+
 def with_quality_score(df, text_col: str = "text", out_col: str = "q"):
     """DataFrame-level quality score: same arithmetic as
     :func:`quality_score`, ~5× faster. The column version references
@@ -98,22 +145,14 @@ def with_quality_score(df, text_col: str = "text", out_col: str = "q"):
     CollapseProject would duplicate those expensive subtrees if they
     were inlined — staging them as intermediate columns (expensive +
     multiply-referenced → the optimizer keeps the projection split)
-    computes each split/regexp pass exactly once per row."""
-    c = F.col(text_col)
-    staged = (
-        df.withColumn("_qs_n", F.length(c).cast("double"))
-        .withColumn("_qs_mwl", mean_word_len(c))
-        .withColumn("_qs_pr", punct_ratio(c))
-        .withColumn("_qs_sr", stopword_ratio(c))
-    )
-    score = (
-        F.when((F.col("_qs_n") >= 50) & (F.col("_qs_n") <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((F.col("_qs_mwl") >= 3) & (F.col("_qs_mwl") <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(F.col("_qs_pr") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(F.col("_qs_sr") >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    return (staged.withColumn(out_col, score)
-            .drop("_qs_n", "_qs_mwl", "_qs_pr", "_qs_sr"))
+    computes each split/regexp pass exactly once per row. Expressions
+    are built as parsed SQL text (see :func:`_qs_stage_sql`)."""
+    df = _spread(df)
+    staged = df.selectExpr("*", *_qs_stage_sql(text_col))
+    # one projection for score+drop (each DataFrame op re-runs the
+    # analyzer eagerly; fewer ops = less driver latency per call)
+    return staged.selectExpr(*df.columns,
+                             f"({_QS_SCORE_SQL}) AS {out_col}")
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -144,18 +183,24 @@ def with_lang_id(df, text_col: str = "text", out_col: str = "lid"):
     :func:`lang_id`, with the token split and the four stopword scores
     staged as intermediate columns so the split/lower pass runs once
     per row instead of once per score reference (same Catalyst
-    non-CSE rationale as :func:`with_quality_score`)."""
+    non-CSE rationale as :func:`with_quality_score`). Expressions are
+    built as parsed SQL text (r12, same driver-latency rationale as
+    :func:`_qs_stage_sql`; decision-rule equality vs :func:`lang_id`
+    pinned in tests/test_llm_ops.py::test_with_lang_id_matches_scalar)."""
     langs = sorted(LANG_STOPWORDS)
-    staged = df.withColumn("_lid_toks", tokens(F.col(text_col)))
-    for lang in langs:
-        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        staged = staged.withColumn(
-            f"_lid_{lang}", F.size(F.array_intersect(F.col("_lid_toks"), words)))
-    staged = staged.withColumn(
-        "_lid_best", F.greatest(*[F.col(f"_lid_{lang}") for lang in langs]))
-    out = F.lit("und")
-    for lang in reversed(langs):
-        out = F.when((F.col(f"_lid_{lang}") == F.col("_lid_best"))
-                     & (F.col("_lid_best") >= 1), F.lit(lang)).otherwise(out)
-    return (staged.withColumn(out_col, out)
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    score_exprs = [
+        "size(array_intersect(_lid_toks, array("
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"))) AS _lid_{lang}"
+        for lang in langs]
+    best = "greatest(" + ", ".join(f"_lid_{lang}" for lang in langs) + ")"
+    case = ("CASE " + " ".join(
+        f"WHEN _lid_{lang} = _lid_best AND _lid_best >= 1 THEN '{lang}'"
+        for lang in langs) + " ELSE 'und' END")
+    staged = (_spread(df)
+              .selectExpr("*", f"{toks} AS _lid_toks")
+              .selectExpr("*", *score_exprs)
+              .selectExpr("*", f"{best} AS _lid_best"))
+    return (staged.withColumn(out_col, F.expr(case))
             .drop("_lid_toks", "_lid_best", *[f"_lid_{lang}" for lang in langs]))

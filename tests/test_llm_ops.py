@@ -239,6 +239,27 @@ def test_ann_lsh_recall_planted(spark, embeddings):
     assert recall >= 0.8, f"ANN recall {recall}"
 
 
+def test_with_quality_score_matches_scalar(spark, documents):
+    """r12: with_quality_score builds its staged metrics as parsed SQL
+    text — bit-equality vs the Column-composed scalar form over the
+    full fixture."""
+    sql_form = T.with_quality_score(documents).select("doc_id", "q")
+    col_form = documents.select(
+        "doc_id", T.quality_score(F.col("text")).alias("q"))
+    assert sql_form.exceptAll(col_form).count() == 0
+    assert col_form.exceptAll(sql_form).count() == 0
+
+
+def test_with_lang_id_matches_scalar(spark, documents):
+    """r12: with_lang_id builds its stopword scores as parsed SQL text
+    — decision equality vs the Column-composed scalar form."""
+    sql_form = T.with_lang_id(documents).select("doc_id", "lid")
+    col_form = documents.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lid"))
+    assert sql_form.exceptAll(col_form).count() == 0
+    assert col_form.exceptAll(sql_form).count() == 0
+
+
 def test_text_functions(spark, documents):
     df = documents.select(
         "doc_id",
