@@ -87,3 +87,53 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
     )
     return carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def asof_join_single_source(
+    df: DataFrame,
+    on: str | Sequence[str],
+    *,
+    ts: str,
+    probe_pred,
+    ref_pred,
+    probe_cols: Sequence[str],
+    right_cols: dict,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Single-scan specialization of :func:`asof_join` for the common
+    case where BOTH sides are filters of the SAME relation (r12, guide
+    §2.3/§2.4: the generic operator unions two filtered subtrees,
+    scanning the source TWICE; when probe and reference rows live in
+    one table, the identical union frame is one conditional projection
+    over ONE scan — half the read I/O at any scale, same one-shuffle
+    window afterwards).
+
+    ``probe_pred`` / ``ref_pred`` are disjoint boolean Columns over
+    ``df``; ``probe_cols`` are the left-side output columns (nulled on
+    reference rows, key columns always kept); ``right_cols`` maps
+    output name -> Column evaluated on reference rows (nulled on probe
+    rows). Row-level equivalence to ``asof_join(df.filter(probe_pred)
+    …, df.filter(ref_pred) …)`` is pinned in tests/test_asof.py."""
+    keys = [on] if isinstance(on, str) else list(on)
+    unioned = df.filter(probe_pred | ref_pred).select(
+        *[(F.col(c) if c in keys
+           else F.when(probe_pred, F.col(c)).alias(c))
+          for c in probe_cols],
+        F.col(ts).alias(_TS),
+        F.when(probe_pred, F.lit(1)).otherwise(F.lit(0)).alias(_SIDE),
+        *[F.when(ref_pred, expr).alias(name)
+          for name, expr in right_cols.items()],
+    )
+    side_order = (F.col(_SIDE).asc() if allow_exact_matches
+                  else F.col(_SIDE).desc())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *probe_cols,
+        F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.filter(F.col(_SIDE) == 1).drop(_SIDE)

@@ -958,18 +958,19 @@ FROM part ORDER BY p_partkey
 def _q76_builder(spark: SparkSession) -> DataFrame:
     # Scale-path as-of join (one shuffle, union+window trick): same
     # semantics as q14's broadcast-range formulation, different physical
-    # plan — shares q14's oracle.
-    from shredder_spark.operators.asof import asof_join
+    # plan — shares q14's oracle. r12: both sides filter the SAME
+    # events table, so the union frame is built from ONE scan
+    # (asof_join_single_source — row-equivalence to the two-scan
+    # asof_join pinned in tests/test_asof.py; guide §2.3).
+    from shredder_spark.operators.asof import asof_join_single_source
 
     events = spark.table("events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts")
-    signups = events.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("last_signup_ts"))
-    out = asof_join(
-        purchases, signups, "user_id",
-        left_ts="ts", right_ts="last_signup_ts",
-        right_cols=["last_signup_ts"],
+    out = asof_join_single_source(
+        events, "user_id", ts="ts",
+        probe_pred=F.col("event_type") == "purchase",
+        ref_pred=F.col("event_type") == "signup",
+        probe_cols=["event_id", "user_id", "ts"],
+        right_cols={"last_signup_ts": F.col("ts")},
     )
     return out.select("event_id", "last_signup_ts").orderBy("event_id")
 

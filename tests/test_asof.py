@@ -20,6 +20,35 @@ def test_asof_matches_range_join_formulation(spark):
     assert any(r.last_signup_ts is not None for r in b)
 
 
+def test_asof_single_source_matches_two_scan(spark):
+    """r12: the single-scan specialization builds the identical union
+    frame from one conditional projection — row equality vs the
+    generic two-scan asof_join on the q76 shape."""
+    from shredder_spark.operators.asof import asof_join_single_source
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("last_signup_ts"))
+    two = asof_join(purchases, signups, "user_id", left_ts="ts",
+                    right_ts="last_signup_ts",
+                    right_cols=["last_signup_ts"]) \
+        .select("event_id", "last_signup_ts").orderBy("event_id")
+    one = asof_join_single_source(
+        events, "user_id", ts="ts",
+        probe_pred=F.col("event_type") == "purchase",
+        ref_pred=F.col("event_type") == "signup",
+        probe_cols=["event_id", "user_id", "ts"],
+        right_cols={"last_signup_ts": F.col("ts")}) \
+        .select("event_id", "last_signup_ts").orderBy("event_id")
+    assert [tuple(r) for r in two.collect()] == \
+        [tuple(r) for r in one.collect()]
+    # one scan: exactly one relation in the optimized plan
+    opt = one._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation") == 1
+
+
 def test_asof_exact_match_modes(spark):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     left = spark.createDataFrame(
