@@ -80,25 +80,53 @@ TRIM_FRAC = 0.2     # trimmed-core fraction for the control stamp
 # stale-tag bug overwrote committed BENCH_r09_full.json twice; the
 # r11 max+1 rule then labeled the driver's bench one round AHEAD —
 # the driver writes CORRECTNESS_r{N}.json BEFORE benching, so max+1
-# stamped round 11's bench "BENCH_r12_full.json"). Rule now: the tag
-# is the highest CORRECTNESS round whose full bench does not exist
-# yet (the driver just wrote that round's correctness and is benching
-# the same round); if every correctness round already has its bench,
-# we are in a new round → max+1. BENCH_ROUND env still overrides.
-def _round_tag() -> str:
+# stamped round 11's bench "BENCH_r12_full.json"; the r12 existence-
+# check rule then labeled the driver's SECOND same-round run — the
+# 8-core scaling rep — one round ahead again). Rule now (r12 verdict
+# item 2): the tag is ALWAYS the highest CORRECTNESS round — the
+# driver writes CORRECTNESS_r{N}.json before benching, so max IS the
+# current round, and two runs in one round can never disagree on the
+# tag. Filename collisions between same-round runs are resolved by
+# suffix, never by bumping the round: the second run at a non-default
+# core count lands as BENCH_r{N}_c{cpus}_full.json (and a further
+# collision appends _2, _3, ...). BENCH_ROUND env still overrides the
+# tag; BENCH_FULL_OUT overrides the whole path (in-session builder
+# runs must use it so the driver's bare name stays free).
+def _round_tag(here: str | None = None) -> str:
     import glob as _glob
     import re as _re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     ns = [int(m.group(1)) for p in _glob.glob(
         os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
     if not ns:
         return "r01"
-    n = max(ns)
-    if not os.path.exists(os.path.join(here, f"BENCH_r{n:02d}_full.json")):
-        return f"r{n:02d}"
-    return f"r{n + 1:02d}"
+    return f"r{max(ns):02d}"
+
+
+def _default_full_name(here: str, round_tag: str, cpus: str) -> str:
+    """Collision-free default artifact name for this round's run.
+
+    First run of the round takes the bare name; later runs (e.g. the
+    driver's low-core scaling rep) get a _c{cpus} suffix instead of a
+    wrong round number, and never overwrite an earlier artifact.
+    """
+    bare = os.path.join(here, f"BENCH_{round_tag}_full.json")
+    if not os.path.exists(bare):
+        return bare
+    suffixed = os.path.join(
+        here, f"BENCH_{round_tag}_c{cpus}_full.json")
+    if not os.path.exists(suffixed):
+        return suffixed
+    k = 2
+    while True:
+        cand = os.path.join(
+            here, f"BENCH_{round_tag}_c{cpus}_{k}_full.json")
+        if not os.path.exists(cand):
+            return cand
+        k += 1
 
 
 ROUND_TAG = _round_tag()
@@ -242,7 +270,10 @@ def main() -> None:
     round_tag = os.environ.get("BENCH_ROUND", ROUND_TAG)
     # a non-default sf (smoke run) must not clobber the committed
     # sf0.1 artifact — divert it unless BENCH_FULL_OUT says otherwise
-    default_full = (f"BENCH_{round_tag}_full.json" if sf == "0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_full = (_default_full_name(here, round_tag, cpus)
+                    if sf == "0.1"
                     else f"/tmp/BENCH_{round_tag}_sf{sf}.json")
     full_path = os.environ.get("BENCH_FULL_OUT", default_full)
     try:
