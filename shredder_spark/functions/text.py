@@ -104,7 +104,18 @@ def _spread(df):
     return spread_small_input(df)
 
 
-def _qs_stage_sql(c: str) -> list[str]:
+def _stage_suffix(cols, names) -> str:
+    """Staging-name suffix that avoids colliding with input columns
+    (an input already carrying e.g. ``_qs_n`` would otherwise make the
+    staged projection ambiguous)."""
+    sfx, k = "", 0
+    while {f"{n}{sfx}" for n in names} & set(cols):
+        k += 1
+        sfx = str(k)
+    return sfx
+
+
+def _qs_stage_sql(c: str, sfx: str = "") -> list[str]:
     """SQL-text twins of the four staged quality metrics (r12, guide
     §1.2 "per-task work" applied to the DRIVER, same pattern as
     ``dedup._minhash_sql``: composing these expression trees as Column
@@ -118,24 +129,28 @@ def _qs_stage_sql(c: str) -> list[str]:
         f"'{w}'" for w in sorted({w for ws in LANG_STOPWORDS.values()
                                   for w in ws})) + ")"
     return [
-        f"cast(length({c}) as double) AS _qs_n",
+        f"cast(length({c}) as double) AS _qs_n{sfx}",
         f"CASE WHEN size({toks_w}) > 0 THEN "
         f"aggregate({toks_w}, cast(0 as bigint), (acc, t) -> acc + length(t))"
-        f" / cast(size({toks_w}) as double) ELSE 0.0D END AS _qs_mwl",
+        f" / cast(size({toks_w}) as double) ELSE 0.0D END AS _qs_mwl{sfx}",
         f"CASE WHEN cast(length({c}) as double) > 0 THEN "
         f"cast(length({c}) - length(regexp_replace({c}, '[^\\\\w\\\\s]', ''))"
-        f" as double) / cast(length({c}) as double) ELSE 0.0D END AS _qs_pr",
+        f" as double) / cast(length({c}) as double) ELSE 0.0D END AS _qs_pr{sfx}",
         f"CASE WHEN size({toks_l}) > 0 THEN "
         f"cast(size(filter({toks_l}, t -> array_contains({stop}, t))) as "
-        f"double) / cast(size({toks_l}) as double) ELSE 0.0D END AS _qs_sr",
+        f"double) / cast(size({toks_l}) as double) ELSE 0.0D END AS _qs_sr{sfx}",
     ]
 
 
-_QS_SCORE_SQL = (
-    "CASE WHEN _qs_n >= 50 AND _qs_n <= 20000 THEN 0.25D ELSE 0.0D END"
-    " + CASE WHEN _qs_mwl >= 3 AND _qs_mwl <= 12 THEN 0.25D ELSE 0.0D END"
-    " + CASE WHEN _qs_pr <= 0.2D THEN 0.25D ELSE 0.0D END"
-    " + CASE WHEN _qs_sr >= 0.05D THEN 0.25D ELSE 0.0D END")
+def _qs_score_sql(sfx: str = "") -> str:
+    return (
+        f"CASE WHEN _qs_n{sfx} >= 50 AND _qs_n{sfx} <= 20000 THEN 0.25D ELSE 0.0D END"
+        f" + CASE WHEN _qs_mwl{sfx} >= 3 AND _qs_mwl{sfx} <= 12 THEN 0.25D ELSE 0.0D END"
+        f" + CASE WHEN _qs_pr{sfx} <= 0.2D THEN 0.25D ELSE 0.0D END"
+        f" + CASE WHEN _qs_sr{sfx} >= 0.05D THEN 0.25D ELSE 0.0D END")
+
+
+_QS_SCORE_SQL = _qs_score_sql()
 
 
 def with_quality_score(df, text_col: str = "text", out_col: str = "q"):
@@ -148,11 +163,17 @@ def with_quality_score(df, text_col: str = "text", out_col: str = "q"):
     computes each split/regexp pass exactly once per row. Expressions
     are built as parsed SQL text (see :func:`_qs_stage_sql`)."""
     df = _spread(df)
-    staged = df.selectExpr("*", *_qs_stage_sql(text_col))
+    sfx = _stage_suffix(df.columns, ("_qs_n", "_qs_mwl", "_qs_pr", "_qs_sr"))
+    staged = df.selectExpr("*", *_qs_stage_sql(text_col, sfx))
     # one projection for score+drop (each DataFrame op re-runs the
-    # analyzer eagerly; fewer ops = less driver latency per call)
-    return staged.selectExpr(*df.columns,
-                             f"({_QS_SCORE_SQL}) AS {out_col}")
+    # analyzer eagerly; fewer ops = less driver latency per call).
+    # ``withColumn`` replacement semantics: an existing out_col is
+    # replaced in place, never duplicated (ADVICE r12).
+    score = f"({_qs_score_sql(sfx)}) AS {out_col}"
+    cols = [score if c == out_col else c for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(score)
+    return staged.selectExpr(*cols)
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -188,19 +209,24 @@ def with_lang_id(df, text_col: str = "text", out_col: str = "lid"):
     :func:`_qs_stage_sql`; decision-rule equality vs :func:`lang_id`
     pinned in tests/test_llm_ops.py::test_with_lang_id_matches_scalar)."""
     langs = sorted(LANG_STOPWORDS)
+    df = _spread(df)
+    sfx = _stage_suffix(
+        df.columns, ["_lid_toks", "_lid_best"] + [f"_lid_{L}" for L in langs])
     toks = f"split(lower({text_col}), '\\\\s+')"
     score_exprs = [
-        "size(array_intersect(_lid_toks, array("
+        f"size(array_intersect(_lid_toks{sfx}, array("
         + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-        + f"))) AS _lid_{lang}"
+        + f"))) AS _lid_{lang}{sfx}"
         for lang in langs]
-    best = "greatest(" + ", ".join(f"_lid_{lang}" for lang in langs) + ")"
+    best = "greatest(" + ", ".join(f"_lid_{lang}{sfx}" for lang in langs) + ")"
     case = ("CASE " + " ".join(
-        f"WHEN _lid_{lang} = _lid_best AND _lid_best >= 1 THEN '{lang}'"
+        f"WHEN _lid_{lang}{sfx} = _lid_best{sfx} AND _lid_best{sfx} >= 1 "
+        f"THEN '{lang}'"
         for lang in langs) + " ELSE 'und' END")
-    staged = (_spread(df)
-              .selectExpr("*", f"{toks} AS _lid_toks")
+    staged = (df
+              .selectExpr("*", f"{toks} AS _lid_toks{sfx}")
               .selectExpr("*", *score_exprs)
-              .selectExpr("*", f"{best} AS _lid_best"))
+              .selectExpr("*", f"{best} AS _lid_best{sfx}"))
     return (staged.withColumn(out_col, F.expr(case))
-            .drop("_lid_toks", "_lid_best", *[f"_lid_{lang}" for lang in langs]))
+            .drop(f"_lid_toks{sfx}", f"_lid_best{sfx}",
+                  *[f"_lid_{lang}{sfx}" for lang in langs]))

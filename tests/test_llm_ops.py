@@ -250,6 +250,33 @@ def test_with_quality_score_matches_scalar(spark, documents):
     assert col_form.exceptAll(sql_form).count() == 0
 
 
+def test_with_quality_score_replaces_existing_out_col(spark, documents):
+    """ADVICE r12: an input already carrying out_col (or a staging
+    name) must be REPLACED in place — no duplicate/ambiguous columns."""
+    pre = documents.selectExpr("*", "0.5D AS q", "99 AS _qs_n")
+    out = T.with_quality_score(pre)
+    assert out.columns.count("q") == 1
+    assert out.columns.count("_qs_n") == 1
+    assert out.columns == pre.columns  # replacement keeps position
+    ref = T.with_quality_score(documents).select("doc_id", "q")
+    got = out.select("doc_id", "q")
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # the pre-existing _qs_n column passes through untouched
+    assert out.select("_qs_n").distinct().collect()[0][0] == 99
+
+
+def test_with_lang_id_staging_collision(spark, documents):
+    pre = documents.selectExpr("*", "'keep' AS _lid_toks")
+    out = T.with_lang_id(pre)
+    assert out.columns.count("_lid_toks") == 1
+    assert out.columns.count("lid") == 1
+    ref = T.with_lang_id(documents).select("doc_id", "lid")
+    got = out.select("doc_id", "lid")
+    assert got.exceptAll(ref).count() == 0
+    assert out.select("_lid_toks").distinct().collect()[0][0] == "keep"
+
+
 def test_with_lang_id_matches_scalar(spark, documents):
     """r12: with_lang_id builds its stopword scores as parsed SQL text
     — decision equality vs the Column-composed scalar form."""
