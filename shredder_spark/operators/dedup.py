@@ -164,6 +164,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     max_bucket_size: int = 200,
     verify: bool = True,
+    _stages: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding (B72, the scale tier).
 
@@ -226,13 +227,32 @@ def minhash_lsh_pairs(
         "transform(slice(_ids, i + 2, size(_ids)), "
         "y -> named_struct('i', x, 'j', y))))"
     )
-    cand = (
+    cand_multi = (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.i", "p.j")
-        .dropDuplicates(["i", "j"])
     )
+    cand = cand_multi.dropDuplicates(["i", "j"])
+    if _stages is not None:
+        # introspection hook for tools/minhash_profile_r13.py: the SAME
+        # lazy frames the operator composes, so stage timings measure
+        # the real pipeline (simhash_pairs pattern)
+        _stages.update(sig=sig, banded=banded, buckets=buckets,
+                       cand_multi=cand_multi, cand=cand)
     if not verify:
         return cand
+    # r13 NEGATIVE RESULT (keep the dropDuplicates HERE, before the
+    # verify joins): the sf10 stage profile (MINHASH_PROFILE_r13.json)
+    # read this exchange as the biggest marginal stage (2.4 s to dedup
+    # 40.4M → 37.6M candidates, multiplicity 1.074, with only 1.38M
+    # surviving the jaccard filter), so moving the dedup AFTER the
+    # threshold filter looked like a ~25× smaller shuffle. Measured
+    # single-session interleaved A/B at sf10 (MINHASH_DEDUP_AB_r13
+    # .json): the multi-set shape is ~3× SLOWER end-to-end (20.6 vs
+    # 6.8 s normalized, old wins all 4 interleaved cycles) — the
+    # aggregate exchange gives AQE an exact-stats materialization
+    # boundary that keeps the two verify joins well-planned, worth far
+    # more than the exchange costs. Stage marginals are not additive
+    # across this boundary; don't re-attempt without an end-to-end A/B.
     # Exact verification, three measured wins over the naive join-text-
     # then-tokenize shape (4× end-to-end at sf0.1, identical output):
     # 1. tokenize ONCE per doc BEFORE the join — the naive shape
