@@ -4248,26 +4248,38 @@ big AS (SELECT doc_id,
                                         ELEMENT_AT(t, i + 1) AS w2)),
                   ARRAY()) AS bs
         FROM toks WHERE SIZE(t) >= 2),
+-- r13: the r12 form read `pairs` once for the final join and
+-- re-expanded the explode subtree under each of cnt2 / cnt1 / v (CTE
+-- expansion + per-branch inferred filters = 4 scans + 4 explodes, and
+-- the full instance relation crossed an exchange into the final
+-- join). Everything now routes through per-doc bigram counts `dcnt`:
+-- cnt2 = SUM(k) is exact (integer-valued doubles), cnt1/v derive from
+-- cnt2, and AVG over instances = SUM(k*s)/SUM(k) (weighted mean over
+-- per-(doc,bigram) groups of a constant s — ROUND(,4)-stable, oracle
+-- hash-gated). Written so every branch's explode subtree
+-- canonicalizes identically (explicit pair not-null filter; the
+-- `c1 IS NOT NULL` guard — c1 is never null — keeps the v branch on
+-- the cnt1 subtree instead of collapsing to its own distinct-w1
+-- scan): the AQE stage cache then reuses one scan + explode + dcnt
+-- exchange for all four branches, and the stats side above it ships
+-- distinct-bigram counts, never instances. sf10 A/B: 2.41x
+-- (Q249_AB_r13.json); final plan 4 scans -> 1 (plans/r13/).
 pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
-          FROM big LATERAL VIEW EXPLODE(bs) x AS b),
--- scan the exploded instances ONCE for counting: c1 and V are exact
--- type-level derivations of cnt2 (SUM of integer-valued doubles and a
--- row count), so the 4-pass instance re-scan + double instance join
--- the textbook form implies collapses to one agg + one join (profiled
--- 42 s -> much less at sf1; same values, AVG over identical per-type
--- scores is ROUND(,4)-stable)
-cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
-         FROM pairs GROUP BY w1, w2),
+          FROM big LATERAL VIEW EXPLODE(bs) x AS b
+          WHERE b.w1 IS NOT NULL AND b.w2 IS NOT NULL),
+dcnt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS k
+         FROM pairs GROUP BY doc_id, w1, w2),
+cnt2 AS (SELECT w1, w2, SUM(k) AS c2 FROM dcnt GROUP BY w1, w2),
 cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1),
-v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM cnt1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM cnt1
+      WHERE c1 IS NOT NULL),
 sc AS (SELECT c.w1, c.w2, -LN((c.c2 + 1.0) / (c1.c1 + v.vs)) AS s
        FROM cnt2 c JOIN cnt1 c1 ON c1.w1 = c.w1 CROSS JOIN v)
-SELECT p.doc_id,
-       ROUND(AVG(sc.s), 4) AS nll,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams
-FROM pairs p
-JOIN sc ON sc.w1 = p.w1 AND sc.w2 = p.w2
-GROUP BY p.doc_id ORDER BY p.doc_id
+SELECT /*+ BROADCAST(sc) */ d.doc_id,
+       ROUND(SUM(d.k * sc.s) / SUM(d.k), 4) AS nll,
+       CAST(SUM(d.k) AS BIGINT) AS n_bigrams
+FROM dcnt d JOIN sc ON sc.w1 = d.w1 AND sc.w2 = d.w2
+GROUP BY d.doc_id ORDER BY d.doc_id
 """)
 
 # MAD (median-absolute-deviation) robust outlier detection — the
