@@ -40,10 +40,11 @@ def _max_partition_bytes(df: DataFrame) -> int:
     return int(m.group(1)) * _UNIT.get(m.group(2).lower(), 1)
 
 
-def estimated_scan_splits(df: DataFrame) -> int | None:
-    """Rough split count of the plan's file scans, from file sizes and
-    the session's ``maxPartitionBytes``/``openCostInBytes`` packing
-    rule. None when the plan is not (statable) file-backed."""
+def estimated_scan_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the plan's file scans from local stats. None
+    when the plan is not (statable) file-backed; a huge sentinel for
+    remote storage (a real cluster scan — callers treating "bytes >=
+    threshold" as "big input" get the scale-safe branch)."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -57,12 +58,28 @@ def estimated_scan_splits(df: DataFrame) -> int | None:
         elif "://" not in f:
             p = f
         else:
-            return 1 << 30  # remote storage => real cluster scan
+            return 1 << 60  # remote storage => real cluster scan
         try:
             total += os.path.getsize(p)
         except OSError:
             return None
-    total += _OPEN_COST * max(len(files) - 1, 0)
+    return total
+
+
+def estimated_scan_splits(df: DataFrame) -> int | None:
+    """Rough split count of the plan's file scans, from file sizes and
+    the session's ``maxPartitionBytes``/``openCostInBytes`` packing
+    rule. None when the plan is not (statable) file-backed."""
+    total = estimated_scan_bytes(df)
+    if total is None:
+        return None
+    if total >= 1 << 60:
+        return 1 << 30  # remote storage => real cluster scan
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return None
+    total += _OPEN_COST * max(n_files - 1, 0)
     return max(1, math.ceil(total / _max_partition_bytes(df)))
 
 

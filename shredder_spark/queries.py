@@ -209,7 +209,7 @@ _q("q20c_median",
    oracle="SELECT ROUND(QUANTILE_CONT(l_quantity, 0.5),2) AS med FROM lineitem",
    engine_sql="SELECT ROUND(PERCENTILE(l_quantity, 0.5),2) AS med FROM lineitem")
 
-_q("q21_ranking_windows", """
+_Q21_SQL = """
 SELECT l_orderkey, l_linenumber,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
        CAST(RANK() OVER w AS BIGINT) AS rk,
@@ -219,7 +219,39 @@ FROM lineitem
 WINDOW w AS (PARTITION BY l_returnflag
              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
 ORDER BY l_orderkey, l_linenumber
-""")
+"""
+
+# r13 data-gated crossover (r12 verdict item 6, measured both sides):
+# the declared window partitions by the 3-value l_returnflag — three
+# single-task sorts of a third of the fact table each at any scale.
+# At sf0.1 (11 MB lineitem) that plain shape WINS (1.40 s vs the
+# two-phase tier's 2.09 s — the tier pays ~3 fixed driver jobs,
+# OPTIMIZATION_r12.md); at sf10 (967 MB, 60 M rows) the tier wins
+# 2.91x (131.8 -> 45.2 s normalized, Q21_CROSSOVER_AB_r13.json, equal
+# output fingerprints). The builder therefore runs the declared SQL
+# below 256 MB of estimated lineitem scan bytes and the
+# output-identical q421 grouped-rank tier at or above (threshold
+# between the measured points, an order of magnitude above the
+# plain-wins point so the driver's bench/oracle SFs keep the exact
+# r12 plan; remote storage reads as huge => tier, the scale-safe
+# branch). SHREDDER_Q21_TIER_MIN_BYTES overrides for tests.
+def _q21_builder(spark: SparkSession) -> DataFrame:
+    import os as _os
+
+    from shredder_spark import catalog
+    from shredder_spark.partitioning import estimated_scan_bytes
+
+    li = catalog.load_table(spark, catalog.CURRENT_SF_DIR, "lineitem")
+    threshold = int(_os.environ.get("SHREDDER_Q21_TIER_MIN_BYTES",
+                                    str(256 << 20)))
+    nbytes = estimated_scan_bytes(li)
+    if nbytes is not None and nbytes >= threshold:
+        from shredder_spark.operators.scale_windows import q21_scale
+        return q21_scale(spark, catalog.CURRENT_SF_DIR)
+    return spark.sql(_Q21_SQL)
+
+
+_q("q21_ranking_windows", _Q21_SQL, builder=_q21_builder)
 
 _q("q22_analytic_windows", """
 SELECT o_orderkey,
