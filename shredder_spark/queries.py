@@ -2619,7 +2619,8 @@ _q("q167_cc_dedup_clusters", oracle=None, builder=_q167_builder)
 # decimal boundaries where Spark ROUND (exact-binary HALF_UP) and
 # DuckDB ROUND (scaled-float) disagree; FLOOR of the identical IEEE
 # expression cannot.
-_q("q168_min_cost_supplier", """
+_q("q168_min_cost_supplier",
+   oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
          CAST(FLOOR(MIN(l_extendedprice / NULLIF(l_quantity, 0)) * 10000 + 0.5)
@@ -2632,6 +2633,31 @@ JOIN supplier s ON s.s_suppkey = c.l_suppkey
 WHERE p.p_size < 10
   AND c.unit_e4 = (SELECT MIN(c2.unit_e4) FROM cost c2
                    WHERE c2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_suppkey
+""",
+   engine_sql="""
+-- r13: the correlated MIN subquery re-expanded the whole cost
+-- aggregate (2 lineitem scans survived AQE stage reuse;
+-- CTE_REEXPANSION_SCAN_r13.json). The per-part minimum is now a MIN
+-- window over cost itself — one scan, one (partkey, suppkey)
+-- exchange, and the window repartitions only the per-(part, supplier)
+-- aggregate, never raw lineitem. Provably identical: the correlated
+-- MIN per p_partkey equals the window MIN over that part's cost rows
+-- (MIN ignores NULL unit_e4 exactly as the subquery did, and a
+-- NULL = NULL comparison drops the row in both forms).
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(MIN(l_extendedprice / NULLIF(l_quantity, 0)) * 10000 + 0.5)
+              AS BIGINT) AS unit_e4
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+cm AS (SELECT l_partkey, l_suppkey, unit_e4,
+              MIN(unit_e4) OVER (PARTITION BY l_partkey) AS pmin
+       FROM cost)
+SELECT p.p_partkey, s.s_suppkey, s.s_name, c.unit_e4
+FROM part p
+JOIN cm c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_size < 10 AND c.unit_e4 = c.pmin
 ORDER BY p.p_partkey, s.s_suppkey
 """)
 
@@ -9514,7 +9540,8 @@ FROM tot
 # Cramér's V effect size (segment × priority): chi-square over the
 # FULL cross grid (absent cells contribute their expected count), then
 # V = sqrt(chi2 / (n · (min(r,c) − 1))).
-_q("q426_cramers_v", """
+_q("q426_cramers_v",
+   oracle="""
 WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
      obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
@@ -9533,6 +9560,41 @@ WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
 SELECT ROUND(chi2, 4) AS chi2,
        ROUND(SQRT(chi2 / ((SELECT nt FROM n)
                           * (LEAST(r, c) - 1))), 4) AS cramers_v
+FROM chi
+""",
+   engine_sql="""
+-- r13: ra / cb / n re-expanded the orders-customer join, and the
+-- final scalar subquery (SELECT nt FROM n) expanded it once more
+-- (5 fact scans; CTE_REEXPANSION_SCAN_r13.json). The marginals and
+-- total are exact sums of the contingency cell counts, so they now
+-- derive from the (a, b) cell aggregate (those three subtrees
+-- canonicalize identically — aggregates only, no join-key inference
+-- into them — and the stage cache reuses one cell exchange), and nt
+-- rides through grid so the scalar subquery disappears (MAX of a
+-- constant column). The grid LEFT JOIN branch keeps its own scan
+-- (not-null inference on its keys un-canonicalizes it; a null-safe
+-- join would change null-category zero-cell semantics). 5 fact scans
+-- -> 2. Identical for all inputs: SUM(o) per a over cells spans the
+-- same rows as COUNT(*) per a over the raw join (null-b cells
+-- included), ditto per b and globally.
+WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
+             FROM j GROUP BY a, b),
+     ra  AS (SELECT a, SUM(o) AS na FROM obs GROUP BY a),
+     cb  AS (SELECT b, SUM(o) AS nb FROM obs GROUP BY b),
+     n   AS (SELECT SUM(o) AS nt FROM obs),
+     grid AS (SELECT ra.a, cb.b, n.nt, ra.na * cb.nb / n.nt AS e,
+                     COALESCE(obs.o, 0) AS o
+              FROM ra CROSS JOIN cb CROSS JOIN n
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+     chi AS (SELECT SUM(POWER(o - e, 2) / e) AS chi2,
+                    CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+                    CAST(COUNT(DISTINCT b) AS DOUBLE) AS c,
+                    MAX(nt) AS nt
+             FROM grid)
+SELECT ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / (nt * (LEAST(r, c) - 1))), 4) AS cramers_v
 FROM chi
 """)
 
@@ -9557,7 +9619,8 @@ GROUP BY spend.seg ORDER BY spend.seg
 # cell probabilities from keyed aggregates, Σ p(x,y)·ln(p(x,y)/p(x)p(y))
 # — the categorical-dependence screen (feature-selection building
 # block; only observed cells contribute, 0·ln0 = 0).
-_q("q428_mutual_information", """
+_q("q428_mutual_information",
+   oracle="""
 WITH j AS (SELECT p.p_brand AS x, l.l_returnflag AS y
            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
      joint AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS nxy
@@ -9570,6 +9633,30 @@ SELECT ROUND(SUM((nxy / nt) * LN(nxy * nt / (nx * ny))), 6) AS mi_nats,
 FROM joint JOIN mx ON mx.x = joint.x
            JOIN my ON my.y = joint.y
            CROSS JOIN n
+""",
+   engine_sql="""
+-- r13: the textbook form re-expanded the lineitem-part join under
+-- each of joint / mx / my / n (4 fact scans survived AQE stage reuse;
+-- CTE_REEXPANSION_SCAN_r13.json). The marginals and the total are
+-- exact sums of the joint cell counts, so everything now derives from
+-- ONE (x, y) cell aggregate via windows over the bounded cell
+-- relation (|brands| x |flags| cells at any SF). Provably identical
+-- for all inputs incl. NULL categories: nx / ny / nt window sums span
+-- all cells exactly as the GROUP BY marginals over the raw rows did,
+-- and the null-cell drop the inner joins performed is the explicit
+-- WHERE before the final aggregate.
+WITH j AS (SELECT p.p_brand AS x, l.l_returnflag AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+     cell AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS nxy
+              FROM j GROUP BY x, y),
+     w AS (SELECT x, y, nxy,
+                  SUM(nxy) OVER (PARTITION BY x) AS nx,
+                  SUM(nxy) OVER (PARTITION BY y) AS ny,
+                  SUM(nxy) OVER () AS nt
+           FROM cell)
+SELECT ROUND(SUM((nxy / nt) * LN(nxy * nt / (nx * ny))), 6) AS mi_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM w WHERE x IS NOT NULL AND y IS NOT NULL
 """)
 
 # ---------------------------------------------------------------- B470
@@ -11791,7 +11878,8 @@ FROM f
 # Standardized chi-square cell residuals (o−e)/√e over the full
 # segment × priority grid — which cells DRIVE the q426 dependence,
 # top-10 by |residual|.
-_q("q489_chi_residuals", """
+_q("q489_chi_residuals",
+   oracle="""
 WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
      obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
@@ -11799,6 +11887,32 @@ WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
      ra  AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS na FROM j GROUP BY a),
      cb  AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS nb FROM j GROUP BY b),
      n   AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM j),
+     grid AS (SELECT ra.a, cb.b, ra.na * cb.nb / n.nt AS e,
+                     COALESCE(obs.o, 0) AS o
+              FROM ra CROSS JOIN cb CROSS JOIN n
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b)
+SELECT a AS segment, b AS priority,
+       CAST(o AS BIGINT) AS observed,
+       FLOOR(e * 100) / 100.0 AS expected,
+       FLOOR((o - e) / SQRT(e) * 10000) / 10000.0 AS std_residual
+FROM grid
+ORDER BY ABS((o - e) / SQRT(e)) DESC, a, b LIMIT 10
+""",
+   engine_sql="""
+-- r13: same cell-derived marginals as q426 (its residual-table
+-- sibling); see q426 for the identity argument. ra / cb / n reuse one
+-- cell exchange; the grid's LEFT JOIN branch keeps its own scan (the
+-- optimizer infers not-null(a, b) on the join's right side — correct
+-- there, but it un-canonicalizes that one branch, and a null-safe
+-- join would CHANGE the null-category zero-cell semantics). 4 fact
+-- scans -> 2.
+WITH j AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     obs AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o
+             FROM j GROUP BY a, b),
+     ra  AS (SELECT a, SUM(o) AS na FROM obs GROUP BY a),
+     cb  AS (SELECT b, SUM(o) AS nb FROM obs GROUP BY b),
+     n   AS (SELECT SUM(o) AS nt FROM obs),
      grid AS (SELECT ra.a, cb.b, ra.na * cb.nb / n.nt AS e,
                      COALESCE(obs.o, 0) AS o
               FROM ra CROSS JOIN cb CROSS JOIN n
@@ -17719,7 +17833,8 @@ FROM enc ORDER BY seg, fold
 # Two-way interaction strength (ANOVA-lite): SS explained by the
 # segment × priority interaction beyond the additive model — cell
 # means vs row/column effects, exact integer sums in.
-_q("q647_interaction_anova", """
+_q("q647_interaction_anova",
+   oracle="""
 WITH v AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
                   CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
                              / 100) AS BIGINT) AS x
@@ -17741,6 +17856,36 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        FLOOR(SUM(n * inter * inter) / 10000) / 100.0
          AS interaction_ss_dollars2
 FROM dev
+""",
+   engine_sql="""
+-- r13: ra / rb / g (already cell-derived) still re-expanded the
+-- orders-customer join under each reference because the join-key
+-- inference differs per branch (4 fact scans survived AQE reuse;
+-- CTE_REEXPANSION_SCAN_r13.json). The per-a / per-b / grand sums are
+-- now window sums over the bounded cell relation — one scan, one
+-- (a, b) cell exchange, no joins. Identical for all inputs: window
+-- partitions span exactly the rows the GROUP BY marginals did (null
+-- cells included), and the inner-join null-drop is the explicit
+-- WHERE before the final aggregate. Integer window sums are exact.
+WITH v AS (SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+                  CAST(FLOOR(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             / 100) AS BIGINT) AS x
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+     cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+              FROM v GROUP BY a, b),
+     dev AS (SELECT a, b, n,
+                    CAST(sx AS DOUBLE) / n
+                    - CAST(SUM(sx) OVER (PARTITION BY a) AS DOUBLE)
+                      / SUM(n) OVER (PARTITION BY a)
+                    - CAST(SUM(sx) OVER (PARTITION BY b) AS DOUBLE)
+                      / SUM(n) OVER (PARTITION BY b)
+                    + CAST(SUM(sx) OVER () AS DOUBLE)
+                      / SUM(n) OVER () AS inter
+             FROM cell)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       FLOOR(SUM(n * inter * inter) / 10000) / 100.0
+         AS interaction_ss_dollars2
+FROM dev WHERE a IS NOT NULL AND b IS NOT NULL
 """)
 
 # ---------------------------------------------------------------- B690
