@@ -8249,14 +8249,27 @@ FROM est e LEFT JOIN truth t ON t.term = e.term
 ORDER BY e.term
 """,
    engine_sql="""
+-- r13: the sketch cells and the ground-truth counts each re-expanded
+-- the tokenize+explode subtree (2 documents scans;
+-- CTE_REEXPANSION_SCAN_r13.json). The sketch cell counts are exact
+-- sums of the per-term counts (COUNT over (r, c) groups = SUM of n
+-- over the terms hashing to that cell), so `cell` now derives from
+-- `truth` — the 4-way row replication happens on the term-count
+-- relation (vocab-bounded), not on the token instances. The explicit
+-- not-null token filter (provably no-op: SPLIT never yields null
+-- elements) subsumes the LEFT JOIN's right-side key inference, so
+-- both truth branches canonicalize and stage reuse keeps ONE
+-- scan + explode + term-count exchange.
 WITH tok AS (SELECT tok FROM documents
-             LATERAL VIEW EXPLODE(SPLIT(text,' ')) x AS tok),
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) x AS tok
+             WHERE tok IS NOT NULL),
+     truth AS (SELECT tok AS term, COUNT(*) AS n FROM tok GROUP BY tok),
      cell AS (SELECT r.r,
                      CAST(CONV(SUBSTR(MD5(CAST(r.r AS STRING)
-                                          || ':' || tok), 1, 8),
+                                          || ':' || term), 1, 8),
                                16, 10) % 64 AS BIGINT) AS c,
-                     COUNT(*) AS n
-              FROM tok CROSS JOIN
+                     SUM(n) AS n
+              FROM truth CROSS JOIN
                    (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) r
               GROUP BY r.r, c),
      probe AS (SELECT EXPLODE(ARRAY('spark','query','the','vector','scan'))
@@ -8269,8 +8282,7 @@ WITH tok AS (SELECT tok FROM documents
               AND cell.c = CAST(CONV(SUBSTR(MD5(CAST(pr.r AS STRING)
                                                 || ':' || p.term), 1, 8),
                                      16, 10) % 64 AS BIGINT)
-             GROUP BY p.term),
-     truth AS (SELECT tok AS term, COUNT(*) AS n FROM tok GROUP BY tok)
+             GROUP BY p.term)
 SELECT e.term, CAST(e.cms_est AS BIGINT) AS cms_est,
        CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count
 FROM est e LEFT JOIN truth t ON t.term = e.term
@@ -12638,7 +12650,8 @@ FROM t
 # customer per year via percentile-CUTOFF banding (the scale-safe
 # NTILE substitute — no low-cardinality windows), then the year-over-
 # year transition counts.
-_q("q510_rfm_migration", """
+_q("q510_rfm_migration",
+   oracle="""
 WITH y AS (SELECT o_custkey AS cust,
                   EXTRACT(YEAR FROM o_orderdate) AS yr,
                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
@@ -12660,6 +12673,42 @@ WITH y AS (SELECT o_custkey AS cust,
 SELECT a.q AS q_1995, c.q AS q_1996, CAST(COUNT(*) AS BIGINT) AS n_cust
 FROM b a JOIN b c ON c.cust = a.cust AND a.yr = 1995 AND c.yr = 1996
 GROUP BY a.q, c.q ORDER BY q_1995, q_1996
+""",
+   engine_sql="""
+-- r13: the b self-join re-expanded the whole y + cut pipeline per
+-- side (4 orders scans; CTE_REEXPANSION_SCAN_r13.json). (cust, yr)
+-- is unique in b (y is grouped on it, cut is one row per yr), so the
+-- two-year self-join is exactly a pivot: one row per customer with
+-- both years' quintiles, inner-join semantics restored by the
+-- not-null filter (q is never null — the CASE has an ELSE). One b
+-- pipeline; the y branches under b and cut canonicalize (the yr
+-- equi-join infers the same not-null on both) and stage reuse
+-- collapses them.
+WITH y AS (SELECT o_custkey AS cust,
+                  EXTRACT(YEAR FROM o_orderdate) AS yr,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+           FROM orders
+           WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+           GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)),
+     cut AS (SELECT yr,
+                    PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY m) AS c1,
+                    PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY m) AS c2,
+                    PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY m) AS c3,
+                    PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY m) AS c4
+             FROM y GROUP BY yr),
+     b AS (SELECT y.cust, y.yr,
+                  CASE WHEN y.m <= cut.c1 THEN 1
+                       WHEN y.m <= cut.c2 THEN 2
+                       WHEN y.m <= cut.c3 THEN 3
+                       WHEN y.m <= cut.c4 THEN 4 ELSE 5 END AS q
+           FROM y JOIN cut ON cut.yr = y.yr),
+     p AS (SELECT cust,
+                  MAX(CASE WHEN yr = 1995 THEN q END) AS q_1995,
+                  MAX(CASE WHEN yr = 1996 THEN q END) AS q_1996
+           FROM b GROUP BY cust)
+SELECT q_1995, q_1996, CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM p WHERE q_1995 IS NOT NULL AND q_1996 IS NOT NULL
+GROUP BY q_1995, q_1996 ORDER BY q_1995, q_1996
 """)
 
 

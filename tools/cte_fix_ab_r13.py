@@ -37,6 +37,43 @@ QUERIES = [
     "q489_chi_residuals",
     "q647_interaction_anova",
 ]
+# Second batch (same harness, CTE_FIX_AB2_r13.json): override with
+#   CTE_AB_QUERIES=q510_rfm_migration,q383_count_min_sketch
+if os.environ.get("CTE_AB_QUERIES"):
+    QUERIES = os.environ["CTE_AB_QUERIES"].split(",")
+
+# Pre-r13 Spark texts for queries whose oracle is DuckDB-dialect (the
+# "old = oracle" shortcut only works for shared-dialect single texts).
+OLD_TEXTS = {
+    "q383_count_min_sketch": """
+WITH tok AS (SELECT tok FROM documents
+             LATERAL VIEW EXPLODE(SPLIT(text,' ')) x AS tok),
+     cell AS (SELECT r.r,
+                     CAST(CONV(SUBSTR(MD5(CAST(r.r AS STRING)
+                                          || ':' || tok), 1, 8),
+                               16, 10) % 64 AS BIGINT) AS c,
+                     COUNT(*) AS n
+              FROM tok CROSS JOIN
+                   (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) r
+              GROUP BY r.r, c),
+     probe AS (SELECT EXPLODE(ARRAY('spark','query','the','vector','scan'))
+                 AS term),
+     est AS (SELECT p.term,
+                    MIN(cell.n) AS cms_est
+             FROM probe p CROSS JOIN
+                  (SELECT EXPLODE(SEQUENCE(0, 3)) AS r) pr
+             JOIN cell ON cell.r = pr.r
+              AND cell.c = CAST(CONV(SUBSTR(MD5(CAST(pr.r AS STRING)
+                                                || ':' || p.term), 1, 8),
+                                     16, 10) % 64 AS BIGINT)
+             GROUP BY p.term),
+     truth AS (SELECT tok AS term, COUNT(*) AS n FROM tok GROUP BY tok)
+SELECT e.term, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count
+FROM est e LEFT JOIN truth t ON t.term = e.term
+ORDER BY e.term
+""",
+}
 
 
 def main() -> int:
@@ -53,12 +90,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     for t in ("lineitem", "part", "supplier", "orders", "customer"):
         load_table(spark, rel_dir, t).createOrReplaceTempView(t)
+    docs_dir = os.environ.get("SF10_DOCS_DIR", "/tmp/shredder_sf10docs")
+    if os.path.exists(os.path.join(docs_dir, "documents.parquet")):
+        load_table(spark, docs_dir, "documents").createOrReplaceTempView(
+            "documents")
 
     reg = qm.registry()
     legs: dict[str, dict] = {}
     for name in QUERIES:
         q = reg[name]
-        old = spark.sql(q.oracle)   # the pre-r13 single text
+        old = spark.sql(OLD_TEXTS.get(name, q.oracle))  # pre-r13 text
         new = spark.sql(q.engine_sql)
         d1 = old.exceptAll(new).count()
         d2 = new.exceptAll(old).count()
